@@ -1,0 +1,464 @@
+"""Core relational query surface (SURVEY.md §2B B1-B13, B17-B19, B26).
+
+These reproduce the gemini-style SQL shapes the reference's output schema
+serves (filter/project/join/aggregate over variants ⋈ impacts ⋈ samples;
+see SURVEY §1.1), declared over the driver's TPC-H-ish fixtures.
+
+Every Spark plan here is pure DataFrame API: Catalyst gets predicate
+pushdown, column pruning, and join selection for free. Small dimensions
+(region/nation/customer/supplier) are explicitly broadcast where a star
+join would otherwise shuffle the fact table (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
+
+# --------------------------------------------------------------------------
+# A1 — full scan (source smoke; at scale: parquet vectorized reader,
+# partition = row-group split, count is metadata-only where possible)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "scan_parquet",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def scan_parquet(spark, sf_dir):
+    return table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# B1 — predicate filter; filters push to the parquet scan (PushedFilters)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_quantity < 24 AND l_shipdate < TIMESTAMP '1997-06-01'
+    """,
+)
+def filter_pred(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 24)
+        & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+# --------------------------------------------------------------------------
+# B2 — projection + expression eval (per-row double math is IEEE-deterministic)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 6) AS revenue
+    FROM lineitem
+    """,
+)
+def project_expr(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B3 — equi inner join (variants⋈impacts shape). customer is the small side;
+# AQE picks broadcast-hash automatically, we hint it explicitly.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def join_inner(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+# --------------------------------------------------------------------------
+# B4 — multi-way star join; all dimensions broadcast so the fact table
+# (lineitem) never shuffles — the plan that survives 100×.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_star",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           {OSUM6('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_star(spark, sf_dir):
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 — left outer join (variants with/without annotation shape). Every
+# customer has orders in the fixtures, so join a filtered subset to exercise
+# the null-extension path.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_big_orders,
+           COUNT(*) AS n_rows
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"), F.count("*").alias("n_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 — semi / anti joins (samples having/lacking an allele shape)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@dq(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# B9 — hash aggregation with group-by: TPC-H Q1 shape, the flagship query
+# (entry()). Partial (map-side) aggregation makes this a single shuffle of
+# ~|groups| rows regardless of input size.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {OSUM6('l_quantity')} AS sum_qty,
+           {OSUM6('l_extendedprice')} AS sum_base_price,
+           {OSUM6('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {OSUM6('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           ROUND({OAVG('l_quantity')}, 6) AS avg_qty,
+           ROUND({OAVG('l_extendedprice')}, 6) AS avg_price,
+           ROUND({OAVG('l_discount')}, 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum6("l_quantity").alias("sum_qty"),
+            dsum6("l_extendedprice").alias("sum_base_price"),
+            dsum6(disc_price).alias("sum_disc_price"),
+            dsum6(charge).alias("sum_charge"),
+            r6(davg("l_quantity")).alias("avg_qty"),
+            r6(davg("l_extendedprice")).alias("avg_price"),
+            r6(davg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 — distinct & count-distinct
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_distinct",
+    oracle="""
+    SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"), F.count("*").alias("n_items")
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — rollup / cube (impact-severity crosstab shape)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@dq(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum6("o_totalprice").alias("sum_price")
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 — HAVING on aggregates
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, {OSUM6('o_totalprice')} AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING {OSUM('o_totalprice')} > 2000000
+    """,
+)
+def agg_having(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("_total"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("_total").cast("double") > 2000000)
+        .select(
+            "o_custkey",
+            F.col("_total").cast("decimal(38,6)").cast("double").alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 — ordering + LIMIT: Spark plans TakeOrderedAndProject (no full sort,
+# per-partition top-k then merge — the scale-safe physical form).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "topk_order",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_order(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# B17 — set operations
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "set_union",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_union(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.union(b).distinct()
+
+
+@dq(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.intersect(b)
+
+
+@dq(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def set_except(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# B19 — CASE/conditional classification (impact-severity bucketing shape)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "case_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY band
+    """,
+)
+def case_bucket(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+    )
+    return o.select(band.alias("band")).groupBy("band").agg(F.count("*").alias("n_orders"))
+
+
+# --------------------------------------------------------------------------
+# B26 — NULL semantics: left-join nulls, coalesce, null-safe equality
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "null_funcs",
+    oracle=f"""
+    SELECT c.c_custkey,
+           COALESCE({OSUM6('o.o_totalprice')}, 0.0) AS big_spend,
+           CASE WHEN COUNT(o.o_orderkey) = 0 THEN 1 ELSE 0 END AS no_big_orders,
+           COUNT(NULLIF(o.o_orderstatus, 'F')) AS n_open_big
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 420000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def null_funcs(spark, sf_dir):
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 420000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(dsum6("o_totalprice"), F.lit(0.0)).alias("big_spend"),
+            F.when(F.count("o_orderkey") == 0, 1).otherwise(0).alias("no_big_orders"),
+            F.count(F.nullif(F.col("o_orderstatus"), F.lit("F"))).alias("n_open_big"),
+        )
+    )

@@ -1,0 +1,499 @@
+"""Window functions, subqueries, scalar-function surface, range/as-of joins
+(SURVEY.md §2B B7-B8, B14-B16, B18, B20-B25, B28-B30).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from vcf2db_spark.io import table
+from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
+
+# --------------------------------------------------------------------------
+# B14 — ranking windows (rank variants within gene shape). Unique-key
+# tie-break keeps row_number deterministic.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "win_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def win_rank(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 — lag/lead analytics + running total. Running sums accumulate in
+# DECIMAL so the frame arithmetic is exact on both engines.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "win_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def win_lag(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", r6(F.col("value") - F.lag("value").over(w)).alias("delta")
+    )
+
+
+@dq(
+    "win_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,10)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def win_running(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B16 — moving frame aggregate (3-row moving average)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "win_moving",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
+                      OVER w AS DOUBLE)
+                 / COUNT(o_totalprice) OVER w, 6) AS mov_avg_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov = F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double") / F.count(
+        "o_totalprice"
+    ).over(w)
+    return o.select("o_orderkey", "o_custkey", r6(mov).alias("mov_avg_price"))
+
+
+# --------------------------------------------------------------------------
+# B18 — subqueries (IN / scalar), via spark.sql so Catalyst's subquery
+# rewrite (semi-join conversion, scalar-subquery decorrelation) is on show.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "subq_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def subq_in(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+@dq(
+    "subq_scalar",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_above FROM lineitem
+    WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def subq_scalar(spark, sf_dir):
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, COUNT(*) AS n_above FROM lineitem
+        WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B20 — array-index predicate (gemini gt_types[sample] == HET shape)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "array_index_filter",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vecs FROM embeddings
+    WHERE embedding[1] > 0 GROUP BY label
+    """,
+)
+def array_index_filter(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.element_at("embedding", 1) > 0)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B21 — scalar string functions
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTRING(p_name, 1, 5)) AS head5,
+           LENGTH(p_name) AS name_len,
+           REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS last_word,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_u,
+           TRIM(p_name) AS trimmed
+    FROM part
+    """,
+)
+def str_funcs(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("head5"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.trim("p_name").alias("trimmed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B22 — date/time functions; temporal outputs projected to strings so both
+# engines hash identical values.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "date_funcs",
+    oracle=f"""
+    SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mon,
+           COUNT(*) AS n_orders,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mon"),
+            "o_totalprice",
+        )
+        .groupBy("month_start", "yr", "mon")
+        .agg(F.count("*").alias("n_orders"), dsum6("o_totalprice").alias("sum_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B23 — math functions (libm last-ulp differences are far below ROUND(.,6))
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LN(l_extendedprice), 6) AS ln_price,
+           ROUND(SQRT(l_quantity), 6) AS sqrt_qty,
+           ROUND(EXP(l_discount), 6) AS exp_disc,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+           ABS(l_quantity - 25) AS abs_qty,
+           CAST(l_orderkey % 7 AS BIGINT) AS mod7
+    FROM lineitem
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.log(F.col("l_extendedprice"))).alias("ln_price"),
+        r6(F.sqrt("l_quantity")).alias("sqrt_qty"),
+        r6(F.exp("l_discount")).alias("exp_disc"),
+        F.ceil("l_extendedprice").cast("bigint").alias("ceil_price"),
+        F.floor("l_extendedprice").cast("bigint").alias("floor_price"),
+        F.abs(F.col("l_quantity") - 25).alias("abs_qty"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("mod7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B24 — array functions (size/slice/sort — exact, no float arithmetic)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE) AS second_largest,
+           len(list_distinct(embedding)) AS n_distinct
+    FROM embeddings
+    """,
+)
+def array_funcs(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.element_at(F.sort_array(emb, asc=False), 2).cast("double").alias("second_largest"),
+        F.size(F.array_distinct(emb)).alias("n_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B25 — JSON extraction from events.props
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# B28 — exact percentile twin (continuous interpolation on both engines)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        r6(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 — theta/range join: event pairs of the same user within a 60s band.
+# Equi key (user_id) + range residual; at scale this becomes a bucketed-bin
+# join (vcf2db_spark.operators.intervals).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_range",
+    oracle="""
+    SELECT a.user_id, COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 60 SECOND
+    GROUP BY a.user_id
+    """,
+)
+def join_range(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.b_user)
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 — as-of join: each purchase event matched to the latest prior-or-equal
+# click of the same user. Spark has no native ASOF JOIN: the scalable
+# pattern is union + last(ignorenulls) over an ordered window — one shuffle
+# on (user_id), no cross product. DuckDB oracle uses its native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id,
+           STRFTIME(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts"), F.lit(None).cast("bigint").alias("event_id"), F.lit(0).alias("tag")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"), "event_id", F.lit(1).alias("tag")
+    )
+    # at equal ts the click (tag 0) sorts first, so the purchase sees it —
+    # matching the oracle's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purch)
+        .withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            F.date_format("last_click", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B29 — scalar pandas UDF (Arrow-batched; the sanctioned slow path).
+# Per-row double arithmetic is IEEE-deterministic, so the oracle is the
+# plain SQL expression.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charged
+    FROM lineitem
+    """,
+)
+def udf_scalar(spark, sf_dir):
+    @F.pandas_udf(DoubleType())
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(charge("l_extendedprice", "l_discount", "l_tax")).alias("charged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B30 — grouped UDAF via applyInPandas: weighted mean. Inside the UDF the
+# per-element values are quantized to DECIMAL(. ,10) and summed exactly —
+# the same normalization as OSUM — so group-order nondeterminism cannot
+# perturb the result.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "udaf_grouped",
+    oracle=f"""
+    SELECT l_returnflag,
+           ROUND({OSUM('l_extendedprice * l_quantity')} / {OSUM('l_quantity')}, 6)
+             AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped(spark, sf_dir):
+    q10 = Decimal("0.0000000001")
+
+    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        num = sum(
+            Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
+            for v in (pdf["l_extendedprice"] * pdf["l_quantity"])
+        )
+        den = sum(
+            Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
+            for v in pdf["l_quantity"]
+        )
+        out = round(float(num) / float(den), 6)
+        return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [out]})
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").applyInPandas(
+        wmean, schema="l_returnflag string, weighted_avg_price double"
+    )

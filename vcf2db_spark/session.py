@@ -1,0 +1,39 @@
+"""SparkSession factory tuned for the local test harness.
+
+Scale notes (100 TB design): the same builder settings apply on a real
+cluster — AQE handles runtime coalescing/skew-splitting; shuffle partition
+count is a starting hint that AQE re-plans. Only ``master`` changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join splitting, join re-plan.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # Determinism: pin session TZ (fixtures carry naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for pandas_udf / toPandas round-trips.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    return builder.getOrCreate()
+
+
+def pin_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable confs we rely on, applied defensively when the
+    driver hands us a session we did not build."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
