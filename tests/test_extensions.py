@@ -1,0 +1,202 @@
+"""Extension-operator tests (SURVEY.md §2C): approximate tiers validated
+against their exact twins (the property the oracles can't check), text
+function goldens, multimodal plumbing round-trips.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf2db_spark.functions import multimodal as mm
+from vcf2db_spark.functions.text import doc_fingerprint, lang_id, quality_score
+from vcf2db_spark.io import table
+from vcf2db_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+)
+from vcf2db_spark.operators.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return table(spark, SF, "embeddings")
+
+
+# ---- dedup ---------------------------------------------------------------
+
+
+def test_exact_dedup_deterministic(docs):
+    out = exact_dedup(docs.select("doc_id", "lang", "n_chars"), ["lang", "n_chars"], "doc_id")
+    pdf = out.toPandas()
+    assert pdf["group_size"].sum() == docs.count()
+    # representative is the min doc_id of its group
+    grp = docs.groupBy("lang", "n_chars").agg(F.min("doc_id").alias("m")).toPandas()
+    merged = pdf.merge(grp, on=["lang", "n_chars"])
+    assert (merged["doc_id"] == merged["m"]).all()
+
+
+def test_minhash_recall_vs_exact(docs):
+    """MinHash estimates SHINGLE-set Jaccard: every exact shingle-Jaccard
+    ≥0.9 pair must surface as an LSH candidate (a ≥0.9-similar pair misses
+    all 16 bands of 4 rows with probability (1-0.9⁴)¹⁶ ≈ 0.2%)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, threshold=0.9, shingle=3).collect()
+    }
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert exact, "fixture should contain near-dup docs"
+    missed = exact - cand
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: missed {missed}"
+
+
+def test_minhash_estimates_jaccard(docs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.7, shingle=3).collect()
+    }
+    common = set(est) & set(exact)
+    assert common
+    for k in common:
+        assert abs(est[k] - exact[k]) < 0.35  # 64 hashes → σ≈0.06, generous bound
+
+
+def test_simhash_identical_docs_collide(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical
+        (3, "alpha beta gamma delta epsilon eta"),  # 1 token differs
+        (4, "completely different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(df, max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+# ---- similarity ------------------------------------------------------------
+
+
+def _query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_lsh_topk_subset_of_corpus_ranked(emb):
+    q = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, q, k=20).collect()]
+    approx = lsh_topk(corpus, q, k=5, max_hamming=4).collect()
+    assert len(approx) > 0
+    # approximate hits must be genuinely similar: within exact top-20 mostly
+    hits = sum(1 for r in approx if r["vec_id"] in exact)
+    assert hits >= max(1, len(approx) // 2)
+
+
+def test_ivf_topk_recall(emb):
+    q = _query_vec(emb)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(corpus, q, k=5).collect()]
+    got = [r["vec_id"] for r in ivf_topk(corpus, q, k=5, n_lists=8, nprobe=4).collect()]
+    assert len(set(exact) & set(got)) >= 2  # nprobe=4 of 8 lists → ≥half overlap expected
+
+
+def test_brute_force_topk_matches_registry(emb, spark):
+    from vcf2db_spark.queries import QUERIES
+
+    q = _query_vec(emb)
+    a = [(r["vec_id"], r["cosine"]) for r in brute_force_topk(emb.filter("vec_id != 0"), q, 5).collect()]
+    b = [(r["vec_id"], r["cosine"]) for r in QUERIES["sim_topk"](spark, SF).collect()]
+    assert [x[0] for x in a] == [x[0] for x in b]
+    for (_, ca), (_, cb) in zip(a, b):
+        assert abs(ca - cb) < 1e-5
+
+
+# ---- text ------------------------------------------------------------------
+
+
+def test_lang_id_golden(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "el perro que corre en la casa es grande y no come"),
+        (3, "der hund ist nicht von den anderen und die katze"),
+        (4, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id("text").alias("l")).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_and_fingerprint(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "dog lazy the over jumps fox brown quick the"),  # same token set
+        (3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", quality_score().alias("q"), doc_fingerprint().alias("fp")
+    ).collect()
+    d = {r["doc_id"]: r for r in out}
+    assert d[1]["fp"] == d[2]["fp"] != d[3]["fp"]
+    assert 0.0 <= d[3]["q"] < d[1]["q"] <= 1.0
+
+
+# ---- multimodal -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", mm.encode_fake(16, 8, 3, seed=1), "application/x-fake", 16, 8, None),
+        (2, "image", mm.encode_fake(32, 32, 1, seed=2), "application/x-fake", 32, 32, None),
+        (3, "image", None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_extract_features(media):
+    out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert out[1]["width"] == 16 and out[1]["height"] == 8 and out[1]["channels"] == 3
+    assert out[2]["n_bytes"] == 9 + 32 * 32
+    assert out[3]["width"] is None
+    assert 0 <= out[1]["mean_intensity"] <= 255
+
+
+def test_resize_composes(media):
+    small = mm.resize(media, 8, 4)
+    feats = {r["media_id"]: r for r in mm.extract_features(small).collect()}
+    assert feats[1]["width"] == 8 and feats[1]["height"] == 4 and feats[1]["channels"] == 3
+
+
+def test_sample_frames(media):
+    frames = mm.sample_frames(media, every_n_rows=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[1]) == [0, 1]  # height 8, every 4 rows
+    assert sorted(by_id[2]) == list(range(8))  # height 32
+    assert 3 not in by_id
+
+
+def test_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(9, "image", b"\x89PNG...", "image/png", None, None, None)], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|FAKE|PIL|ffmpeg"):
+        mm.extract_features(df).collect()

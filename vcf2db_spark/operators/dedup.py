@@ -1,0 +1,231 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2C C1/C2; BASELINE.json north star).
+
+Four tiers, all deterministic (seeded hashes, no rand()):
+
+- **exact**: hash group-by on a key tuple — one shuffle, partial agg.
+- **n-gram Jaccard (exact)**: inverted-index self-join on shared tokens —
+  the exact-but-quadratic baseline the approximate tiers approximate.
+- **MinHash + LSH**: shingles → k min-hashes → band buckets → candidate
+  pairs only within a bucket. At 100 TB the band bucket-join replaces the
+  all-pairs product: cost ~ sum over buckets of |bucket|², controlled by
+  (bands, rows-per-band).
+- **SimHash**: 64-bit signature per doc; near-dups = Hamming ≤ r, found by
+  pigeonhole chunk join (any identical 16-bit chunk) + bit_count filter.
+
+Murmur3 (``F.hash``) keeps everything JVM-side; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, keys: list[str], tie_col: str) -> DataFrame:
+    """Keep one deterministic representative (min tie_col) per key tuple."""
+    others = [c for c in df.columns if c not in keys and c != tie_col]
+    best = F.min(F.struct(F.col(tie_col), *[F.col(c) for c in others])).alias("_b")
+    out = df.groupBy(*keys).agg(best, F.count("*").alias("group_size"))
+    return out.select(
+        *keys,
+        F.col(f"_b.{tie_col}").alias(tie_col),
+        *[F.col(f"_b.{c}").alias(c) for c in others],
+        "group_size",
+    )
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), r"\s+")
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """n-token shingles as strings (space-joined); the minhash universe."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle: int = 3,
+) -> DataFrame:
+    """(id, signature array<int>) — signature[i] = min over shingles of
+    murmur3(shingle, seed_i).
+
+    Shape: explode shingles once, then 64 ``min(hash(sh, seed_i))``
+    aggregates in a single groupBy — one partial-aggregated shuffle of
+    64-int rows. (A nested ``transform(seeds, …transform(shingles, …))``
+    re-inlines the shingle construction per seed — Catalyst collapses the
+    projection — costing ~n_hashes× the string work.)"""
+    seeds = [i * 2654435761 % 2**31 for i in range(n_hashes)]
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle)).alias("_sh"),
+    )
+    mins = [F.min(F.hash(F.col("_sh"), F.lit(s))).alias(f"_h{i}") for i, s in enumerate(seeds)]
+    agg = exploded.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, est_jaccard) via banded LSH.
+
+    Two docs collide if any band (r = n_hashes/bands consecutive signature
+    slots) matches exactly. est_jaccard = fraction of matching signature
+    slots. The bucket join shuffles on (band, band_hash) — skew-safe under
+    AQE; no all-pairs product ever materializes.
+    """
+    r = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    band_idx = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(F.array_join(
+                F.transform(F.slice(F.col("signature"), b * r + 1, r), lambda x: x.cast("string")),
+                ",",
+            )),
+        )
+    )
+    banded = sigs.select("id", "signature", band_idx.alias("band", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda m: m == 1,
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(matches.cast("double") / F.lit(n_hashes), 6).alias("est_jaccard"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle: int | None = None,
+) -> DataFrame:
+    """Exact set-Jaccard via inverted-index self-join — the oracle twin for
+    the LSH path. ``shingle=None`` → token sets; ``shingle=n`` → n-token
+    shingle sets (the space MinHash estimates). Quadratic in bucket sizes;
+    bound the input or use minhash_lsh_candidates at scale."""
+    units = _tokens(text_col) if shingle is None else word_shingles(text_col, shingle)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(units)).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token murmur3 (two 32-bit halves via
+    seeds), tf-weighted bit votes, sign → bit. Explode + one groupBy."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
+    ).withColumn("h1", F.hash("tok")).withColumn("h2", F.hash("tok", F.lit(77)))
+    votes = [
+        F.sum(
+            F.when(
+                (F.col("h1" if i < 32 else "h2").bitwiseAND(F.lit(1 << (i % 32)))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        # bit 63 as -(2**63): two's complement sign bit — the sum still
+        # produces the exact 64-bit pattern.
+        weight = -(1 << 63) if i == 63 else (1 << i)
+        term = F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("bigint")).otherwise(0)
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ r via pigeonhole: with 4
+    16-bit chunks, any pair within Hamming ≤ 3 shares ≥1 exact chunk —
+    so the join key is (chunk_idx, chunk_value), never all-pairs."""
+    sigs = simhash(df, text_col, id_col)
+    chunk = F.posexplode(
+        F.array(*[
+            F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+            for k in range(4)
+        ])
+    )
+    chunked = sigs.select("id", "simhash", chunk.alias("ck", "cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("s_a"),
+            F.col("b.simhash").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,260 @@
+"""Training-data-pipeline declared queries (SURVEY.md §2C + north star):
+near-dup detection, ANN, text quality/tokens/fingerprints, sampling and
+sketches. Exact-SQL-expressible variants carry DuckDB oracles; the
+seeded-hash approximate tiers (minhash/simhash/LSH/IVF) are rows-only
+(murmur3 differs between engines) and are instead property-tested against
+their exact twins in tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.functions.text import (
+    BPE_ISH_TOKEN_RE,
+    bpe_ish_tokens,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    with_text_stats,
+)
+from vcf2db_spark.io import table
+from vcf2db_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash_near_pairs,
+)
+from vcf2db_spark.operators.similarity import ivf_topk, lsh_topk
+from vcf2db_spark.registry import dq, dsum, r6
+
+# --------------------------------------------------------------------------
+# C2 exact twin — token-set Jaccard near-dup pairs (bounded input; the
+# scale path is minhash_lsh below)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "dedup_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_toks FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_toks + sb.n_toks - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_toks + sb.n_toks - n_inter) >= 0.8
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return jaccard_pairs(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# C3 — pairwise cosine near-dup (exact, bounded): posexplode + decimal dot
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "neardup_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id < 150
+    ),
+    d AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,20))) AS DOUBLE) AS na,
+             CAST(SUM(CAST(b.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS nb
+      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+    FROM d WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.3
+    """,
+)
+def neardup_cosine(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    long = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.col("x").cast("double").alias("x")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    d = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(
+            dsum(F.col("a.x") * F.col("b.x")).alias("dot"),
+            dsum(F.col("a.x") * F.col("a.x")).alias("na"),
+            dsum(F.col("b.x") * F.col("b.x")).alias("nb"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
+    return d.filter(cos >= 0.3).select("id_a", "id_b", r6(cos).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# C5 — quality scoring + token stats (exact expressions, oracle-able)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split_regex(text, '\\s+') AS toks,
+             len(string_split_regex(text, '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS n_alpha_tokens,
+           ROUND((LENGTH(text) - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+           ROUND(len(list_filter(toks, x -> list_contains(
+                 ['the','of','and','to','in','a','is','that','for','it'], x)))
+                 / n_tokens, 6) AS stopword_ratio,
+           ROUND(1.0 / (1.0 + EXP(-(0.05 * n_tokens
+                 + 3.0 * (len(list_filter(toks, x -> list_contains(
+                     ['the','of','and','to','in','a','is','that','for','it'], x))) / n_tokens)
+                 - 0.2 * ABS((LENGTH(text) - (n_tokens - 1)) / n_tokens - 5.0)))), 6)
+             AS quality
+    FROM t
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_alpha_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        quality_score().alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C5 — token counting: whitespace + BPE-ish regex counts
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}')) AS n_bpe_tokens,
+           len(list_distinct(string_split_regex(text, '\\s+'))) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C5 — document fingerprint (md5 of sorted distinct tokens; md5 is
+# identical across engines, so this one IS oracle-able)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "doc_fingerprint",
+    oracle="""
+    WITH sigs AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(text, '\\s+'))), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS kept_doc_id
+    FROM sigs GROUP BY fp
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", doc_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("kept_doc_id"))
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only tier: seeded-hash approximations (murmur3 differs per engine)
+# and nondeterministic-by-contract ops (B27 sampling, B28 sketches).
+# Each is property-tested against its exact twin in tests/.
+# --------------------------------------------------------------------------
+
+
+@dq("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return minhash_lsh_candidates(d).filter(F.col("est_jaccard") >= 0.5)
+
+
+@dq("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_near_pairs(d, max_hamming=3)
+
+
+@dq("ann_lsh")
+def ann_lsh(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk(e.filter(F.col("vec_id") != 0), [float(x) for x in q], k=5)
+
+
+@dq("ann_ivf")
+def ann_ivf(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivf_topk(e.filter(F.col("vec_id") != 0), [float(x) for x in q], k=5)
+
+
+@dq("lang_id")
+def lang_id_q(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", lang_id("text").alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@dq("sample_frac")
+def sample_frac(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@dq("approx_agg")
+def approx_agg(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
