@@ -1,0 +1,141 @@
+"""M5 Structured Streaming smoke + batch-parity tests (SURVEY.md §2C
+C7-C11). Each streaming pipeline is drained with an availableNow trigger
+and compared against the equivalent batch computation on the same input —
+the unified-API guarantee Spark makes and we rely on.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    running_totals_stateful,
+    session_counts,
+    sliding_avg,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Copy the events fixture into a dir the file-stream source can list."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def events_dup_dir(tmp_path_factory):
+    """Same events twice — two files — to exercise stream dedup."""
+    d = tmp_path_factory.mktemp("events_dup")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-001.parquet")
+    return str(d)
+
+
+def _batch_events(spark):
+    return table(spark, SF_DIR, "events")
+
+
+def test_tumbling_counts_matches_batch(spark, events_dir):
+    got = run_to_memory(
+        tumbling_counts(read_events_stream(spark, events_dir)),
+        "t_tumble",
+        output_mode="complete",
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sliding_avg_matches_batch(spark, events_dir):
+    got = run_to_memory(
+        sliding_avg(read_events_stream(spark, events_dir)),
+        "t_slide",
+        output_mode="complete",
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "avg_value")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_session_counts_matches_batch(spark, events_dir):
+    got = run_to_memory(
+        session_counts(read_events_stream(spark, events_dir)),
+        "t_session",
+        output_mode="complete",
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_dedup_within_watermark_drops_replays(spark, events_dup_dir):
+    got = run_to_memory(
+        dedup_within_watermark(read_events_stream(spark, events_dup_dir)),
+        "t_dedup",
+    )
+    n_distinct = _batch_events(spark).select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_running_totals_stateful_matches_batch(spark, events_dir):
+    got = run_to_memory(
+        running_totals_stateful(read_events_stream(spark, events_dir)),
+        "t_running",
+        output_mode="update",
+    )
+    # update mode emits one row per (user, micro-batch); the LAST row per
+    # user is the final state. Single file → single batch → direct compare.
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    want = (
+        _batch_events(spark)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_late_data_semantics(spark, events_dir):
+    """C10: with append mode + watermark, only finalized windows emit under
+    availableNow the final watermark is max(ts)-delay, so the tail window
+    stays open and the emitted set is a strict prefix of the complete set."""
+    stream = tumbling_counts(read_events_stream(spark, events_dir), watermark="10 minutes")
+    appended = run_to_memory(stream, "t_wm_append", output_mode="append")
+    complete_n = (
+        _batch_events(spark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .count()
+    )
+    assert 0 < appended.count() < complete_n

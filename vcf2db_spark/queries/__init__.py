@@ -5,6 +5,7 @@ from vcf2db_spark.queries import (  # noqa: F401
     extensions,
     pipeline_ext,
     relational,
+    streaming_dq,
     windows,
 )
 from vcf2db_spark.registry import ORACLES, QUERIES  # noqa: F401

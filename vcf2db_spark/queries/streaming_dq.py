@@ -1,0 +1,59 @@
+"""Declared queries for the Structured Streaming layer (SURVEY.md §2C
+C10/C11). Streaming-only semantics have no DuckDB analog, so these are
+rows-only by contract; batch parity is proven in tests/test_streaming.py
+via the unified batch/stream API instead.
+
+Each callable drains the streaming pipeline with an availableNow trigger
+(process-everything-then-stop), so it returns a plain batch DataFrame the
+driver can collect.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401  (applyInPandasWithState dependency)
+
+from vcf2db_spark.registry import dq
+from vcf2db_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_to_memory,
+    running_totals_stateful,
+    session_counts,
+    stage_events_dir,
+    tumbling_counts,
+)
+
+
+@dq("stream_dedup_wm")
+def stream_dedup_wm(spark, sf_dir):
+    """C11: stateful replay-dedup inside the watermark horizon."""
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(dedup_within_watermark(s), "dq_stream_dedup_wm")
+
+
+@dq("stream_watermark_append")
+def stream_watermark_append(spark, sf_dir):
+    """C10: watermark + append mode — only finalized (closed) tumbling
+    windows are emitted; the tail window past the watermark is withheld."""
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(
+        tumbling_counts(s, watermark="10 minutes"), "dq_stream_wm_append"
+    )
+
+
+@dq("stream_session_stream")
+def stream_session_stream(spark, sf_dir):
+    """C9 in true streaming mode (batch twin: DQ stream_session)."""
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(
+        session_counts(s), "dq_stream_session", output_mode="complete"
+    )
+
+
+@dq("stream_stateful_totals")
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState."""
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(
+        running_totals_stateful(s), "dq_stream_stateful", output_mode="update"
+    )

@@ -1,0 +1,229 @@
+"""Structured Streaming pipelines over events-shaped data.
+
+Reference parity: the upstream tool (vcf2db) is a one-pass streaming ETL —
+it reads a record stream, maintains per-batch state, and flushes to a sink
+[U vcf2db.py §VCFDB.load ~L640, §insert ~L900]. Structured Streaming is the
+Spark-native generalization: source → incremental transforms → stateful
+operators → sink, with watermarks giving the bounded-state guarantee the
+reference gets from its single-pass cursor.
+
+All transforms are pure functions ``streaming DF -> streaming DF`` so the
+same code path serves batch DataFrames too (Spark's unified API) — the
+batch twins in ``queries/extensions.py`` are the correctness oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of the events fixture AFTER ts normalization (streaming file
+# sources need an explicit schema — there is no inference pass).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# As stored on disk: parquet TIMESTAMP(NANOS) is surfaced as long under
+# spark.sql.legacy.parquet.nanosAsLong (same handling as io.table()).
+_EVENTS_DISK_SCHEMA = StructType(
+    [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA.fields]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events-shaped parquet under ``path``.
+
+    At scale the source would be Kafka/Kinesis; the file source has the
+    same incremental-listing semantics (each micro-batch picks up new
+    files), which is what the tests and backfills use.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """The file-stream source lists a DIRECTORY; fixtures are single
+    parquet files. Stage <sf_dir>/events.parquet into a content-addressed
+    /tmp dir once and reuse it across calls."""
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", f"vcf2db_stream_{tag}")
+    dst = os.path.join(d, "part-000.parquet")
+    if not os.path.exists(dst):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(src, dst)
+    return d
+
+
+# -------------------------------------------------------------------------
+# C7 — tumbling window aggregation
+# -------------------------------------------------------------------------
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Events per (window, event_type). Watermark bounds state: windows
+    older than max(ts) - watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -------------------------------------------------------------------------
+# C8 — sliding window aggregation
+# -------------------------------------------------------------------------
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping-window average of ``value`` per event_type; each row
+    lands in window_len/slide windows (Spark expands them source-side)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "avg_value")
+    )
+
+
+# -------------------------------------------------------------------------
+# C9 — session window (data-driven window close on gap)
+# -------------------------------------------------------------------------
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user sessions: a session closes when no event arrives within
+    ``gap``. State is (user, open-session) — merged on overlap, evicted by
+    watermark; scales with distinct concurrent users, not total events."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# -------------------------------------------------------------------------
+# C11 — stateful dedup within watermark
+# -------------------------------------------------------------------------
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop replayed events by event_id. dropDuplicatesWithinWatermark
+    keeps per-key state only for the watermark horizon — bounded memory on
+    unbounded streams (plain dropDuplicates state grows forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+# -------------------------------------------------------------------------
+# C10/custom — arbitrary stateful operator: per-user running totals via
+# applyInPandasWithState (the Pandas-UDF stateful escape hatch)
+# -------------------------------------------------------------------------
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_running(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative (count, sum(value)) per user,
+    emitted each micro-batch. State = two scalars per user — the same
+    shape as the reference's in-flight batch accumulators, but partitioned
+    by key across the cluster."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -------------------------------------------------------------------------
+# test/backfill harness
+# -------------------------------------------------------------------------
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a streaming DF with an availableNow trigger into an in-memory
+    table and return it as a batch DataFrame. availableNow processes all
+    currently-visible input then stops — batch-equivalent semantics."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
