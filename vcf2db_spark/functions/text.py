@@ -93,7 +93,8 @@ def lang_id(text_col: str = "text") -> Column:
         # negate hits so array_min picks the best; tie → lexicographic lang
         scores.append(F.struct((-hits).alias("neg"), F.lit(lang).alias("lang"), hits.alias("hits")))
     best = F.array_min(F.array(*scores))
-    cjk = F.length(F.regexp_replace(F.col(text_col), r"[^一-鿿]", ""))
+    # regexp_count: single counting pass, no replaced-string materialization
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
     return (
         F.when(cjk * 2 > F.length(F.col(text_col)), "zh")
         .when(best["hits"] > 0, best["lang"])

@@ -1,29 +1,45 @@
 """Similarity search over embedding columns (SURVEY.md §2C C3).
 
 Three tiers:
-- **brute force**: exact cosine top-k — per-position products with exact
-  decimal sums (hash-reproducible across engines).
-- **LSH (random hyperplanes)**: fixed-seed projection matrix broadcast as a
-  literal; signature = sign bits; search only the query's bucket ring.
-- **IVF**: deterministic centroid sample, residual assignment, probe the
-  nearest `nprobe` lists. At 100 TB the index is written bucketed by
-  ``list_id`` so a probe is a partition-pruned scan, not a full pass.
+- **brute force**: exact cosine top-k — sequential-double array HOFs
+  (bitwise-reproducible against DuckDB's list_dot_product, which folds in
+  the same order), narrow map + TakeOrderedAndProject, corpus never
+  shuffled.
+- **LSH (random hyperplanes)**: fixed-seed projection matrix carried in a
+  pandas_udf closure (executor broadcast); signature = sign bits; search
+  only the query's Hamming ring.
+- **IVF**: deterministic centroid sample, vectorized numpy assignment,
+  probe the nearest ``nprobe`` lists. At 100 TB the index is written
+  bucketed by ``list_id`` so a probe is a partition-pruned scan, not a
+  full pass.
+
+The wide linear algebra (vector × plane/centroid matrix) runs as
+Arrow-batched numpy matmuls inside pandas UDFs — inlining the matrices as
+column literals instead explodes Catalyst expression trees (n_planes × dim
+literal nodes) and falls out of whole-stage codegen.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b):
+def dot(a, b):
+    """Sequential double dot product of two array columns (left-to-right
+    fold — the same association order as DuckDB list_dot_product)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+_dot = dot  # back-compat alias
 
 
 def _norm(a):
@@ -56,15 +72,19 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_signature_col(vec_col: str, planes: np.ndarray):
-    """Signature bigint: bit i = sign(dot(vec, plane_i)). Planes are baked
-    in as literals (broadcast-by-plan)."""
-    assert len(planes) <= 62, "signature must fit a signed bigint"
-    sig = F.lit(0).cast("bigint")
-    for i, row in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in row])
-        sig = sig + F.when(_dot(F.col(vec_col), p) > 0, F.lit(1 << i).cast("bigint")).otherwise(0)
-    return sig
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Signature bigint column: bit i = sign(dot(vec, plane_i)). One Arrow
+    batch → one numpy matmul; the plane matrix rides the UDF closure."""
+    P = np.ascontiguousarray(planes, dtype="float64")
+    weights = (1 << np.arange(len(P), dtype="int64"))
+
+    @pandas_udf("bigint")
+    def sig(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype="float64")
+        bits = (V @ P.T) > 0
+        return pd.Series(bits @ weights)
+
+    return sig(vec_col if isinstance(vec_col, Column) else F.col(vec_col))
 
 
 def lsh_topk(
@@ -103,26 +123,33 @@ def ivf_assign(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic IVF: centroids = the n_lists vectors with smallest
-    murmur3(id) (a seeded sample without rand()); every vector joins its
-    nearest centroid. Returns (assigned, centroids). At scale: persist
-    ``assigned`` bucketed by list_id."""
-    ranked = emb.select(
-        id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h")
-    ).orderBy("_h", id_col).limit(n_lists)
+    murmur3(id) (a seeded sample without rand()); every vector is assigned
+    to its max-cosine centroid by one numpy matmul per Arrow batch.
+    Returns (assigned, centroids). At scale: persist ``assigned`` bucketed
+    by list_id; the centroid table is O(n_lists) driver/broadcast state."""
+    ranked = (
+        emb.select(id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n_lists)
+    )
     centroids = [
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in ranked.collect()
     ]
-    pairs = []
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(x) for x in vec])
-        pairs.append(F.struct(F.lit(cid).alias("list_id"), (-cosine(F.col(vec_col), c)).alias("neg_cos")))
-    best = F.array_min(F.array(*[F.struct(p["neg_cos"].alias("neg_cos"), p["list_id"].alias("list_id")) for p in pairs]))
-    assigned = emb.withColumn("list_id", best["list_id"])
-    cdf_rows = [(cid, vec) for cid, vec in centroids]
-    cdf = emb.sparkSession.createDataFrame(cdf_rows, "list_id bigint, centroid array<double>")
-    return assigned, cdf
+    centroids.sort()  # ties in assignment break to the smallest list_id
+    ids = np.array([c for c, _ in centroids], dtype="int64")
+    C = np.array([v for _, v in centroids], dtype="float64")
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+
+    @pandas_udf("bigint")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype="float64")
+        Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+        return pd.Series(ids[np.argmax(Vn @ Cn.T, axis=1)])
+
+    assigned = emb.withColumn("list_id", assign(F.col(vec_col)))
+    return assigned, centroids
 
 
 def ivf_topk(
@@ -135,16 +162,14 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe the nprobe nearest inverted lists, exact-rank within them."""
-    assigned, cdf = ivf_assign(emb, n_lists, id_col, vec_col)
+    assigned, centroids = ivf_assign(emb, n_lists, id_col, vec_col)
     qv = np.asarray(query_vec, dtype="float64")
 
     def cos_np(c):
         c = np.asarray(c)
         return float(np.dot(c, qv) / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-12))
 
-    lists = sorted(
-        ((cos_np(r["centroid"]), r["list_id"]) for r in cdf.collect()), reverse=True
-    )
+    lists = sorted(((cos_np(vec), cid) for cid, vec in centroids), reverse=True)
     probe_ids = [lid for _, lid in lists[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (

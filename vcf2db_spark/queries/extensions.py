@@ -74,23 +74,19 @@ def dedup_shingle(spark, sf_dir):
 
 _SIM_ORACLE = """
 WITH q AS (
-  SELECT unnest(range(len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS y
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
   FROM embeddings WHERE vec_id = 0
 ),
 e AS (
-  SELECT vec_id,
-         unnest(range(len(embedding))) AS pos,
-         CAST(unnest(embedding) AS DOUBLE) AS x
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
   FROM embeddings
 ),
 dots AS (
   SELECT e.vec_id,
-         CAST(SUM(CAST(e.x * q.y AS DECIMAL(38,20))) AS DOUBLE) AS dot,
-         CAST(SUM(CAST(e.x * e.x AS DECIMAL(38,20))) AS DOUBLE) AS nx,
-         CAST(SUM(CAST(q.y * q.y AS DECIMAL(38,20))) AS DOUBLE) AS ny
-  FROM e JOIN q USING (pos)
-  GROUP BY e.vec_id
+         list_dot_product(ee, qe) AS dot,
+         list_dot_product(ee, ee) AS nx,
+         list_dot_product(qe, qe) AS ny
+  FROM e CROSS JOIN q
 )
 SELECT vec_id, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cosine
 FROM dots WHERE vec_id <> 0
@@ -100,28 +96,20 @@ ORDER BY cosine DESC, vec_id LIMIT 5
 
 @dq("sim_topk", oracle=_SIM_ORACLE)
 def sim_topk(spark, sf_dir):
+    # Dot products via sequential double HOFs: Spark aggregate() folds the
+    # array left-to-right exactly like DuckDB's list_dot_product, so the
+    # doubles match BITWISE — no decimal detour, stays in codegen, and the
+    # corpus is never shuffled (narrow map + TakeOrderedAndProject).
+    from vcf2db_spark.operators.similarity import dot as hof_dot
+
     e = table(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") == 0)
-        .select(F.posexplode("embedding").alias("pos", "y"))
-        .select("pos", F.col("y").cast("double").alias("y"))
-    )
-    long = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id", "pos", F.col("x").cast("double").alias("x")
-    )
-    dots = (
-        long.join(F.broadcast(q), "pos")
-        .groupBy("vec_id")
-        .agg(
-            dsum(F.col("x") * F.col("y")).alias("dot"),
-            dsum(F.col("x") * F.col("x")).alias("nx"),
-            dsum(F.col("y") * F.col("y")).alias("ny"),
-        )
-    )
-    cosine = F.col("dot") / (F.sqrt("nx") * F.sqrt("ny"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    corpus = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    emb = F.col("embedding")
+    qe = F.col("q_emb")
+    cosine = hof_dot(emb, qe) / (F.sqrt(hof_dot(emb, emb)) * F.sqrt(hof_dot(qe, qe)))
     return (
-        dots.filter(F.col("vec_id") != 0)
-        .select("vec_id", r6(cosine).alias("cosine"))
+        corpus.select("vec_id", r6(cosine).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(5)
     )

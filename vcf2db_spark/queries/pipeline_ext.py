@@ -25,7 +25,7 @@ from vcf2db_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from vcf2db_spark.operators.similarity import ivf_topk, lsh_topk
-from vcf2db_spark.registry import dq, dsum, r6
+from vcf2db_spark.registry import dq, r6
 
 # --------------------------------------------------------------------------
 # C2 exact twin — token-set Jaccard near-dup pairs (bounded input; the
@@ -68,39 +68,34 @@ def dedup_jaccard(spark, sf_dir):
     "neardup_cosine",
     oracle="""
     WITH e AS (
-      SELECT vec_id, unnest(range(len(embedding))) AS pos,
-             CAST(unnest(embedding) AS DOUBLE) AS x
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings WHERE vec_id < 150
     ),
     d AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS dot,
-             CAST(SUM(CAST(a.x * a.x AS DECIMAL(38,20))) AS DOUBLE) AS na,
-             CAST(SUM(CAST(b.x * b.x AS DECIMAL(38,20))) AS DOUBLE) AS nb
-      FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
-      GROUP BY 1, 2
+             list_dot_product(a.emb, b.emb) AS dot,
+             list_dot_product(a.emb, a.emb) AS na,
+             list_dot_product(b.emb, b.emb) AS nb
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
     FROM d WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.3
     """,
 )
 def neardup_cosine(spark, sf_dir):
+    # Pair dots via sequential double HOFs (bitwise-equal to DuckDB's
+    # list_dot_product — both fold the list left-to-right in IEEE double).
+    # No posexplode, no shuffle: a broadcast pair join over a bounded
+    # candidate set; the unbounded-scale path is dedup_minhash_lsh.
+    from vcf2db_spark.operators.similarity import dot as hof_dot
+
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    long = e.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
-        "vec_id", "pos", F.col("x").cast("double").alias("x")
-    )
-    a, b = long.alias("a"), long.alias("b")
-    d = (
-        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .agg(
-            dsum(F.col("a.x") * F.col("b.x")).alias("dot"),
-            dsum(F.col("a.x") * F.col("a.x")).alias("na"),
-            dsum(F.col("b.x") * F.col("b.x")).alias("nb"),
-        )
-    )
-    cos = F.col("dot") / (F.sqrt("na") * F.sqrt("nb"))
-    return d.filter(cos >= 0.3).select("id_a", "id_b", r6(cos).alias("cosine"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    ea, eb = F.col("ea"), F.col("eb")
+    cos = hof_dot(ea, eb) / (F.sqrt(hof_dot(ea, ea)) * F.sqrt(hof_dot(eb, eb)))
+    return pairs.filter(cos >= 0.3).select("id_a", "id_b", r6(cos).alias("cosine"))
 
 
 # --------------------------------------------------------------------------

@@ -5,8 +5,8 @@
 from __future__ import annotations
 
 import math
-from decimal import ROUND_HALF_UP, Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Window
@@ -462,10 +462,10 @@ def udf_scalar(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# B30 — grouped UDAF via applyInPandas: weighted mean. Inside the UDF the
-# per-element values are quantized to DECIMAL(. ,10) and summed exactly —
-# the same normalization as OSUM — so group-order nondeterminism cannot
-# perturb the result.
+# B30 — grouped UDAF via applyInPandas: weighted mean. Money columns carry
+# exactly 2 decimals and quantities are integral (TPC-H domain), so the
+# UDF sums in integer cents — exact, associative (group-order-proof), and
+# numpy-vectorized over the Arrow batch instead of a per-row Python loop.
 # --------------------------------------------------------------------------
 
 
@@ -479,19 +479,13 @@ def udf_scalar(spark, sf_dir):
     """,
 )
 def udaf_grouped(spark, sf_dir):
-    q10 = Decimal("0.0000000001")
-
     def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
-        num = sum(
-            Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
-            for v in (pdf["l_extendedprice"] * pdf["l_quantity"])
+        cents = np.rint(pdf["l_extendedprice"].to_numpy() * 100.0).astype("int64")
+        qty = np.rint(pdf["l_quantity"].to_numpy()).astype("int64")
+        out = round(float(cents @ qty) / 100.0 / float(qty.sum()), 6)
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [out]}
         )
-        den = sum(
-            Decimal(repr(float(v))).quantize(q10, rounding=ROUND_HALF_UP)
-            for v in pdf["l_quantity"]
-        )
-        out = round(float(num) / float(den), 6)
-        return pd.DataFrame({"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [out]})
 
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").applyInPandas(

@@ -217,13 +217,24 @@ def run_to_memory(
 ) -> DataFrame:
     """Drain a streaming DF with an availableNow trigger into an in-memory
     table and return it as a batch DataFrame. availableNow processes all
-    currently-visible input then stops — batch-equivalent semantics."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    currently-visible input then stops — batch-equivalent semantics.
+
+    Stateful operators allocate one state-store instance per shuffle
+    partition; for the local harness we pin that to 8 for the duration of
+    the stream (32 stores × checkpoint dirs is pure fixed cost at test
+    scale — on a cluster you size it to executor count instead)."""
+    spark = sdf.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
