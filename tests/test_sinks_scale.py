@@ -1,0 +1,52 @@
+"""Bucketed-sink test: write two tables bucketed on the join key and
+assert Catalyst elides the shuffle on BOTH join sides (docs/SCALE.md §2 —
+the amortized-index analog of the reference's post-load CREATE INDEX).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.sinks.writers import write_bucketed
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the join down the shuffle path so bucketing is observable."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_bucketed_join_elides_shuffle(spark, no_broadcast):
+    orders = table(spark, SF, "orders")
+    lineitem = table(spark, SF, "lineitem")
+    write_bucketed(orders, "b_orders", ("o_orderkey",), n_buckets=4)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ("o_orderkey",),
+        n_buckets=4,
+    )
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join should not shuffle:\n{plan}"
+        # same answer as the plain join
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

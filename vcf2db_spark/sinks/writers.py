@@ -59,6 +59,28 @@ def write_jdbc(
     df.write.mode(mode).options(**opts).jdbc(url, table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...],
+    n_buckets: int = 64,
+    sort_by: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on the join key so repeated large⋈large joins on that key
+    (variants⋈variant_impacts-shaped) are co-located — Catalyst drops the
+    shuffle on BOTH sides when two tables share bucketing. This is the
+    scale analog of the reference's post-load index build
+    [U vcf2db.py §create_indexes ~L1000]: pay one write-time shuffle,
+    amortize it over every subsequent join."""
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def varchar_widths(df: DataFrame, string_cols: list[str] | None = None) -> dict[str, int]:
     """Optional DDL-sizing pass for width-constrained JDBC targets — the
     Spark analog of the reference's first-batch VARCHAR inference
