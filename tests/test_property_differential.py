@@ -1,0 +1,94 @@
+"""Property-based differential testing (SURVEY.md §5.4): seeded random
+query templates rendered to ONE ANSI SQL string executed by BOTH Spark SQL
+and DuckDB over the same parquet; results must match exactly.
+
+Deterministic by construction: fixed seed list committed; aggregates
+restricted to order-insensitive integer/string forms (COUNT, MIN, MAX,
+SUM of integral values) so float summation order cannot perturb results —
+the float-aggregate discipline is covered by the dsum/OSUM DQ harness.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from vcf2db_spark.io import table
+
+SF_DIR = "/root/testdata/sf0.001"
+SEEDS = list(range(40))
+
+_FLAGS = ["'R'", "'N'", "'A'"]
+_STATUS = ["'O'", "'F'", "'P'"]
+
+
+def _predicate(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        return f"l_quantity < {rng.randint(2, 50)}"
+    if kind == 1:
+        return f"l_returnflag = {rng.choice(_FLAGS)}"
+    if kind == 2:
+        picks = rng.sample(_STATUS, rng.randint(1, 2))
+        return f"l_linestatus IN ({', '.join(picks)})"
+    if kind == 3:
+        return f"l_orderkey % {rng.randint(2, 7)} = {rng.randint(0, 1)}"
+    if kind == 4:
+        m, d = rng.randint(1, 12), rng.randint(1, 28)
+        return f"l_shipdate < TIMESTAMP '2024-{m:02d}-{d:02d} 00:00:00'"
+    return f"l_discount >= 0.0{rng.randint(1, 9)}"
+
+
+def _where(rng: random.Random) -> str:
+    n = rng.randint(1, 3)
+    preds = [_predicate(rng) for _ in range(n)]
+    return " AND ".join(preds) if rng.random() < 0.7 else " OR ".join(preds)
+
+
+def _agg_query(seed: int) -> str:
+    rng = random.Random(seed)
+    keys = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.randint(0, 2))
+    aggs = ["COUNT(*) AS n", "MIN(l_orderkey) AS min_k", "MAX(l_orderkey) AS max_k"]
+    if rng.random() < 0.5:
+        aggs.append("SUM(CAST(l_quantity AS BIGINT)) AS sum_qty")
+    if rng.random() < 0.5:
+        aggs.append("COUNT(DISTINCT l_suppkey) AS n_supp")
+    select = ", ".join(keys + aggs)
+    sql = f"SELECT {select} FROM lineitem WHERE {_where(rng)}"
+    if keys:
+        sql += f" GROUP BY {', '.join(keys)} ORDER BY {', '.join(keys)}"
+    return sql
+
+
+def _join_query(seed: int) -> str:
+    rng = random.Random(seed + 10_000)
+    return (
+        "SELECT o_orderstatus, COUNT(*) AS n, MIN(l_orderkey) AS min_k "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE {_where(rng)} AND o_totalprice < {rng.randint(50, 400) * 1000} "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    for t in ("lineitem", "orders"):
+        table(spark, SF_DIR, t).createOrReplaceTempView(t)
+
+
+def _run_both(spark, oracle_con, sql: str):
+    got = [tuple(r) for r in spark.sql(sql).collect()]
+    want = [tuple(r) for r in oracle_con.execute(sql).fetchall()]
+    # un-grouped queries return one row; grouped are ORDER BY'd — compare as-is
+    assert got == want, f"engines disagree on:\n{sql}\nspark={got[:5]}\nduck={want[:5]}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_agg_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _agg_query(seed))
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_join_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _join_query(seed))
