@@ -57,3 +57,12 @@ def stream_stateful_totals(spark, sf_dir):
     return run_to_memory(
         running_totals_stateful(s), "dq_stream_stateful", output_mode="update"
     )
+
+
+@dq("stream_slide_stream")
+def stream_slide_stream(spark, sf_dir):
+    """C8 in true streaming mode (batch twin: DQ stream_slide)."""
+    from vcf2db_spark.streaming import sliding_avg
+
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(sliding_avg(s), "dq_stream_slide", output_mode="complete")

@@ -491,3 +491,41 @@ def udaf_grouped(spark, sf_dir):
     return li.groupBy("l_returnflag").applyInPandas(
         wmean, schema="l_returnflag string, weighted_avg_price double"
     )
+
+
+# --------------------------------------------------------------------------
+# B29 — UDTF surface (Spark 3.5+/4 @udtf): one input row → N output rows
+# via LATERAL join. The Python-per-row cost is the declared surface demo;
+# the production path for this shape is split+posexplode (DQ explode_split).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "udtf_split",
+    oracle=r"""
+    SELECT doc_id,
+           generate_subscripts(l, 1) - 1 AS token_idx,
+           unnest(l) AS token
+    FROM (
+      SELECT doc_id, string_split_regex(text, '\s+') AS l
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def udtf_split(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token_idx int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            import re
+
+            for i, t in enumerate(re.split(r"\s+", text)):
+                yield i, t
+
+    spark.udtf.register("vcf2db_split_tokens", SplitTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.token_idx, t.token "
+        "FROM _udtf_docs, LATERAL vcf2db_split_tokens(text) t WHERE doc_id < 100"
+    )
