@@ -139,3 +139,22 @@ def test_watermark_late_data_semantics(spark, events_dir):
         .count()
     )
     assert 0 < appended.count() < complete_n
+
+
+def test_stateful_accumulates_across_microbatches(spark, events_dup_dir):
+    """maxFilesPerTrigger=1 forces two micro-batches (same file twice);
+    per-user state must carry over: final totals = 2x the single-pass
+    totals, proving the state store survives batch boundaries."""
+    got = run_to_memory(
+        running_totals_stateful(
+            read_events_stream(spark, events_dup_dir, max_files_per_trigger=1)
+        ),
+        "t_running_mb",
+        output_mode="update",
+    )
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = {
+        r["user_id"]: 2 * r["n"]
+        for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["user_id"]: r["n_events"] for r in final.collect()} == want
