@@ -1,0 +1,92 @@
+"""Plan-quality regression guard (docs/SCALE.md §1): every declared batch
+query's physical plan is scanned for anti-patterns that would break the
+100 TB posture —
+
+- Python row-eval (``BatchEvalPython``) anywhere except the declared
+  UDF/UDTF surface demos and pandas-UDF-by-design operators;
+- ``CartesianProduct`` (unbounded all-pairs) anywhere except the bounded
+  exact-twin pair generators, which are broadcast nested-loop by design;
+- parquet scans that read every column while projecting few (pruning
+  regression) for the representative projection queries.
+
+This is the executable form of "run .explain and iterate until it's the
+plan you'd want".
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vcf2db_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Python workers by declared design (UDF/UDTF surface demos, numpy matmul
+# pandas_udfs, stateful streaming):
+PYTHON_OK = {
+    "udf_scalar",
+    "udaf_grouped",
+    "udtf_split",
+    "ann_lsh",
+    "ann_ivf",
+    "stream_stateful_totals",
+}
+# streaming drains aren't inspectable the same way (memory-table scan)
+STREAMING = {n for n in QUERIES if n.startswith("stream_") and "stream" in n} & {
+    "stream_dedup_wm",
+    "stream_watermark_append",
+    "stream_session_stream",
+    "stream_slide_stream",
+    "stream_stateful_totals",
+}
+# bounded pair joins (vec_id < 150 / doc_id < 500 guards) where a
+# broadcast nested loop IS the intended physical plan
+NESTED_LOOP_OK = {"neardup_cosine", "sim_topk", "join_range", "join_asof"}
+
+BATCH_QUERIES = sorted(set(QUERIES) - STREAMING)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name in BATCH_QUERIES:
+        df = QUERIES[name](spark, SF)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_undeclared_python_eval(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if ("BatchEvalPython" in p or "ArrowEvalPython" in p) and n not in PYTHON_OK
+    ]
+    assert not offenders, f"Python row-eval leaked into JVM-path queries: {offenders}"
+
+
+def test_no_cartesian_product(plans):
+    offenders = [
+        n for n, p in plans.items() if "CartesianProduct" in p and n not in NESTED_LOOP_OK
+    ]
+    assert not offenders, f"unbounded cartesian products: {offenders}"
+
+
+def test_projection_queries_prune_scan(plans):
+    # prune_columns selects 3 of 6 orders columns; the scan must not read
+    # more than the projected set (+0 partitions cols in fixtures)
+    plan = plans["prune_columns"]
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    schema_str = scan[0].split("ReadSchema:")[1]
+    assert schema_str.count(",") <= 3, f"scan reads too many columns: {schema_str}"
+
+
+def test_filter_queries_push_predicates(plans):
+    # representative filtered scans must carry a nonempty PushedFilters
+    for name in ("filter_pred", "agg_group"):
+        pushed = [
+            l for l in plans[name].splitlines() if "PushedFilters: [" in l
+        ]
+        assert pushed and any("PushedFilters: []" not in l for l in pushed), (
+            f"{name}: no predicate reached the scan"
+        )
