@@ -50,3 +50,23 @@ def test_bucketed_join_elides_shuffle(spark, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """docs/SCALE.md §4: persist the IVF assignment partitioned by
+    list_id; a probe of nprobe lists must hit PartitionFilters (storage
+    pruning), not a full scan."""
+    from vcf2db_spark.operators.similarity import ivf_assign
+
+    emb = table(spark, SF, "embeddings")
+    assigned, centroids = ivf_assign(emb, n_lists=8)
+    out = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("list_id").parquet(out)
+
+    idx = spark.read.parquet(out)
+    probe_ids = [cid for cid, _ in centroids[:2]]
+    probe = idx.filter(F.col("list_id").isin(probe_ids))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters:")[1][:200], plan
+    # and the probe reads strictly fewer rows than the corpus
+    assert 0 < probe.count() < emb.count()
