@@ -226,14 +226,21 @@ def run_to_memory(
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    # checkpoint+state to tmpfs when available: the WAL/state fsyncs are
+    # pure fixed cost for an ephemeral local drain (a real deployment
+    # points this at durable object storage instead)
+    if os.path.isdir("/dev/shm"):
+        ckpt = os.path.join("/dev/shm", f"vcf2db_ckpt_{name}_{os.getpid()}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        writer = writer.option("checkpointLocation", ckpt)
     try:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
