@@ -529,3 +529,42 @@ def udtf_split(spark, sf_dir):
         "SELECT doc_id, t.token_idx, t.token "
         "FROM _udtf_docs, LATERAL vcf2db_split_tokens(text) t WHERE doc_id < 100"
     )
+
+
+# --------------------------------------------------------------------------
+# B7 at genomic scale — binned interval-overlap join (operators/intervals).
+# Intervals derived deterministically from orders; the oracle states the
+# OVERLAP SEMANTICS as a plain theta join — the binned plan must reproduce
+# it exactly (bin-boundary correctness is what's under test).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_interval",
+    oracle="""
+    WITH ints AS (
+      SELECT o_orderkey AS id, o_orderstatus AS chrom,
+             (o_orderkey * 7) % 10000 AS start,
+             (o_orderkey * 7) % 10000 + CAST(FLOOR(o_totalprice / 2000) AS BIGINT) + 1 AS "end"
+      FROM orders WHERE o_orderkey < 1500
+    )
+    SELECT a.chrom, a.id AS id_a, b.id AS id_b
+    FROM ints a JOIN ints b
+      ON a.chrom = b.chrom AND a.start < b."end" AND a."end" > b.start
+     AND a.id < b.id
+    """,
+)
+def join_interval(spark, sf_dir):
+    from vcf2db_spark.operators.intervals import interval_join
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    ints = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("chrom"),
+        ((F.col("o_orderkey") * 7) % 10000).alias("start"),
+        ((F.col("o_orderkey") * 7) % 10000 + F.floor(F.col("o_totalprice") / 2000) + 1).alias("end"),
+    )
+    joined = interval_join(ints, ints, bin_width=100)
+    return joined.filter(F.col("id") < F.col("id_r")).select(
+        "chrom", F.col("id").alias("id_a"), F.col("id_r").alias("id_b")
+    )
