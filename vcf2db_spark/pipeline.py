@@ -45,7 +45,13 @@ def load_vcf(
     black_list: tuple[str, ...] = (),
     include_genotypes: bool = True,
     num_partitions: int | None = None,
+    cache_parse: bool = False,
 ) -> VCFTables:
+    """``cache_parse=True`` persists the parsed stream so the downstream
+    consumers (variant_id's range sampling, the variants sink, the impacts
+    sink) share ONE Python-parse pass instead of re-reading the text. Use
+    when the parsed batch fits cluster memory/disk; at larger scale write
+    the parsed stage to parquet and continue from there instead."""
     header = parse_header(read_header_text(vcf_path))
 
     raw = read_vcf(
@@ -54,6 +60,8 @@ def load_vcf(
         black_list=black_list,
         include_genotypes=include_genotypes and bool(header.samples),
     )
+    if cache_parse:
+        raw = raw.persist()
     v = with_variant_type(raw)
     if include_genotypes and header.samples:
         v = with_genotype_stats(v)

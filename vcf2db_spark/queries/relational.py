@@ -462,3 +462,95 @@ def null_funcs(spark, sf_dir):
             F.count(F.nullif(F.col("o_orderstatus"), F.lit("F"))).alias("n_open_big"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B11 — explicit GROUPING SETS + grouping_id (severity-crosstab idiom
+# beyond rollup/cube): the exact subtotal combinations are declared.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n_orders, {OSUM6('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING__ID AS gid,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,6))
+                    AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 — pivot crosstab (gemini count-matrix idiom). Spark's relational
+# pivot with a FIXED value list (deterministic schema); the oracle states
+# the same result as portable conditional aggregation.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "pivot_crosstab",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS st_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS st_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_crosstab(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("st_O"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("st_F"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B18 — correlated EXISTS / NOT EXISTS (Catalyst decorrelates to semi/anti)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "subq_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    """,
+)
+def subq_exists(spark, sf_dir):
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        """
+    )
