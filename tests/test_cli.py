@@ -1,0 +1,39 @@
+"""CLI entry-point test: `python -m vcf2db_spark vcf ped out_dir` writes
+the reference's table set as parquet datasets (SURVEY.md §3 entry 1)."""
+
+from __future__ import annotations
+
+import os
+
+from vcf2db_spark.__main__ import main
+from tests.fixtures.make_mini_vcf import write_fixture
+
+
+def test_cli_parquet_load(spark, tmp_path):
+    vcf, ped = write_fixture(str(tmp_path / "src"))
+    out = str(tmp_path / "db")
+    rc = main(
+        [vcf, ped, out, "--expand", "gt_types", "--legacy-compression",
+         "--black-list", "culprit"]
+    )
+    assert rc == 0
+    for t in ("variants", "variant_impacts", "samples", "vcf_header", "expanded_gt_types"):
+        assert os.path.isdir(os.path.join(out, t)), t
+
+    v = spark.read.parquet(os.path.join(out, "variants"))
+    assert v.count() == 6
+    assert "culprit" not in v.columns  # black-listed
+    assert "gt_types_blob" in v.columns  # legacy blobs
+    assert "chrom" in v.columns  # partition column round-trips
+
+    ex = spark.read.parquet(os.path.join(out, "expanded_gt_types"))
+    assert ex.count() == 6 * 3
+    assert set(ex.columns) == {"variant_id", "sample_idx", "value", "sample_name"}
+    names = {r["sample_name"] for r in ex.select("sample_name").distinct().collect()}
+    assert names == {"NA001", "NA002", "NA003"}
+
+
+def test_cli_rejects_unknown_expand(tmp_path):
+    vcf, ped = write_fixture(str(tmp_path / "src2"))
+    rc = main([vcf, ped, str(tmp_path / "db2"), "--expand", "nope"])
+    assert rc == 2

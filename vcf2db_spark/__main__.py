@@ -1,0 +1,118 @@
+"""CLI entry point — drop-in shape of the reference's command line
+[U vcf2db.py §__main__/argparse ~L1100-1200]:
+
+    python -m vcf2db_spark sample.anno.vcf.gz sample.ped out_dir \\
+        [--black-list FIELD ...] [--expand gt_types ...] \\
+        [--batch-size N] [--legacy-compression] [--jdbc-url URL]
+
+Output target:
+- a directory (default): one parquet dataset per table
+  (variants/ variant_impacts/ samples/ vcf_header/ + expanded_<col>/),
+  chrom-partitioned and locus-sorted — the columnar analog of the
+  reference's indexed SQLite artifact;
+- ``--jdbc-url jdbc:...``: batched JDBC load (the reference's
+  MySQL/PostgreSQL path); requires the driver jar on the classpath.
+
+``--expand`` materializes a genotype array column in long relational form
+(variant_id, sample_idx, sample_name, value) like the reference's
+expanded tables [U §main/--expand ~L1160]. ``--legacy-compression``
+additionally writes zlib-packed blob twins of the genotype arrays for
+byte-parity with gemini consumers [U §pack_blob ~L60].
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m vcf2db_spark",
+        description="Load a decomposed, annotated VCF into analytic tables.",
+    )
+    ap.add_argument("vcf", help="decomposed, annotated VCF (.vcf or .vcf.gz)")
+    ap.add_argument("ped", nargs="?", default=None, help="PED pedigree file")
+    ap.add_argument("db", help="output directory (parquet) — or table prefix with --jdbc-url")
+    ap.add_argument("--black-list", nargs="*", default=[], help="INFO fields to drop")
+    ap.add_argument("--expand", nargs="*", default=[], help="genotype columns to expand long-form")
+    ap.add_argument("--batch-size", type=int, default=50_000, help="JDBC insert batch size")
+    ap.add_argument("--legacy-compression", action="store_true", help="zlib blob twins")
+    ap.add_argument("--jdbc-url", default=None, help="jdbc:... target instead of parquet")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.functions.codecs import pack_blob_udf
+    from vcf2db_spark.pipeline import load_vcf
+    from vcf2db_spark.session import get_spark
+    from vcf2db_spark.sinks.writers import write_jdbc, write_parquet
+
+    t0 = time.perf_counter()
+    from pyspark.sql import SparkSession
+
+    owned = SparkSession.getActiveSession() is None
+    spark = get_spark("vcf2db-load")
+    spark.sparkContext.setLogLevel("WARN")
+    tables = load_vcf(
+        spark,
+        args.vcf,
+        ped_path=args.ped,
+        black_list=tuple(args.black_list),
+        cache_parse=True,
+    )
+
+    variants = tables.variants
+    if args.legacy_compression:
+        # blob twins for the integer genotype matrices (gts is the string
+        # base rendering — not blob-packed; gemini reads the int matrices)
+        pack = pack_blob_udf(legacy=True)
+        for c in ("gt_types", "gt_depths", "gt_ref_depths", "gt_alt_depths", "gt_quals"):
+            if c in variants.columns:
+                variants = variants.withColumn(f"{c}_blob", pack(F.col(c)))
+
+    outputs = {"variants": variants, "vcf_header": tables.vcf_header}
+    if tables.variant_impacts is not None:
+        outputs["variant_impacts"] = tables.variant_impacts
+    if tables.samples is not None:
+        outputs["samples"] = tables.samples
+
+    sample_names = tables.header.samples or []
+    for col in args.expand:
+        if col not in variants.columns:
+            print(f"--expand: no such genotype column {col!r}", file=sys.stderr)
+            return 2
+        long = tables.variants.select(
+            "variant_id", F.posexplode(col).alias("sample_idx", "value")
+        )
+        if sample_names:
+            names = F.array(*[F.lit(s) for s in sample_names])
+            long = long.withColumn("sample_name", names[F.col("sample_idx")])
+        outputs[f"expanded_{col}"] = long
+
+    n = tables.variants.count()
+    if args.jdbc_url:
+        for name, df in outputs.items():
+            write_jdbc(df, args.jdbc_url, f"{args.db}{name}", batch_size=args.batch_size)
+    else:
+        for name, df in outputs.items():
+            part = ("chrom",) if "chrom" in df.columns else ()
+            sort = ("start",) if "start" in df.columns else ()
+            write_parquet(df, os.path.join(args.db, name), partition_by=part, sort_within=sort)
+
+    secs = time.perf_counter() - t0
+    print(f"loaded {n} variants in {secs:.1f}s ({n / secs:.0f} variants/sec)")
+    if owned:  # embedded callers (tests, pipelines) keep their session
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
