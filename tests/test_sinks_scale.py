@@ -70,3 +70,26 @@ def test_ivf_index_partition_pruned_probe(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters:")[1][:200], plan
     # and the probe reads strictly fewer rows than the corpus
     assert 0 < probe.count() < emb.count()
+
+
+def test_salted_count_distinct_exact(spark):
+    """docs/SCALE.md §3: the salted two-phase rewrite is exact for any
+    salt width, including 1 (degenerate) and widths above the distinct
+    count."""
+    from vcf2db_spark.operators.skew import salted_count_distinct
+
+    li = table(spark, SF, "lineitem")
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r["n"]
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count_distinct("l_suppkey").alias("n"))
+        .collect()
+    }
+    for n_salt in (1, 7, 100_000):
+        got = {
+            (r["l_returnflag"], r["l_linestatus"]): r["n_distinct_l_suppkey"]
+            for r in salted_count_distinct(
+                li, ["l_returnflag", "l_linestatus"], "l_suppkey", n_salt
+            ).collect()
+        }
+        assert got == want, f"n_salt={n_salt}"

@@ -554,3 +554,24 @@ def subq_exists(spark, sf_dir):
                           WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
         """
     )
+
+
+# --------------------------------------------------------------------------
+# B10 at skew scale — salted two-phase count-distinct (operators/skew):
+# the oracle states plain COUNT(DISTINCT); the salted plan must reproduce
+# it exactly (value-hash buckets partition the distinct space).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_distinct_salted",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_salted(spark, sf_dir):
+    from vcf2db_spark.operators.skew import salted_count_distinct
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(li, ["l_returnflag"], "l_partkey", n_salt=16)
