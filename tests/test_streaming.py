@@ -158,3 +158,33 @@ def test_stateful_accumulates_across_microbatches(spark, events_dup_dir):
         for r in _batch_events(spark).groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert {r["user_id"]: r["n_events"] for r in final.collect()} == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Stream-stream inner join (watermarked, time-banded) must equal the
+    batch range join over the same input."""
+    from vcf2db_spark.streaming.pipelines import purchases_with_recent_clicks
+
+    got = run_to_memory(
+        purchases_with_recent_clicks(read_events_stream(spark, events_dir)),
+        "t_ss_join",
+    )
+    e = _batch_events(spark)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    want = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 minutes")),
+    ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert want_rows, "fixture should produce click->purchase pairs"
+    assert got_rows == want_rows

@@ -66,3 +66,13 @@ def stream_slide_stream(spark, sf_dir):
 
     s = read_events_stream(spark, stage_events_dir(sf_dir))
     return run_to_memory(sliding_avg(s), "dq_stream_slide", output_mode="complete")
+
+
+@dq("stream_stream_join")
+def stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream inner join (time-banded purchase⋈click);
+    batch parity proven in tests/test_streaming.py."""
+    from vcf2db_spark.streaming.pipelines import purchases_with_recent_clicks
+
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    return run_to_memory(purchases_with_recent_clicks(s), "dq_stream_ss_join")

@@ -568,3 +568,30 @@ def join_interval(spark, sf_dir):
     return joined.filter(F.col("id") < F.col("id_r")).select(
         "chrom", F.col("id").alias("id_a"), F.col("id_r").alias("id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# B25 — MapType surface: JSON → typed map, key/value extraction, HOF over
+# values. events.props is {"k": <int>} JSON text.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           1 AS n_keys,
+           'k' AS first_key
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def map_funcs(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.filter(F.col("props").isNotNull()).select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )

@@ -245,3 +245,37 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# -------------------------------------------------------------------------
+# C7+/B7 streaming — stream-stream inner join with watermarks: purchases
+# matched to the same user's clicks within a trailing time band. Both
+# sides buffer state bounded by (watermark + band); Spark drops buffered
+# rows once they can no longer join.
+# -------------------------------------------------------------------------
+
+
+def purchases_with_recent_clicks(
+    events: DataFrame, band: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {band}")),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
