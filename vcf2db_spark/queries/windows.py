@@ -595,3 +595,52 @@ def map_funcs(spark, sf_dir):
         F.size(m).alias("n_keys"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
     )
+
+
+# --------------------------------------------------------------------------
+# B15 — first/last analytics; B14 — dense_rank/ntile (the remaining
+# ranking-family functions beyond row_number in win_rank).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+    )
+
+
+@dq(
+    "win_ntile_dense",
+    oracle="""
+    SELECT o_orderkey,
+           DENSE_RANK() OVER (ORDER BY o_orderpriority) AS pr_rank,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def win_ntile_dense(spark, sf_dir):
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(Window.orderBy("o_orderpriority")).alias("pr_rank"),
+        F.ntile(4)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("price_quartile"),
+    )
