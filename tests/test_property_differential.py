@@ -92,3 +92,23 @@ def test_agg_template(seed, spark, oracle_con):
 @pytest.mark.parametrize("seed", SEEDS[:10])
 def test_join_template(seed, spark, oracle_con):
     _run_both(spark, oracle_con, _join_query(seed))
+
+
+def _window_query(seed: int) -> str:
+    rng = random.Random(seed + 20_000)
+    part = rng.choice(["l_returnflag", "l_linestatus", "l_suppkey % 10"])
+    metric = rng.choice(["l_quantity", "l_extendedprice", "l_orderkey"])
+    k = rng.randint(1, 4)
+    return (
+        f"SELECT part_key, n FROM ("
+        f"  SELECT {part} AS part_key, l_orderkey, l_linenumber,"
+        f"         ROW_NUMBER() OVER (PARTITION BY {part}"
+        f"                            ORDER BY {metric} DESC, l_orderkey, l_linenumber) AS n"
+        f"  FROM lineitem WHERE {_where(rng)}"
+        f") WHERE n <= {k} ORDER BY part_key, n"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:15])
+def test_window_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _window_query(seed))
