@@ -1,0 +1,74 @@
+"""Inheritance-model goldens on a hand-built trio (gemini tool parity).
+
+Trio: CHILD (affected) with FATHER (affected) and MOTHER (unaffected).
+Variant design (gt order: CHILD, FATHER, MOTHER):
+  pos 100  C=0/1 F=0/0 M=0/0  → de_novo only
+  pos 200  C=1/1 F=0/1 M=0/1  → autosomal_recessive only
+  pos 300  C=0/1 F=0/1 M=0/0  → autosomal_dominant only (father affected)
+  pos 400  C=0/0 F=0/0 M=0/0  → nothing
+  pos 500  C=0/1 F=0/0 M=0/1  → nothing (het parent is unaffected; not de novo)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from vcf2db_spark.inheritance import InheritanceEngine
+from vcf2db_spark.pipeline import load_vcf
+
+VCF = """\
+##fileformat=VCFv4.2
+##contig=<ID=chr1,length=248956422>
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tCHILD\tFATHER\tMOTHER
+chr1\t100\t.\tA\tG\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/0
+chr1\t200\t.\tC\tT\t50.0\tPASS\tDP=30\tGT\t1/1\t0/1\t0/1
+chr1\t300\t.\tG\tA\t50.0\tPASS\tDP=30\tGT\t0/1\t0/1\t0/0
+chr1\t400\t.\tT\tC\t50.0\tPASS\tDP=30\tGT\t0/0\t0/0\t0/0
+chr1\t500\t.\tA\tC\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/1
+"""
+
+PED = """\
+#family_id name paternal_id maternal_id sex phenotype
+fam1 CHILD FATHER MOTHER 1 2
+fam1 FATHER 0 0 1 2
+fam1 MOTHER 0 0 2 1
+"""
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("trio")
+    vcf, ped = str(d / "trio.vcf"), str(d / "trio.ped")
+    open(vcf, "w").write(VCF)
+    open(ped, "w").write(PED)
+    return InheritanceEngine(load_vcf(spark, vcf, ped_path=ped))
+
+
+def _starts(df):
+    return sorted(r["start"] for r in df.select("start").collect())
+
+
+def test_trio_detection(engine):
+    assert len(engine.trios) == 1
+    t = engine.trios[0]
+    assert (t.child, t.father, t.mother) == ("CHILD", "FATHER", "MOTHER")
+    assert t.child_affected and t.father_affected and not t.mother_affected
+
+
+def test_de_novo(engine):
+    assert _starts(engine.de_novo()) == [99]
+
+
+def test_autosomal_recessive(engine):
+    assert _starts(engine.autosomal_recessive()) == [199]
+
+
+def test_autosomal_dominant(engine):
+    assert _starts(engine.autosomal_dominant()) == [299]
+
+
+def test_models_are_catalyst_only(engine):
+    plan = engine.de_novo()._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
