@@ -72,3 +72,39 @@ def test_autosomal_dominant(engine):
 def test_models_are_catalyst_only(engine):
     plan = engine.de_novo()._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---- compound hets ---------------------------------------------------------
+
+VCF_CH = """\
+##fileformat=VCFv4.2
+##contig=<ID=chr1,length=248956422>
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL|Feature|BIOTYPE|EXON|Codons|Amino_acids|Protein_position|PolyPhen|SIFT">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tCHILD\tFATHER\tMOTHER
+chr1\t100\t.\tA\tG\t50.0\tPASS\tDP=30;CSQ=G|missense_variant|GENE1|T1|protein_coding||||||\tGT\t0/1\t0/1\t0/0
+chr1\t200\t.\tC\tT\t50.0\tPASS\tDP=30;CSQ=T|missense_variant|GENE1|T2|protein_coding||||||\tGT\t0/1\t0/0\t0/1
+chr1\t300\t.\tG\tA\t50.0\tPASS\tDP=30;CSQ=A|missense_variant|GENE2|T3|protein_coding||||||\tGT\t0/1\t0/1\t0/0
+chr1\t400\t.\tT\tC\t50.0\tPASS\tDP=30;CSQ=C|missense_variant|GENE3|T4|protein_coding||||||\tGT\t0/1\t0/1\t0/1
+"""
+
+
+@pytest.fixture(scope="module")
+def ch_engine(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("trio_ch")
+    vcf, ped = str(d / "ch.vcf"), str(d / "ch.ped")
+    open(vcf, "w").write(VCF_CH)
+    open(ped, "w").write(PED)
+    return InheritanceEngine(load_vcf(spark, vcf, ped_path=ped))
+
+
+def test_compound_hets(ch_engine):
+    """GENE1 has a paternal-origin HET (pos 100) and a maternal-origin HET
+    (pos 200) → exactly one pair. GENE2 has only paternal; GENE3's site is
+    ambiguous (both parents HET) → excluded."""
+    rows = ch_engine.compound_hets().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["child"] == "CHILD" and r["gene"] == "GENE1"
+    assert r["paternal_variant_id"] != r["maternal_variant_id"]

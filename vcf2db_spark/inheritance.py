@@ -123,3 +123,62 @@ class InheritanceEngine:
             return (self._gt(t.child) == HET) & (father_ok | mother_ok)
 
         return self._model(pred, "autosomal_dominant")
+
+
+def _origin_label(father, mother):
+    """Unphased parental-origin classification for a child-HET site."""
+    return (
+        F.when((father == HET) & (mother == HOM_REF), F.lit("paternal"))
+        .when((mother == HET) & (father == HOM_REF), F.lit("maternal"))
+        .otherwise(F.lit(None))
+    )
+
+
+class CompHetMixin:
+    """gemini `comp_hets` (unphased candidate form): two HET variants in
+    the SAME gene in an affected child, one inherited from each parent.
+    Composition: per-trio origin labeling (element_at predicates) →
+    self-join on (trio, gene) with opposite origins — the join key is
+    (gene), so the shuffle is bounded by per-gene variant counts, never
+    all-pairs."""
+
+    def compound_hets(self) -> DataFrame:
+        v = self.tables.variants
+        if "gene" not in v.columns:
+            raise ValueError("compound_hets requires the denormalized gene column")
+        outs = []
+        for t in self.trios:
+            if not t.child_affected:
+                continue
+            origin = _origin_label(self._gt(t.father), self._gt(t.mother))
+            cand = (
+                v.filter((self._gt(t.child) == HET) & F.col("gene").isNotNull())
+                .withColumn("origin", origin)
+                .filter(F.col("origin").isNotNull())
+                .select("variant_id", "gene", "origin")
+            )
+            pat = cand.filter(F.col("origin") == "paternal").select(
+                F.col("gene"), F.col("variant_id").alias("paternal_variant_id")
+            )
+            mat = cand.filter(F.col("origin") == "maternal").select(
+                F.col("gene").alias("gene_m"), F.col("variant_id").alias("maternal_variant_id")
+            )
+            pairs = pat.join(mat, pat.gene == mat.gene_m).select(
+                F.lit(t.child).alias("child"),
+                "gene",
+                "paternal_variant_id",
+                "maternal_variant_id",
+            )
+            outs.append(pairs)
+        if not outs:
+            schema = "child string, gene string, paternal_variant_id long, maternal_variant_id long"
+            return v.sparkSession.createDataFrame([], schema)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+
+# attach to the engine (defined after the class to keep the base models
+# and the pair-join composition separately readable)
+InheritanceEngine.compound_hets = CompHetMixin.compound_hets
