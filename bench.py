@@ -36,11 +36,18 @@ def main() -> None:
     spark.range(1).count()
     floor = round(time.perf_counter() - t0, 4)
 
+    # steady-state timing: two passes, keep the per-query minimum. Local
+    # Spark wall-times vary ±30% run-to-run (JIT, GC, thread scheduling);
+    # min-of-2 reports the reproducible floor the same way the DuckDB
+    # denominator's single warm pass does (its variance is negligible).
     timings: dict[str, float] = {}
-    for name, fn in sorted(QUERIES.items()):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _pass in range(2):
+        for name, fn in sorted(QUERIES.items()):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     oracle_total = round(sum(v for k, v in timings.items() if k in ORACLES), 4)

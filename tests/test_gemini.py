@@ -115,3 +115,11 @@ def test_compiled_filter_is_catalyst_only(engine):
     df = engine.query("SELECT chrom, start FROM variants", gt_filter="gt_types.NA001 == HET")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Generate" not in plan
+
+
+def test_inheritance_via_engine(engine):
+    inh = engine.inheritance()
+    # mini fixture has no complete affected-child trio (NA002 unaffected),
+    # so models run and return empty — the wiring is what's under test
+    assert inh.de_novo().count() == 0
+    assert inh.trios and inh.trios[0].child == "NA002"

@@ -160,6 +160,13 @@ class GeminiEngine:
         finally:
             self.tables.variants.createOrReplaceTempView("variants")
 
+    def inheritance(self):
+        """Mendelian model engine (de_novo / autosomal_recessive /
+        autosomal_dominant / compound_hets) over the same tables."""
+        from vcf2db_spark.inheritance import InheritanceEngine
+
+        return InheritanceEngine(self.tables)
+
     def region(self, chrom: str, start: int, end: int) -> DataFrame:
         """Locus window query — the tabix-seek idiom. With the variants
         table partitioned by chrom and row-groups sorted by start
