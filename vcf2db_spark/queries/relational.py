@@ -575,3 +575,31 @@ def agg_distinct_salted(spark, sf_dir):
 
     li = table(spark, sf_dir, "lineitem")
     return salted_count_distinct(li, ["l_returnflag"], "l_partkey", n_salt=16)
+
+
+# --------------------------------------------------------------------------
+# B9+ — set/list collection aggregates (gemini "samples carrying allele"
+# idiom: collect the member set per group). Sorted for cross-engine hash
+# stability.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses,
+           list_sort(list(DISTINCT l_linenumber))[1:3] AS first_linenumbers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_collect(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    statuses = F.array_sort(F.collect_set("l_linestatus"))
+    linenos = F.slice(F.array_sort(F.collect_set("l_linenumber")), 1, 3)
+    return li.groupBy("l_returnflag").agg(
+        statuses.alias("statuses"),
+        F.size(F.collect_set("l_linestatus")).cast("bigint").alias("n_statuses"),
+        linenos.alias("first_linenumbers"),
+    )
