@@ -603,3 +603,28 @@ def agg_collect(spark, sf_dir):
         F.size(F.collect_set("l_linestatus")).cast("bigint").alias("n_statuses"),
         linenos.alias("first_linenumbers"),
     )
+
+
+# --------------------------------------------------------------------------
+# B9+ — conditional/boolean aggregates (count_if, bool_or/bool_and —
+# gemini "any sample has depth>N" shapes).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bool_and(l_tax >= 0) AS all_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
+    )
