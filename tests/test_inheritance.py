@@ -108,3 +108,125 @@ def test_compound_hets(ch_engine):
     r = rows[0]
     assert r["child"] == "CHILD" and r["gene"] == "GENE1"
     assert r["paternal_variant_id"] != r["maternal_variant_id"]
+
+
+# ---- X-linked models -------------------------------------------------------
+
+# Affected SON (sex=1) with unaffected carrier MOM and unaffected DAD.
+# chrX design (gt order: SON, DAD, MOM):
+#   pos 100  S=0/1 D=0/0 M=0/1  → x_linked_recessive (carrier mom, clear dad)
+#   pos 200  S=1/1 D=0/0 M=0/1  → x_linked_recessive (hemizygous coded 1/1)
+#   pos 300  S=0/1 D=0/0 M=0/0  → x_linked_de_novo only
+#   pos 400  S=0/1 D=0/1 M=0/1  → neither (dad carries → not strict xrec)
+# chr1 row with the xrec genotype shape → excluded by the chrom filter.
+VCF_X = """\
+##fileformat=VCFv4.2
+##contig=<ID=chrX,length=156040895>
+##contig=<ID=chr1,length=248956422>
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSON\tDAD\tMOM
+chrX\t100\t.\tA\tG\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/1
+chrX\t200\t.\tC\tT\t50.0\tPASS\tDP=30\tGT\t1/1\t0/0\t0/1
+chrX\t300\t.\tG\tA\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/0
+chrX\t400\t.\tT\tC\t50.0\tPASS\tDP=30\tGT\t0/1\t0/1\t0/1
+chr1\t500\t.\tA\tC\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/1
+"""
+
+PED_X = """\
+#family_id name paternal_id maternal_id sex phenotype
+fam1 SON DAD MOM 1 2
+fam1 DAD 0 0 1 1
+fam1 MOM 0 0 2 1
+"""
+
+
+@pytest.fixture(scope="module")
+def x_engine(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("trio_x")
+    vcf, ped = str(d / "x.vcf"), str(d / "x.ped")
+    open(vcf, "w").write(VCF_X)
+    open(ped, "w").write(PED_X)
+    return InheritanceEngine(load_vcf(spark, vcf, ped_path=ped))
+
+
+def test_trio_sex(x_engine):
+    assert x_engine.trios[0].child_sex == 1
+
+
+def test_x_linked_recessive(x_engine):
+    assert _starts(x_engine.x_linked_recessive()) == [99, 199]
+
+
+def test_x_linked_de_novo(x_engine):
+    assert _starts(x_engine.x_linked_de_novo()) == [299]
+
+
+def test_x_linked_dominant_requires_affected_parent(x_engine):
+    # no affected parent in this pedigree → empty
+    assert _starts(x_engine.x_linked_dominant()) == []
+
+
+def test_x_chrom_filter_excludes_autosomes(x_engine):
+    chroms = {r["chrom"] for r in x_engine.x_linked_recessive().collect()}
+    assert chroms <= {"chrX"}
+
+
+def test_x_models_are_catalyst_only(x_engine):
+    plan = x_engine.x_linked_recessive()._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+# ---- mendel_errors ---------------------------------------------------------
+
+# Reuses the autosomal trio fixture file shapes; dedicated VCF covering all
+# four gemini error categories (gt order: CHILD, FATHER, MOTHER):
+#   pos 100  C=0/1 F=0/0 M=0/0  → plausible de novo
+#   pos 200  C=1/1 F=0/0 M=0/0  → implausible de novo
+#   pos 300  C=0/0 F=0/0 M=1/1  → uniparental disomy
+#   pos 400  C=1/1 F=0/1 M=0/0  → loss of heterozygosity
+#   pos 500  C=0/1 F=0/1 M=0/0  → consistent (no row)
+#   pos 600  C=0/1 F=./. M=0/0  → uncallable parent (no row)
+VCF_ME = """\
+##fileformat=VCFv4.2
+##contig=<ID=chr1,length=248956422>
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tCHILD\tFATHER\tMOTHER
+chr1\t100\t.\tA\tG\t50.0\tPASS\tDP=30\tGT\t0/1\t0/0\t0/0
+chr1\t200\t.\tC\tT\t50.0\tPASS\tDP=30\tGT\t1/1\t0/0\t0/0
+chr1\t300\t.\tG\tA\t50.0\tPASS\tDP=30\tGT\t0/0\t0/0\t1/1
+chr1\t400\t.\tT\tC\t50.0\tPASS\tDP=30\tGT\t1/1\t0/1\t0/0
+chr1\t500\t.\tA\tC\t50.0\tPASS\tDP=30\tGT\t0/1\t0/1\t0/0
+chr1\t600\t.\tA\tC\t50.0\tPASS\tDP=30\tGT\t0/1\t./.\t0/0
+"""
+
+
+@pytest.fixture(scope="module")
+def me_engine(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("trio_me")
+    vcf, ped = str(d / "me.vcf"), str(d / "me.ped")
+    open(vcf, "w").write(VCF_ME)
+    open(ped, "w").write(PED)
+    return InheritanceEngine(load_vcf(spark, vcf, ped_path=ped))
+
+
+def test_mendel_errors_categories(me_engine):
+    rows = {r["start"]: r["error"] for r in me_engine.mendel_errors().collect()}
+    assert rows == {
+        99: "plausible de novo",
+        199: "implausible de novo",
+        299: "uniparental disomy",
+        399: "loss of heterozygosity",
+    }
+
+
+def test_mendel_errors_child_column(me_engine):
+    assert {r["child"] for r in me_engine.mendel_errors().collect()} == {"CHILD"}
+
+
+def test_mendel_errors_single_scan(me_engine):
+    plan = me_engine.mendel_errors()._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # one Generate (explode) over one scan — no union of per-trio subplans
+    assert plan.count("Generate") == 1

@@ -162,7 +162,9 @@ class GeminiEngine:
 
     def inheritance(self):
         """Mendelian model engine (de_novo / autosomal_recessive /
-        autosomal_dominant / compound_hets) over the same tables."""
+        autosomal_dominant / compound_hets / x_linked_recessive /
+        x_linked_dominant / x_linked_de_novo / mendel_errors) over the
+        same tables."""
         from vcf2db_spark.inheritance import InheritanceEngine
 
         return InheritanceEngine(self.tables)

@@ -15,6 +15,13 @@ Model semantics (gemini defaults, strict callable-trio form):
 - **autosomal_recessive**: affected child HOM_ALT; both parents HET.
 - **autosomal_dominant**: affected child HET; at least one affected
   parent HET (supporting inherited dominance).
+- **x_linked_***: same shapes restricted to chrX with sex-aware zygosity
+  (hemizygous males carry as HET-or-HOM_ALT; no father→son X
+  transmission). Reconstructed from gemini's public docs (UNCERTAIN:
+  exact strictness knobs — see each method's docstring).
+- **mendel_errors**: per-trio Mendelian-violation classifier (gemini's
+  four categories: plausible/implausible de novo, uniparental disomy,
+  loss of heterozygosity).
 """
 
 from __future__ import annotations
@@ -28,6 +35,10 @@ from vcf2db_spark.pipeline import VCFTables
 
 HOM_REF, HET, UNKNOWN, HOM_ALT = 0, 1, 2, 3
 AFFECTED = 2  # PED phenotype coding: 1=unaffected, 2=affected
+MALE, FEMALE = 1, 2  # PED sex coding
+
+#: chrom spellings accepted as the X chromosome by the x_linked_* models
+X_CHROMS = ("chrX", "X", "x", "23")
 
 
 @dataclass(frozen=True)
@@ -38,6 +49,7 @@ class Trio:
     child_affected: bool
     father_affected: bool
     mother_affected: bool
+    child_sex: int = 0  # PED coding: 1=male, 2=female, other=unknown
 
 
 def trios_from_samples(samples: DataFrame) -> list[Trio]:
@@ -53,7 +65,8 @@ def trios_from_samples(samples: DataFrame) -> list[Trio]:
     for name, r in rows.items():
         f, m = r["paternal_id"], r["maternal_id"]
         if f in rows and m in rows and f not in ("0", None) and m not in ("0", None):
-            out.append(Trio(name, f, m, aff(name), aff(f), aff(m)))
+            sex = r["sex"] if r["sex"] is not None else 0
+            out.append(Trio(name, f, m, aff(name), aff(f), aff(m), sex))
     return out
 
 
@@ -123,6 +136,149 @@ class InheritanceEngine:
             return (self._gt(t.child) == HET) & (father_ok | mother_ok)
 
         return self._model(pred, "autosomal_dominant")
+
+    # -- X-linked models ------------------------------------------------------
+    # Restricted to chrX rows; the chrom predicate is a plain Catalyst
+    # IN-list, so it prunes a chrom-partitioned variants layout down to the
+    # single X partition before any genotype test runs (docs/SCALE.md §write
+    # layout). Semantics reconstructed from gemini's public model docs
+    # (SURVEY.md §0 convention; UNCERTAIN: strictness of parent checks).
+
+    def _x_model(self, pred, label: str) -> DataFrame:
+        cond = self._per_trio(pred)
+        v = self.tables.variants.filter(F.col("chrom").isin(*X_CHROMS))
+        if cond is None:
+            return v.filter(F.lit(False)).withColumn("model", F.lit(label))
+        return v.filter(cond).withColumn("model", F.lit(label))
+
+    def _carries_alt(self, sample: str, sex: int) -> Column:
+        """Sex-aware 'carries the alt' test: hemizygous males surface as
+        HET or HOM_ALT depending on the caller's ploidy convention, so
+        accept both; females must be HET (dominant-carrier shape)."""
+        g = self._gt(sample)
+        if sex == MALE:
+            return (g == HET) | (g == HOM_ALT)
+        return g == HET
+
+    def x_linked_de_novo(self) -> DataFrame:
+        """Affected child carries a new X allele; both parents HOM_REF.
+        Male child: HET or HOM_ALT (hemizygous call conventions vary);
+        female child: HET."""
+
+        def pred(t: Trio):
+            if not t.child_affected:
+                return None
+            return (
+                self._carries_alt(t.child, t.child_sex)
+                & (self._gt(t.father) == HOM_REF)
+                & (self._gt(t.mother) == HOM_REF)
+            )
+
+        return self._x_model(pred, "x_linked_de_novo")
+
+    def x_linked_recessive(self) -> DataFrame:
+        """Affected male child: hemizygous alt with carrier (HET) mother,
+        father HOM_REF (fathers pass no X to sons). Affected female child:
+        HOM_ALT with carrier mother and a father who carries (HET or
+        hemizygous HOM_ALT)."""
+
+        def pred(t: Trio):
+            if not t.child_affected:
+                return None
+            mother_carrier = self._gt(t.mother) == HET
+            if t.child_sex == MALE:
+                return (
+                    self._carries_alt(t.child, MALE)
+                    & mother_carrier
+                    & (self._gt(t.father) == HOM_REF)
+                )
+            father_g = self._gt(t.father)
+            return (
+                (self._gt(t.child) == HOM_ALT)
+                & mother_carrier
+                & ((father_g == HET) | (father_g == HOM_ALT))
+            )
+
+        return self._x_model(pred, "x_linked_recessive")
+
+    def x_linked_dominant(self) -> DataFrame:
+        """Affected child carries; the transmitting parent is affected and
+        carries. Male child: mother only (no father→son X). Female child:
+        either affected parent."""
+
+        def pred(t: Trio):
+            if not t.child_affected:
+                return None
+            mother_ok = (
+                self._carries_alt(t.mother, FEMALE)
+                if t.mother_affected
+                else F.lit(False)
+            )
+            if t.child_sex == MALE:
+                parent_ok = mother_ok
+            else:
+                father_ok = (
+                    self._carries_alt(t.father, MALE)
+                    if t.father_affected
+                    else F.lit(False)
+                )
+                parent_ok = mother_ok | father_ok
+            return self._carries_alt(t.child, t.child_sex) & parent_ok
+
+        return self._x_model(pred, "x_linked_dominant")
+
+    # -- Mendelian-error scan -------------------------------------------------
+
+    def _mendel_case(self, t: Trio) -> Column:
+        """gemini `mendel_errors` four-way classification for one trio.
+        NULL = consistent (or uncallable) transmission."""
+        c, f, m = self._gt(t.child), self._gt(t.father), self._gt(t.mother)
+        both_ref = (f == HOM_REF) & (m == HOM_REF)
+        both_alt = (f == HOM_ALT) & (m == HOM_ALT)
+        opp_homs = ((f == HOM_REF) & (m == HOM_ALT)) | ((f == HOM_ALT) & (m == HOM_REF))
+        return (
+            F.when(both_ref & (c == HET), F.lit("plausible de novo"))
+            .when(both_alt & (c == HET), F.lit("plausible de novo"))
+            .when(both_ref & (c == HOM_ALT), F.lit("implausible de novo"))
+            .when(both_alt & (c == HOM_REF), F.lit("implausible de novo"))
+            .when(opp_homs & ((c == HOM_REF) | (c == HOM_ALT)), F.lit("uniparental disomy"))
+            .when((f == HET) & (m == HOM_REF) & (c == HOM_ALT), F.lit("loss of heterozygosity"))
+            .when((f == HET) & (m == HOM_ALT) & (c == HOM_REF), F.lit("loss of heterozygosity"))
+            .when((m == HET) & (f == HOM_REF) & (c == HOM_ALT), F.lit("loss of heterozygosity"))
+            .when((m == HET) & (f == HOM_ALT) & (c == HOM_REF), F.lit("loss of heterozygosity"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    def mendel_errors(self) -> DataFrame:
+        """One row per (variant, trio) whose genotypes violate Mendelian
+        transmission, labeled with gemini's error category. Single scan:
+        each trio contributes one slot to a constant-width array of
+        (child, error) structs, exploded then null-filtered — no per-trio
+        union, no UDF; cost is O(rows × trios) inside codegen."""
+        v = self.tables.variants
+        entries = [
+            F.struct(
+                F.lit(t.child).alias("child"), self._mendel_case(t).alias("error")
+            )
+            for t in self.trios
+        ]
+        if not entries:
+            return v.sparkSession.createDataFrame(
+                [], "variant_id long, chrom string, start long, ref string, "
+                "alt string, child string, error string"
+            )
+        return (
+            v.select(
+                "variant_id", "chrom", "start", "ref", "alt",
+                F.explode(F.array(*entries)).alias("e"),
+            )
+            .filter(F.col("e.error").isNotNull())
+            .select(
+                "variant_id", "chrom", "start", "ref", "alt",
+                F.col("e.child").alias("child"),
+                F.col("e.error").alias("error"),
+            )
+        )
 
 
 def _origin_label(father, mother):
