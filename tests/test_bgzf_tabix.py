@@ -1,0 +1,225 @@
+"""BGZF + tabix layer: round-trips, index queries, and the VCF source's
+seek-read path vs the filtered-scan path (they must agree row-for-row)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from vcf2db_spark.sources.bgzf import (
+    BGZFReader,
+    BGZFWriter,
+    compress_file,
+    enumerate_blocks,
+    is_bgzf,
+)
+from vcf2db_spark.sources.tabix import (
+    TabixBuilder,
+    index_vcf,
+    read_tbi,
+    reg2bin,
+    reg2bins,
+    write_tbi,
+)
+from vcf2db_spark.sources.vcf import read_vcf
+
+N_PER_CONTIG = 4000
+
+
+def _mk_vcf_text(n_per_contig: int = N_PER_CONTIG, seed: int = 11) -> str:
+    rng = random.Random(seed)
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##contig=<ID=chr1,length=248956422>",
+        "##contig=<ID=chr2,length=242193529>",
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+    ]
+    for chrom in ("chr1", "chr2"):
+        pos = 0
+        for _ in range(n_per_contig):
+            pos += rng.randint(1, 900)
+            gt1 = rng.choice(["0/0", "0/1", "1/1"])
+            gt2 = rng.choice(["0/0", "0/1", "1/1"])
+            lines.append(
+                f"{chrom}\t{pos}\t.\tAC\tA\t50.0\tPASS\tDP={rng.randint(1, 99)}"
+                f"\tGT\t{gt1}\t{gt2}"
+            )
+    return "\n".join(lines) + "\n"
+
+
+@pytest.fixture(scope="module")
+def vcf_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bgzf")
+    plain = str(d / "cohort.vcf")
+    open(plain, "w").write(_mk_vcf_text())
+    gz = plain + ".gz"
+    compress_file(plain, gz)
+    index_vcf(gz)
+    return plain, gz
+
+
+# ---- BGZF framing ----------------------------------------------------------
+
+
+def test_bgzf_roundtrip_multiblock(tmp_path):
+    payload = b"".join(b"line %d with some padding text\n" % i for i in range(40000))
+    p = str(tmp_path / "t.bin.gz")
+    with BGZFWriter(p) as w:
+        w.write(payload)
+    assert is_bgzf(p)
+    blocks = list(enumerate_blocks(p))
+    assert len(blocks) > 1  # really multi-block
+    assert sum(b.usize for b in blocks) == len(payload)
+    with BGZFReader(p) as rd:
+        assert b"".join(rd) == payload
+
+
+def test_bgzf_virtual_seek(tmp_path):
+    p = str(tmp_path / "s.gz")
+    lines = [b"%06d abcdefghijklmnop\n" % i for i in range(30000)]
+    with BGZFWriter(p) as w:
+        offsets = []
+        for line in lines:
+            offsets.append(w.tell_virtual())
+            w.write(line)
+    with BGZFReader(p) as rd:
+        for i in (0, 1, 17, 4242, 29999):
+            rd.seek_virtual(offsets[i])
+            assert rd.readline() == lines[i]
+
+
+def test_plain_gzip_is_not_bgzf(tmp_path):
+    import gzip
+
+    p = str(tmp_path / "plain.gz")
+    with gzip.open(p, "wb") as fh:
+        fh.write(b"hello\n")
+    assert not is_bgzf(p)
+
+
+# ---- binning scheme --------------------------------------------------------
+
+
+def test_reg2bin_levels():
+    assert reg2bin(0, 1) == 4681  # first 16 Kb leaf
+    assert reg2bin(0, 1 << 14) == 4681
+    assert reg2bin(0, (1 << 14) + 1) == 585  # spans two leaves → level up
+    assert reg2bin(0, 1 << 29) == 0  # whole-chromosome bin
+
+
+def test_reg2bins_contains_reg2bin():
+    rng = random.Random(3)
+    for _ in range(200):
+        beg = rng.randrange(0, 1 << 28)
+        end = beg + rng.randrange(1, 1 << 16)
+        assert reg2bin(beg, end) in reg2bins(beg, end)
+
+
+# ---- tabix index -----------------------------------------------------------
+
+
+def test_tbi_roundtrip(tmp_path, vcf_paths):
+    _, gz = vcf_paths
+    idx = read_tbi(gz + ".tbi")
+    p2 = str(tmp_path / "copy.tbi")
+    write_tbi(idx, p2)
+    idx2 = read_tbi(p2)
+    assert idx2.names == idx.names
+    assert [r.bins for r in idx2.refs] == [r.bins for r in idx.refs]
+    assert [r.intervals for r in idx2.refs] == [r.intervals for r in idx.refs]
+
+
+def test_tabix_region_query_matches_scan(vcf_paths):
+    plain, gz = vcf_paths
+    idx = read_tbi(gz + ".tbi")
+    beg, end = 300_000, 900_000
+    # overlap semantics: rec = [pos-1, pos-1+len(REF)) with REF "AC" (len 2)
+    want = [
+        line
+        for line in open(plain)
+        if line.startswith("chr2\t")
+        and int(line.split("\t")[1]) - 1 < end
+        and int(line.split("\t")[1]) + 1 > beg
+    ]
+    got = []
+    with BGZFReader(gz) as rd:
+        for vb, ve in idx.chunks("chr2", beg, end):
+            rd.seek_virtual(vb)
+            while rd.tell_virtual() < ve:
+                line = rd.readline()
+                if not line:
+                    break
+                parts = line.split(b"\t", 4)
+                rec_beg = int(parts[1]) - 1
+                if parts[0] == b"chr2" and rec_beg < end and rec_beg + 2 > beg:
+                    got.append(line.decode())
+    assert got == want and len(got) > 0
+
+
+def test_tabix_unknown_contig_empty(vcf_paths):
+    _, gz = vcf_paths
+    assert read_tbi(gz + ".tbi").chunks("chrM", 0, 1 << 29) == []
+
+
+def test_builder_rejects_unsorted():
+    b = TabixBuilder()
+    b.add("chr1", 0, 2, 0, 100)
+    b.add("chr2", 0, 2, 100, 200)
+    with pytest.raises(ValueError, match="unsorted"):
+        b.add("chr1", 5, 7, 200, 300)
+
+
+# ---- Spark source: seek path ≡ scan path -----------------------------------
+
+
+def _collect_sorted(df):
+    return sorted(
+        ((r["chrom"], r["start"], r["ref"], r["alt"], r["dp"]) for r in df.collect())
+    )
+
+
+def test_seek_read_matches_plain_read(spark, vcf_paths):
+    plain, gz = vcf_paths
+    a = _collect_sorted(read_vcf(spark, plain))
+    b = _collect_sorted(read_vcf(spark, gz))  # index=auto finds .tbi
+    assert a == b and len(a) == 2 * N_PER_CONTIG
+
+
+def test_seek_read_partitions_are_contigs(spark, vcf_paths):
+    _, gz = vcf_paths
+    df = read_vcf(spark, gz)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_pushdown_prunes_partitions(spark, vcf_paths):
+    plain, gz = vcf_paths
+    df = read_vcf(spark, gz).filter("chrom = 'chr2' AND start >= 300000 AND start < 900000")
+    rows = _collect_sorted(df)
+    want = _collect_sorted(
+        read_vcf(spark, plain).filter(
+            "chrom = 'chr2' AND start >= 300000 AND start < 900000"
+        )
+    )
+    assert rows == want and 0 < len(rows) < N_PER_CONTIG
+
+
+def test_pushdown_empty_region(spark, vcf_paths):
+    _, gz = vcf_paths
+    assert read_vcf(spark, gz).filter("chrom = 'chrM'").count() == 0
+
+
+def test_index_build_mode(spark, tmp_path):
+    plain = str(tmp_path / "b.vcf")
+    open(plain, "w").write(_mk_vcf_text(200, seed=5))
+    gz = plain + ".gz"
+    compress_file(plain, gz)
+    df = read_vcf(spark, gz, index="build")
+    assert df.count() == 400  # first action plans the read → builds the index
+    import os
+
+    assert os.path.exists(gz + ".tbi")
+    # the freshly built index now drives per-contig seek partitions
+    assert read_vcf(spark, gz).rdd.getNumPartitions() == 2

@@ -26,6 +26,8 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas_udf / toPandas round-trips.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource pushFilters (VCF source locus pruning).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
@@ -37,3 +39,7 @@ def pin_session_conf(spark: SparkSession) -> None:
     driver hands us a session we did not build."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; VCF pushdown then stays off

@@ -6,24 +6,39 @@ Spark-first replacement for the reference's cyvcf2/htslib streaming loop
 whose partitions are contigs — mirroring tabix seek semantics, so a
 contig/locus predicate prunes partitions.
 
-Scale design (100 TB): one partition per (contig, tabix window). Plain-text
-and bgzip inputs here are scanned per-partition with a contig filter (each
-executor streams the file and keeps only its contig); with an ``.tbi``/
-``.csi`` index present the read would seek directly — the partition
-boundary and row protocol stay identical, so the upgrade is local to
-``_iter_records``. Genotype matrices land as typed arrays; Parquet page
-compression replaces the reference's snappy blobs (A8) — the byte-parity
-codec lives in ``functions.codecs``.
+Scale design (100 TB): one partition per (contig, tabix chunk-range). With
+a BGZF input and a ``.tbi`` index (``sources.bgzf`` / ``sources.tabix`` —
+pure-Python readers of the htslib formats), each partition **seeks** to its
+contig's virtual-offset range and inflates only those blocks; pushed-down
+``chrom``/``start``/``end`` predicates (Spark 4 DataSource
+``pushFilters``) prune partitions and narrow the chunk ranges — the
+distributed twin of a tabix region query. Plain-text/plain-gzip inputs
+fall back to per-partition filtered scans (same row protocol, so the two
+paths stay interchangeable). Genotype matrices land as typed arrays;
+Parquet page compression replaces the reference's snappy blobs (A8) — the
+byte-parity codec lives in ``functions.codecs``.
 """
 
 from __future__ import annotations
 
 import gzip
-from dataclasses import dataclass
+import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 from vcf2db_spark.sources.header import (
     VCFHeader,
@@ -34,11 +49,18 @@ from vcf2db_spark.sources.header import (
 )
 
 MISSING_INT = -1  # cyvcf2's missing-depth/qual sentinel
+_MAX_POS = 1 << 29  # tabix coordinate ceiling
 
 
 @dataclass
 class ContigPartition(InputPartition):
     contig: str | None  # None → whole file (unpartitioned fallback)
+    #: tabix chunk ranges [(vbeg, vend), ...] — when set, the reader seeks
+    #: instead of scanning
+    chunks: list[tuple[int, int]] | None = None
+    #: residual locus window [beg, end) applied during the seek-read
+    beg: int = 0
+    end: int = _MAX_POS
 
 
 def _open(path: str):
@@ -132,9 +154,9 @@ def _parse_sample(
     )
 
 
-def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: str | None):
-    """Yield schema-ordered tuples for one partition. With a tabix index
-    this becomes a seek; without one it's a filtered scan."""
+def _row_builder(header: VCFHeader, schema: T.StructType):
+    """Compile the per-line transform once per partition: tab-split parts →
+    schema-ordered tuple."""
     info_fields = [
         (f.name, fid)
         for fid, f in (
@@ -143,6 +165,40 @@ def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: st
         if f.name in schema.fieldNames()
     ]
     has_gts = "gts" in schema.fieldNames()
+
+    def build(parts: list[str]) -> tuple:
+        chrom, pos, _vid, ref, alt, qual, filt, info_raw = parts[:8]
+        if "," in alt:
+            raise ValueError(
+                f"multi-allelic record at {chrom}:{pos} (ALT={alt!r}); "
+                "input must be decomposed — run `vt decompose` first."
+            )
+        info = _parse_info(info_raw, header)
+        row: list[object] = [
+            chrom,
+            int(pos) - 1,  # 0-based start, as in the reference's schema
+            int(pos) - 1 + len(ref),
+            ref,
+            alt,
+            float(qual) if qual not in (".", "") else None,
+            None if filt in (".", "PASS") else filt,
+        ]
+        for _col_name, fid in info_fields:
+            row.append(info.get(fid))
+        if has_gts:
+            fmt_keys = parts[8].split(":") if len(parts) > 8 else []
+            samples = [_parse_sample(fmt_keys, raw, ref, alt) for raw in parts[9:]]
+            for i in range(7):
+                row.append([s[i] for s in samples])
+        return tuple(row)
+
+    return build
+
+
+def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: str | None):
+    """Filtered full scan (plain text / plain gzip, or no index): each
+    partition streams the file and keeps only its contig."""
+    build = _row_builder(header, schema)
     with _open(path) as fh:
         for line in fh:
             if line.startswith("#"):
@@ -150,32 +206,36 @@ def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: st
             parts = line.rstrip("\n").split("\t")
             if contig is not None and parts[0] != contig:
                 continue
-            chrom, pos, _vid, ref, alt, qual, filt, info_raw = parts[:8]
-            if "," in alt:
-                raise ValueError(
-                    f"multi-allelic record at {chrom}:{pos} (ALT={alt!r}); "
-                    "input must be decomposed — run `vt decompose` first."
-                )
-            info = _parse_info(info_raw, header)
-            row: list[object] = [
-                chrom,
-                int(pos) - 1,  # 0-based start, as in the reference's schema
-                int(pos) - 1 + len(ref),
-                ref,
-                alt,
-                float(qual) if qual not in (".", "") else None,
-                None if filt in (".", "PASS") else filt,
-            ]
-            for col_name, fid in info_fields:
-                row.append(info.get(fid))
-            if has_gts:
-                fmt_keys = parts[8].split(":") if len(parts) > 8 else []
-                samples = [
-                    _parse_sample(fmt_keys, raw, ref, alt) for raw in parts[9:]
-                ]
-                for i in range(7):
-                    row.append([s[i] for s in samples])
-            yield tuple(row)
+            yield build(parts)
+
+
+def _iter_chunks(
+    path: str,
+    header: VCFHeader,
+    schema: T.StructType,
+    partition: "ContigPartition",
+):
+    """Tabix-seek read: inflate only the partition's BGZF chunk ranges and
+    keep records overlapping its [beg, end) locus window. This is the
+    htslib region-query loop re-expressed per Spark partition."""
+    from vcf2db_spark.sources.bgzf import BGZFReader
+
+    build = _row_builder(header, schema)
+    beg, end = partition.beg, partition.end
+    with BGZFReader(path) as rd:
+        for vbeg, vend in partition.chunks or ():
+            rd.seek_virtual(vbeg)
+            while rd.tell_virtual() < vend:
+                line = rd.readline()
+                if not line:
+                    break
+                if line.startswith(b"#"):
+                    continue
+                parts = line.rstrip(b"\n").decode().split("\t")
+                rec_beg = int(parts[1]) - 1
+                rec_end = rec_beg + len(parts[3])
+                if rec_beg < end and rec_end > beg:
+                    yield build(parts)
 
 
 class VCFReader(DataSourceReader):
@@ -190,14 +250,77 @@ class VCFReader(DataSourceReader):
         split = options.get("partitionByContig", "true").lower() == "true"
         self.arrow = options.get("arrowBatches", "true").lower() == "true"
         self.contigs = self.header.contigs if split else []
+        # pushed-down locus constraints (pushFilters fills these)
+        self.chrom_in: set[str] | None = None
+        self.beg, self.end = 0, _MAX_POS
+        self.index = self._load_index(options.get("index", "auto").lower())
+
+    def _load_index(self, mode: str):
+        """Tabix index handling: ``auto`` uses ``{path}.tbi`` when present,
+        ``build`` creates it driver-side if missing (one sequential pass —
+        the same cost tabix itself pays), ``none`` disables seeks."""
+        if mode == "none" or not self.path.endswith(".gz"):
+            return None
+        from vcf2db_spark.sources.bgzf import is_bgzf
+        from vcf2db_spark.sources.tabix import index_vcf, read_tbi
+
+        if not is_bgzf(self.path):
+            return None
+        tbi = self.path + ".tbi"
+        if not os.path.exists(tbi):
+            if mode != "build":
+                return None
+            index_vcf(self.path, tbi)
+        return read_tbi(tbi)
+
+    def pushFilters(self, filters: list[Filter]):
+        """Capture chrom/start/end constraints for partition pruning and
+        chunk narrowing. Every filter is returned (Spark re-applies them),
+        so pruning only ever has to be a safe over-approximation."""
+        for f in filters:
+            attr = f.attribute[0] if len(f.attribute) == 1 else None
+            if isinstance(f, EqualTo) and attr == "chrom":
+                vals = {f.value}
+                self.chrom_in = vals if self.chrom_in is None else self.chrom_in & vals
+            elif isinstance(f, In) and attr == "chrom":
+                vals = set(f.value)
+                self.chrom_in = vals if self.chrom_in is None else self.chrom_in & vals
+            elif attr == "start" and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                v = f.value + 1 if isinstance(f, GreaterThan) else f.value
+                self.beg = max(self.beg, int(v))
+            elif attr == "start" and isinstance(f, (LessThan, LessThanOrEqual)):
+                # records with start < v overlap [beg, v+1) by rec_beg < end
+                v = f.value + 1 if isinstance(f, LessThanOrEqual) else f.value
+                self.end = min(self.end, int(v))
+            elif attr == "end" and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                # records with end > v overlap [v, ...): rec_end > beg
+                v = f.value if isinstance(f, GreaterThan) else f.value - 1
+                self.beg = max(self.beg, int(v))
+        return filters
 
     def partitions(self):
-        if self.contigs:
-            return [ContigPartition(c) for c in self.contigs]
+        contigs = self.contigs or (self.index.names if self.index else [])
+        if self.chrom_in is not None:
+            contigs = [c for c in contigs if c in self.chrom_in]
+        if self.index is not None:
+            parts = []
+            for c in contigs:
+                chunks = self.index.chunks(c, self.beg, self.end)
+                if chunks:
+                    parts.append(ContigPartition(c, chunks, self.beg, self.end))
+            # all partitions pruned → one empty partition (Spark needs ≥1)
+            return parts or [ContigPartition(None, [], self.beg, self.end)]
+        if contigs:
+            return [ContigPartition(c) for c in contigs]
+        if self.chrom_in is not None and self.contigs:
+            return [ContigPartition(None, [])]  # pruned to nothing
         return [ContigPartition(None)]
 
     def read(self, partition: ContigPartition):
-        rows = _iter_records(self.path, self.header, self.schema_, partition.contig)
+        if partition.chunks is not None:
+            rows = _iter_chunks(self.path, self.header, self.schema_, partition)
+        else:
+            rows = _iter_records(self.path, self.header, self.schema_, partition.contig)
         if not self.arrow:
             yield from rows
             return
@@ -234,7 +357,8 @@ class VCFDataSource(DataSource):
     Options: ``black_list`` (comma-separated INFO IDs to drop — the
     reference's ``--black-list`` [U vcf2db.py §main ~L1150]);
     ``partitionByContig`` (default true); ``include_genotypes``
-    (default true)."""
+    (default true); ``index`` (``auto`` = use ``{path}.tbi`` when present,
+    ``build`` = create it if missing, ``none`` = filtered scans only)."""
 
     @classmethod
     def name(cls) -> str:
@@ -257,6 +381,7 @@ def read_vcf(
     include_genotypes: bool = True,
     partition_by_contig: bool = True,
     arrow_batches: bool = True,
+    index: str = "auto",
 ) -> DataFrame:
     """Library entry point (reference entry point 2, [U §VCFDB.__init__ ~L580]).
 
@@ -267,11 +392,17 @@ def read_vcf(
     executor↔Python boundary, which matters once the parse itself is
     cheaper (bgzip block readers, tabix seeks)."""
     spark.dataSource.register(VCFDataSource)
+    try:
+        # pushFilters requires this conf; Spark rejects the read without it
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
     reader = (
         spark.read.format("vcf")
         .option("black_list", ",".join(black_list))
         .option("include_genotypes", str(include_genotypes).lower())
         .option("partitionByContig", str(partition_by_contig).lower())
         .option("arrowBatches", str(arrow_batches).lower())
+        .option("index", index)
     )
     return reader.load(path)
