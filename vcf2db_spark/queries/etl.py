@@ -212,3 +212,31 @@ def posexplode_long(spark, sf_dir):
         dsum6(v).alias("sum_val"),
         r6(davg(v)).alias("avg_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# A12 — post-load index analog: Z-order (Morton) layout key. The reference
+# CREATE INDEXes hot columns after load [U vcf2db.py §create_indexes
+# ~L1000]; the Spark analog is a physical layout whose one sort key serves
+# several columns' min/max pruning (operators/layout.py). The key itself is
+# exact integer arithmetic, so it is oracle-verified end to end; the
+# write-path pruning effect is asserted in tests/test_layout.py.
+# --------------------------------------------------------------------------
+
+from vcf2db_spark.operators.layout import (  # noqa: E402
+    with_zorder_key,
+    zorder_oracle_sql,
+)
+
+_ZORDER_KEEP = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+
+@dq(
+    "layout_zorder",
+    oracle=zorder_oracle_sql(
+        "lineitem", ["l_partkey", "l_suppkey"], _ZORDER_KEEP, bits=16
+    ),
+)
+def layout_zorder(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(*_ZORDER_KEEP)
+    return with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
