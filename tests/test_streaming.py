@@ -188,3 +188,34 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     want_rows = sorted(map(tuple, want.collect()))
     assert want_rows, "fixture should produce click->purchase pairs"
     assert got_rows == want_rows
+
+
+def test_rocksdb_state_store_matches_default(spark, events_dup_dir):
+    """The RocksDB provider (production posture: state on SSD, bounded
+    heap) must be a pure deployment knob — identical results to the
+    default heap-backed store on stateful dedup + windowed agg."""
+    from vcf2db_spark.streaming import ROCKSDB_PROVIDER, state_store_provider
+
+    def drain(suffix):
+        dedup = run_to_memory(
+            dedup_within_watermark(read_events_stream(spark, events_dup_dir)),
+            f"t_rocks_dedup_{suffix}",
+        )
+        tumble = run_to_memory(
+            tumbling_counts(read_events_stream(spark, events_dup_dir)),
+            f"t_rocks_tumble_{suffix}",
+        )
+        return (
+            sorted(map(tuple, dedup.collect())),
+            sorted(map(tuple, tumble.collect())),
+        )
+
+    base_dedup, base_tumble = drain("heap")
+    with state_store_provider(spark, ROCKSDB_PROVIDER):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        rocks_dedup, rocks_tumble = drain("rocksdb")
+    assert rocks_dedup == base_dedup and len(base_dedup) > 0
+    assert rocks_tumble == base_tumble and len(base_tumble) > 0

@@ -13,6 +13,7 @@ with identical semantics.
 """
 
 from vcf2db_spark.streaming.pipelines import (  # noqa: F401
+    ROCKSDB_PROVIDER,
     dedup_within_watermark,
     read_events_stream,
     run_to_memory,
@@ -20,5 +21,6 @@ from vcf2db_spark.streaming.pipelines import (  # noqa: F401
     session_counts,
     sliding_avg,
     stage_events_dir,
+    state_store_provider,
     tumbling_counts,
 )

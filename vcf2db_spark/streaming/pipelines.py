@@ -208,6 +208,45 @@ def running_totals_stateful(events: DataFrame) -> DataFrame:
 
 
 # -------------------------------------------------------------------------
+# state-store backend
+# -------------------------------------------------------------------------
+
+#: Spark's bundled RocksDB-backed state store. The default
+#: HDFSBackedStateStoreProvider holds every key's state in executor HEAP
+#: (plus a full snapshot per checkpoint); at 100 TB-scale keyspaces
+#: (stream dedup over billions of doc ids, per-user session state) that
+#: OOMs. RocksDB keeps state on local SSD with block-cache reads,
+#: incremental changelog checkpoints, and bounded memory — the production
+#: posture for every stateful pipeline in this module.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+class state_store_provider:
+    """Context manager pinning the state-store backend for queries started
+    inside it (the conf is read at query start). Results must be identical
+    across providers — asserted in tests/test_streaming.py — so this is a
+    pure deployment knob, not a semantics switch."""
+
+    def __init__(self, spark: SparkSession, provider: str = ROCKSDB_PROVIDER):
+        self._spark, self._provider = spark, provider
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(_PROVIDER_KEY, None)
+        self._spark.conf.set(_PROVIDER_KEY, self._provider)
+        return self
+
+    def __exit__(self, *exc):
+        if self._prev is None:
+            self._spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self._spark.conf.set(_PROVIDER_KEY, self._prev)
+
+
+# -------------------------------------------------------------------------
 # test/backfill harness
 # -------------------------------------------------------------------------
 
