@@ -37,3 +37,24 @@ def test_cli_rejects_unknown_expand(tmp_path):
     vcf, ped = write_fixture(str(tmp_path / "src2"))
     rc = main([vcf, ped, str(tmp_path / "db2"), "--expand", "nope"])
     assert rc == 2
+
+
+def test_cli_sqlite_artifact(spark, tmp_path):
+    """Reference drop-in: `python -m vcf2db_spark mini.vcf mini.ped mini.db`
+    produces a queryable gemini-compatible SQLite file."""
+    import sqlite3
+
+    vcf, ped = write_fixture(str(tmp_path / "src3"))
+    db_path = str(tmp_path / "mini.db")
+    rc = main([vcf, ped, db_path, "--expand", "gt_types"])
+    assert rc == 0
+    con = sqlite3.connect(db_path)
+    try:
+        tables = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+        assert {"variants", "variant_impacts", "samples", "vcf_header", "expanded_gt_types"} <= tables
+        (n,) = con.execute("SELECT count(*) FROM variants").fetchone()
+        assert n == 6
+        (nx,) = con.execute("SELECT count(*) FROM expanded_gt_types").fetchone()
+        assert nx == 18
+    finally:
+        con.close()

@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("vcf", help="decomposed, annotated VCF (.vcf or .vcf.gz)")
     ap.add_argument("ped", nargs="?", default=None, help="PED pedigree file")
-    ap.add_argument("db", help="output directory (parquet) — or table prefix with --jdbc-url")
+    ap.add_argument(
+        "db",
+        help="output: directory (parquet), *.db file (gemini-compatible "
+        "SQLite, the reference's artifact), or table prefix with --jdbc-url",
+    )
     ap.add_argument("--black-list", nargs="*", default=[], help="INFO fields to drop")
     ap.add_argument("--expand", nargs="*", default=[], help="genotype columns to expand long-form")
     ap.add_argument("--batch-size", type=int, default=50_000, help="JDBC insert batch size")
@@ -70,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     variants = tables.variants
-    if args.legacy_compression:
+    if args.legacy_compression and not args.db.endswith(".db"):
+        # (the SQLite sink packs genotype matrices to blobs natively)
         # blob twins for the integer genotype matrices (gts is the string
         # base rendering — not blob-packed; gemini reads the int matrices)
         pack = pack_blob_udf(legacy=True)
@@ -101,6 +106,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.jdbc_url:
         for name, df in outputs.items():
             write_jdbc(df, args.jdbc_url, f"{args.db}{name}", batch_size=args.batch_size)
+    elif args.db.endswith(".db"):
+        from vcf2db_spark.sinks.sqlite import write_gemini_db
+
+        write_gemini_db(
+            args.db,
+            outputs,
+            batch_size=args.batch_size,
+            legacy=args.legacy_compression,
+        )
     else:
         for name, df in outputs.items():
             part = ("chrom",) if "chrom" in df.columns else ()
