@@ -571,6 +571,70 @@ def join_interval(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B7 — gemini-annotate shape: overlap-count + extract aggregation of a
+# region table onto an interval table (operators/annotate.py), left-join
+# semantics so zero-overlap rows survive. Deterministic synthetic intervals
+# derived from orders keys; score is an integer so SUM is exact both sides.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "annotate_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS variant_id, o_orderstatus AS chrom,
+             (o_orderkey * 7) % 10000 AS start,
+             (o_orderkey * 7) % 10000 + 25 AS "end"
+      FROM orders WHERE o_orderkey < 1200
+    ), b AS (
+      SELECT o_orderstatus AS chrom,
+             (o_orderkey * 13) % 10000 AS start,
+             (o_orderkey * 13) % 10000 + CAST(FLOOR(o_totalprice / 3000) AS BIGINT) + 1 AS "end",
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS score
+      FROM orders WHERE o_orderkey >= 1200 AND o_orderkey < 2400
+    )
+    SELECT a.variant_id,
+           CAST(COUNT(b.chrom) AS BIGINT) AS n_over,
+           COUNT(b.chrom) > 0 AS in_any,
+           SUM(b.score) AS score_sum,
+           MAX(b.score) AS score_max
+    FROM a LEFT JOIN b
+      ON a.chrom = b.chrom AND a.start < b."end" AND a."end" > b.start
+    GROUP BY a.variant_id
+    """,
+)
+def annotate_overlap(spark, sf_dir):
+    from vcf2db_spark.operators.annotate import annotate_variants
+
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") < 1200).select(
+        F.col("o_orderkey").alias("variant_id"),
+        F.col("o_orderstatus").alias("chrom"),
+        ((F.col("o_orderkey") * 7) % 10000).alias("start"),
+        ((F.col("o_orderkey") * 7) % 10000 + 25).alias("end"),
+    )
+    b = o.filter((F.col("o_orderkey") >= 1200) & (F.col("o_orderkey") < 2400)).select(
+        F.col("o_orderstatus").alias("chrom"),
+        ((F.col("o_orderkey") * 13) % 10000).alias("start"),
+        ((F.col("o_orderkey") * 13) % 10000 + F.floor(F.col("o_totalprice") / 3000) + 1).alias(
+            "end"
+        ),
+        F.floor("o_totalprice").cast("long").alias("score"),
+    )
+    out = annotate_variants(
+        a,
+        b,
+        count_col="n_over",
+        boolean_col="in_any",
+        extract={"score_sum": ("score", "sum"), "score_max": ("score", "max")},
+        bin_width=100,
+    )
+    return out.select(
+        "variant_id", F.col("n_over").cast("long"), "in_any", "score_sum", "score_max"
+    )
+
+
+# --------------------------------------------------------------------------
 # B25 — MapType surface: JSON → typed map, key/value extraction, HOF over
 # values. events.props is {"k": <int>} JSON text.
 # --------------------------------------------------------------------------
