@@ -112,3 +112,30 @@ def _window_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", SEEDS[:15])
 def test_window_template(seed, spark, oracle_con):
     _run_both(spark, oracle_con, _window_query(seed))
+
+
+def _interval_query(seed: int) -> str:
+    """Non-equi (interval-overlap) self-join family: deterministic synthetic
+    intervals derived from orders keys; randomized widths/strides/modulus.
+    Exercises Spark's theta-join + the B7 range-join SQL shape vs DuckDB."""
+    rng = random.Random(seed + 30_000)
+    m1, m2 = rng.choice([3, 7, 11, 13]), rng.choice([5, 17, 19, 23])
+    w1, w2 = rng.randint(1, 60), rng.randint(1, 90)
+    mod = rng.choice([1_000, 5_000, 10_000])
+    return (
+        f"WITH a AS (SELECT o_orderkey AS id, o_orderstatus AS k,"
+        f"  (o_orderkey*{m1})%{mod} AS s, (o_orderkey*{m1})%{mod}+{w1} AS e"
+        f"  FROM orders WHERE o_orderkey < 800),"
+        f" b AS (SELECT o_orderkey AS id, o_orderstatus AS k,"
+        f"  (o_orderkey*{m2})%{mod} AS s, (o_orderkey*{m2})%{mod}+{w2} AS e"
+        f"  FROM orders WHERE o_orderkey < 800)"
+        f" SELECT a.k, COUNT(*) AS n, MIN(a.id*1000000+b.id) AS min_pair,"
+        f"        MAX(a.id*1000000+b.id) AS max_pair"
+        f" FROM a JOIN b ON a.k = b.k AND a.s < b.e AND a.e > b.s AND a.id < b.id"
+        f" GROUP BY a.k ORDER BY a.k"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_interval_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _interval_query(seed))
