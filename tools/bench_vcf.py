@@ -80,6 +80,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--contigs", type=int, default=8)
+    ap.add_argument(
+        "--sqlite",
+        action="store_true",
+        help="also produce the gemini-compatible .db artifact and report "
+        "its end-to-end load rate (the reference's own headline metric)",
+    )
     args = ap.parse_args()
 
     from vcf2db_spark.pipeline import load_vcf
@@ -111,18 +117,32 @@ def main() -> None:
         if tables.variant_impacts is not None
         else 0
     )
-    print(
-        json.dumps(
-            {
-                "metric": "vcf_load_throughput",
-                "variants": n_variants,
-                "impacts": n_impacts,
-                "seconds": round(secs, 2),
-                "variants_per_sec": round(n_variants / secs),
-                "contig_partitions": args.contigs,
-            }
+    result = {
+        "metric": "vcf_load_throughput",
+        "variants": n_variants,
+        "impacts": n_impacts,
+        "seconds": round(secs, 2),
+        "variants_per_sec": round(n_variants / secs),
+        "contig_partitions": args.contigs,
+    }
+
+    if args.sqlite:
+        # apples-to-apples with the reference: same input → same artifact
+        # (SQLite db with packed genotype blobs), Spark doing the parse/
+        # derive/pack distributed and the driver streaming executemany
+        from vcf2db_spark.sinks.sqlite import write_gemini_db
+
+        t0 = time.perf_counter()
+        tables2 = load_vcf(spark, path, cache_parse=True)
+        counts = write_gemini_db(
+            f"{out}/bench.db",
+            {"variants": tables2.variants, "variant_impacts": tables2.variant_impacts},
         )
-    )
+        sq_secs = time.perf_counter() - t0
+        result["sqlite_seconds"] = round(sq_secs, 2)
+        result["sqlite_variants_per_sec"] = round(counts["variants"] / sq_secs)
+
+    print(json.dumps(result))
     spark.stop()
 
 
