@@ -58,3 +58,30 @@ def test_cli_sqlite_artifact(spark, tmp_path):
         assert nx == 18
     finally:
         con.close()
+
+
+def test_cli_query_subcommand(spark, tmp_path, capsys):
+    """`python -m vcf2db_spark query <artifact> -q ... --gt-filter ...` —
+    the gemini-query shape over both artifact kinds (parquet dir, .db)."""
+    vcf, ped = write_fixture(str(tmp_path / "src4"))
+    for target in ("pq_out", "mini2.db"):
+        out = str(tmp_path / target)
+        assert main([vcf, ped, out]) == 0
+        capsys.readouterr()  # drain the loader's progress line
+        rc = main(
+            [
+                "query",
+                out,
+                "-q",
+                "SELECT chrom, start, gene FROM variants "
+                "WHERE impact_severity = 'HIGH' ORDER BY chrom, start",
+                "--gt-filter",
+                "gt_types.NA001 == HET",
+            ]
+        )
+        assert rc == 0
+        got = capsys.readouterr().out.strip().splitlines()
+        assert got[0] == "chrom\tstart\tgene"
+        # HIGH-severity variants: chr1:300 frameshift BRCA2 (NA001 is 1/1,
+        # filtered out) and chr2:150 stop_gained MLH1 (NA001 is 0/1 = HET)
+        assert got[1:] == ["chr2\t149\tMLH1"], (target, got)

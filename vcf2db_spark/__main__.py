@@ -49,7 +49,52 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def build_query_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m vcf2db_spark query",
+        description="gemini-style SQL over a loaded artifact "
+        "(parquet output dir or gemini-compatible .db).",
+    )
+    ap.add_argument("artifact", help="CLI output dir (parquet) or .db file")
+    ap.add_argument("-q", "--sql", required=True, help="SQL over variants/variant_impacts/samples")
+    ap.add_argument("--gt-filter", default=None, help="gemini gt-filter mini-language expression")
+    ap.add_argument("--limit", type=int, default=None, help="cap printed rows")
+    ap.add_argument("--format", choices=("tsv", "json"), default="tsv")
+    return ap
+
+
+def query_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark query out_dir -q 'SELECT ...' [--gt-filter ...]`
+    — the reference ecosystem's `gemini query` shape (SURVEY §3 entry 3)."""
+    args = build_query_parser().parse_args(argv)
+
+    from vcf2db_spark.gemini import GeminiEngine
+    from vcf2db_spark.pipeline import open_artifact
+    from vcf2db_spark.session import get_spark
+
+    spark = get_spark("vcf2db-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = GeminiEngine(spark, open_artifact(spark, args.artifact))
+    df = eng.query(args.sql, gt_filter=args.gt_filter)
+    if args.limit is not None:
+        df = df.limit(args.limit)
+    if args.format == "json":
+        for line in df.toJSON().toLocalIterator():
+            print(line)
+    else:
+        cols = df.columns
+        print("\t".join(cols))
+        for row in df.toLocalIterator():
+            print("\t".join("" if row[c] is None else str(row[c]) for c in cols))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "query":
+        return query_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import functions as F

@@ -85,3 +85,57 @@ def load_vcf(
         vcf_header=vcf_header_df,
         header=header,
     )
+
+
+def open_artifact(spark: SparkSession, path: str) -> VCFTables:
+    """Re-open a written artifact as ``VCFTables`` — the downstream-query
+    entry point (SURVEY §3 entry 3) without re-parsing any VCF.
+
+    ``path`` is either the CLI's parquet output directory (one dataset per
+    table) or a gemini-compatible SQLite ``.db`` file (ours, or one the
+    reference itself produced — genotype blobs decode back to arrays).
+    The VCF header text stored in the artifact rebuilds the sample-order
+    index that gt-filters need.
+    """
+    import os
+
+    if path.endswith(".db"):
+        import sqlite3 as _sq
+
+        from vcf2db_spark.sources.sqlite import read_gemini_db
+
+        con = _sq.connect(f"file:{path}?mode=ro", uri=True)
+        try:
+            present = {
+                r[0]
+                for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")
+            }
+        finally:
+            con.close()
+
+        def load(name):
+            return read_gemini_db(spark, path, name) if name in present else None
+
+    else:
+
+        def load(name):
+            p = os.path.join(path, name)
+            return spark.read.parquet(p) if os.path.isdir(p) else None
+
+    variants = load("variants")
+    if variants is None:
+        raise ValueError(f"no variants table in artifact {path!r}")
+    vcf_header = load("vcf_header")
+    if vcf_header is not None:
+        raw = vcf_header.collect()[0]["header_text"]
+        header = parse_header(raw)
+    else:  # header-less artifact: SQL works, gt-filters can't resolve samples
+        header = parse_header("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT")
+        vcf_header = spark.createDataFrame([(header.raw,)], "header_text string")
+    return VCFTables(
+        variants=variants,
+        variant_impacts=load("variant_impacts"),
+        samples=load("samples"),
+        vcf_header=vcf_header,
+        header=header,
+    )
