@@ -13,11 +13,12 @@ def test_cli_parquet_load(spark, tmp_path):
     vcf, ped = write_fixture(str(tmp_path / "src"))
     out = str(tmp_path / "db")
     rc = main(
-        [vcf, ped, out, "--expand", "gt_types", "--legacy-compression",
-         "--black-list", "culprit"]
+        [vcf, ped, out, "--expand", "gt_types", "--expand-wide", "gt_types",
+         "--legacy-compression", "--black-list", "culprit"]
     )
     assert rc == 0
-    for t in ("variants", "variant_impacts", "samples", "vcf_header", "expanded_gt_types"):
+    for t in ("variants", "variant_impacts", "samples", "vcf_header",
+              "expanded_gt_types", "expanded_wide_gt_types"):
         assert os.path.isdir(os.path.join(out, t)), t
 
     v = spark.read.parquet(os.path.join(out, "variants"))
@@ -31,6 +32,18 @@ def test_cli_parquet_load(spark, tmp_path):
     assert set(ex.columns) == {"variant_id", "sample_idx", "value", "sample_name"}
     names = {r["sample_name"] for r in ex.select("sample_name").distinct().collect()}
     assert names == {"NA001", "NA002", "NA003"}
+
+    wide = spark.read.parquet(os.path.join(out, "expanded_wide_gt_types"))
+    assert set(wide.columns) == {
+        "variant_id", "gt_types_NA001", "gt_types_NA002", "gt_types_NA003"
+    }
+    assert wide.count() == 6
+    # wide row == long rows for the same variant
+    w1 = wide.filter(wide.variant_id == 1).collect()[0]
+    l1 = {r["sample_name"]: r["value"] for r in ex.filter(ex.variant_id == 1).collect()}
+    assert [w1[f"gt_types_{s}"] for s in ("NA001", "NA002", "NA003")] == [
+        l1["NA001"], l1["NA002"], l1["NA003"]
+    ]
 
 
 def test_cli_rejects_unknown_expand(tmp_path):
@@ -85,3 +98,25 @@ def test_cli_query_subcommand(spark, tmp_path, capsys):
         # HIGH-severity variants: chr1:300 frameshift BRCA2 (NA001 is 1/1,
         # filtered out) and chr2:150 stop_gained MLH1 (NA001 is 0/1 = HET)
         assert got[1:] == ["chr2\t149\tMLH1"], (target, got)
+
+
+def test_cli_stats_subcommand(spark, tmp_path, capsys):
+    """`python -m vcf2db_spark stats <artifact> --tstv/--burden/--roh` —
+    the gemini-stats tool shape."""
+    vcf, ped = write_fixture(str(tmp_path / "src5"))
+    out = str(tmp_path / "stats_out")
+    assert main([vcf, ped, out]) == 0
+    capsys.readouterr()
+
+    assert main(["stats", out, "--tstv"]) == 0
+    tstv_out = capsys.readouterr().out.strip().splitlines()
+    assert tstv_out[0].split("\t")[:2] == ["n_ts", "n_tv"]
+    assert len(tstv_out) == 2
+
+    assert main(["stats", out, "--burden"]) == 0
+    burden_out = capsys.readouterr().out.strip().splitlines()
+    assert any("MLH1" in ln or "BRCA2" in ln for ln in burden_out[1:])
+
+    assert main(["stats", out, "--roh", "--min-snps", "1", "--min-size-bp", "1"]) == 0
+    roh_out = capsys.readouterr().out.strip().splitlines()
+    assert len(roh_out) >= 2  # header + at least one degenerate run

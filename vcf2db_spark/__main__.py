@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--black-list", nargs="*", default=[], help="INFO fields to drop")
     ap.add_argument("--expand", nargs="*", default=[], help="genotype columns to expand long-form")
+    ap.add_argument(
+        "--expand-wide",
+        nargs="*",
+        default=[],
+        help="genotype columns as per-sample wide tables (the reference's "
+        "--expand layout [U vcf2db.py §main/--expand ~L1160]); long form "
+        "(--expand) is the shape that scales past ~10^3 samples",
+    )
     ap.add_argument("--batch-size", type=int, default=50_000, help="JDBC insert batch size")
     ap.add_argument("--legacy-compression", action="store_true", help="zlib blob twins")
     ap.add_argument("--jdbc-url", default=None, help="jdbc:... target instead of parquet")
@@ -89,12 +97,62 @@ def query_main(argv: list[str]) -> int:
     return 0
 
 
+def stats_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark stats <artifact> --tstv|--snp-counts|--sfs|
+    --roh|--burden` — the `gemini stats` tool shape over a loaded artifact."""
+    ap = argparse.ArgumentParser(prog="python -m vcf2db_spark stats")
+    ap.add_argument("artifact", help="CLI output dir (parquet) or .db file")
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--tstv", action="store_true")
+    g.add_argument("--snp-counts", action="store_true")
+    g.add_argument("--sfs", action="store_true", help="site frequency spectrum")
+    g.add_argument("--roh", action="store_true", help="runs of homozygosity")
+    g.add_argument("--burden", action="store_true", help="per-gene HIGH-impact burden")
+    ap.add_argument("--min-snps", type=int, default=25, help="roh: min sites per run")
+    ap.add_argument("--min-size-bp", type=int, default=100_000, help="roh: min run span")
+    args = ap.parse_args(argv)
+
+    from vcf2db_spark import stats as S
+    from vcf2db_spark.pipeline import open_artifact
+    from vcf2db_spark.session import get_spark
+
+    spark = get_spark("vcf2db-stats")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = open_artifact(spark, args.artifact)
+    if args.tstv:
+        df = S.tstv(tables.variants)
+    elif args.snp_counts:
+        df = S.snp_counts(tables.variants)
+    elif args.sfs:
+        df = S.site_frequency_spectrum(tables.variants)
+    elif args.roh:
+        df = S.roh(
+            tables.variants,
+            tables.header.samples or [],
+            min_snps=args.min_snps,
+            min_size_bp=args.min_size_bp,
+        )
+    else:
+        if tables.variant_impacts is None:
+            raise SystemExit("--burden needs a variant_impacts table in the artifact")
+        df = S.burden(
+            tables.variants, tables.variant_impacts, tables.header.samples or []
+        )
+    cols = df.columns
+    print("\t".join(cols))
+    for row in df.toLocalIterator():
+        print("\t".join("" if row[c] is None else str(row[c]) for c in cols))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
     argv = list(_sys.argv[1:]) if argv is None else list(argv)
     if argv and argv[0] == "query":
         return query_main(argv[1:])
+    if argv and argv[0] == "stats":
+        return stats_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -146,6 +204,24 @@ def main(argv: list[str] | None = None) -> int:
             names = F.array(*[F.lit(s) for s in sample_names])
             long = long.withColumn("sample_name", names[F.col("sample_idx")])
         outputs[f"expanded_{col}"] = long
+
+    for col in args.expand_wide:
+        if col not in variants.columns:
+            print(f"--expand-wide: no such genotype column {col!r}", file=sys.stderr)
+            return 2
+        if not sample_names:
+            print("--expand-wide requires samples in the VCF header", file=sys.stderr)
+            return 2
+        # pure projection (element_at per sample) — no shuffle, no pivot;
+        # width = cohort size, which is the layout's scale ceiling anyway
+        wide = tables.variants.select(
+            "variant_id",
+            *[
+                F.element_at(F.col(col), i + 1).alias(f"{col}_{s}")
+                for i, s in enumerate(sample_names)
+            ],
+        )
+        outputs[f"expanded_wide_{col}"] = wide
 
     n = tables.variants.count()
     if args.jdbc_url:
