@@ -120,3 +120,19 @@ def test_cli_stats_subcommand(spark, tmp_path, capsys):
     assert main(["stats", out, "--roh", "--min-snps", "1", "--min-size-bp", "1"]) == 0
     roh_out = capsys.readouterr().out.strip().splitlines()
     assert len(roh_out) >= 2  # header + at least one degenerate run
+
+
+def test_cli_inheritance_subcommand(spark, tmp_path, capsys):
+    """`python -m vcf2db_spark inheritance <artifact> --model ...`."""
+    vcf, ped = write_fixture(str(tmp_path / "src6"))
+    out = str(tmp_path / "inh_out")
+    assert main([vcf, ped, out]) == 0
+    capsys.readouterr()
+
+    assert main(["inheritance", out, "--model", "mendel_errors"]) == 0
+    me = capsys.readouterr().out.strip().splitlines()
+    assert me and "variant_id" in me[0].split("\t")
+
+    assert main(["inheritance", out, "--model", "de_novo"]) == 0
+    dn = capsys.readouterr().out.strip().splitlines()
+    assert dn  # header row prints even when no trio qualifies

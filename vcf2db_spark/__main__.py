@@ -145,6 +145,50 @@ def stats_main(argv: list[str]) -> int:
     return 0
 
 
+INHERITANCE_MODELS = (
+    "de_novo",
+    "autosomal_recessive",
+    "autosomal_dominant",
+    "x_linked_de_novo",
+    "x_linked_recessive",
+    "x_linked_dominant",
+    "mendel_errors",
+    "comp_hets",
+)
+
+
+def inheritance_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark inheritance <artifact> --model de_novo` —
+    the gemini Mendelian-tool shapes (gemini de_novo / autosomal_* /
+    x_linked_* / mendel_errors / comp_hets) over a loaded artifact with a
+    samples (PED) table."""
+    ap = argparse.ArgumentParser(prog="python -m vcf2db_spark inheritance")
+    ap.add_argument("artifact", help="CLI output dir (parquet) or .db file")
+    ap.add_argument("--model", required=True, choices=INHERITANCE_MODELS)
+    ap.add_argument("--limit", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from vcf2db_spark.inheritance import InheritanceEngine
+    from vcf2db_spark.pipeline import open_artifact
+    from vcf2db_spark.session import get_spark
+
+    spark = get_spark("vcf2db-inheritance")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = open_artifact(spark, args.artifact)
+    if tables.samples is None:
+        raise SystemExit("inheritance models need a samples (PED) table in the artifact")
+    eng = InheritanceEngine(tables)
+    method = "compound_hets" if args.model == "comp_hets" else args.model
+    df = getattr(eng, method)()
+    if args.limit is not None:
+        df = df.limit(args.limit)
+    cols = df.columns
+    print("\t".join(cols))
+    for row in df.toLocalIterator():
+        print("\t".join("" if row[c] is None else str(row[c]) for c in cols))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
@@ -153,6 +197,8 @@ def main(argv: list[str] | None = None) -> int:
         return query_main(argv[1:])
     if argv and argv[0] == "stats":
         return stats_main(argv[1:])
+    if argv and argv[0] == "inheritance":
+        return inheritance_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import functions as F
