@@ -73,7 +73,7 @@ def _join_query(seed: int) -> str:
 
 @pytest.fixture(scope="module", autouse=True)
 def _views(spark):
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "customer"):
         table(spark, SF_DIR, t).createOrReplaceTempView(t)
 
 
@@ -139,3 +139,51 @@ def _interval_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", SEEDS[:10])
 def test_interval_template(seed, spark, oracle_con):
     _run_both(spark, oracle_con, _interval_query(seed))
+
+
+def _setop_query(seed: int) -> str:
+    """Set-operation family: UNION/INTERSECT/EXCEPT (ALL and DISTINCT)
+    over randomized projections — exercises Catalyst's set-op planning and
+    duplicate semantics vs DuckDB."""
+    rng = random.Random(seed + 40_000)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    key = rng.choice(["l_suppkey", "l_partkey % 50", "l_linenumber"])
+    cut = rng.randint(1000, 5000)
+    return (
+        f"SELECT COUNT(*) AS n, COALESCE(MIN(k), -1) AS min_k,"
+        f"       COALESCE(MAX(k), -1) AS max_k FROM ("
+        f"  SELECT {key} AS k FROM lineitem WHERE l_orderkey < {cut}"
+        f"  {op}"
+        f"  SELECT {key} AS k FROM lineitem WHERE l_orderkey >= {cut // 2} AND l_orderkey < {cut * 2}"
+        f")"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_setop_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _setop_query(seed))
+
+
+def _null_case_query(seed: int) -> str:
+    """NULL-semantics family: outer-join nulls through COALESCE/NULLIF/
+    CASE buckets and null-aware counts — the B26 surface under random
+    predicates."""
+    rng = random.Random(seed + 50_000)
+    cut = rng.randint(100, 1200)
+    band = rng.randint(50, 300) * 1000
+    return (
+        f"SELECT CASE WHEN o.o_totalprice IS NULL THEN 'none'"
+        f"            WHEN o.o_totalprice < {band} THEN 'low' ELSE 'high' END AS band,"
+        f"       COUNT(*) AS n,"
+        f"       COUNT(o.o_orderkey) AS n_orders,"
+        f"       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,"
+        f"       COALESCE(MIN(NULLIF(o.o_orderstatus, 'O')), '-') AS min_status"
+        f" FROM customer c LEFT JOIN orders o"
+        f"   ON c.c_custkey = o.o_custkey AND o.o_orderkey < {cut}"
+        f" GROUP BY band ORDER BY band"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_null_case_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _null_case_query(seed))
