@@ -200,3 +200,19 @@ def test_real_codec_is_stubbed(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|FAKE|PIL|ffmpeg"):
         mm.extract_features(df).collect()
+
+
+def test_sample_stratified_proportions(spark, sf_dir):
+    """sampleBy draws ≈ the requested fraction per stratum and is
+    deterministic for a fixed seed."""
+    from vcf2db_spark.io import table as _table
+    from vcf2db_spark.queries import QUERIES
+
+    li = _table(spark, sf_dir, "lineitem")
+    totals = {r["l_returnflag"]: r["n"] for r in li.groupBy("l_returnflag").count().withColumnRenamed("count", "n").collect()}
+    got1 = {r["l_returnflag"]: r["n_sampled"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    got2 = {r["l_returnflag"]: r["n_sampled"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    assert got1 == got2  # seed-deterministic
+    for flag, frac in (("R", 0.5), ("N", 0.05), ("A", 0.2)):
+        expect = totals[flag] * frac
+        assert abs(got1.get(flag, 0) - expect) < max(30, 0.25 * expect), (flag, got1, expect)

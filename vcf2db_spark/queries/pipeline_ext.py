@@ -246,6 +246,22 @@ def sample_frac(spark, sf_dir):
     )
 
 
+@dq("sample_stratified")
+def sample_stratified(spark, sf_dir):
+    """B27 stratified tier: ``sampleBy`` draws a DIFFERENT fraction per
+    stratum (here: oversample returns 'R', thin 'N') — the cohort-balancing
+    primitive for training-data curation (class rebalancing without a
+    shuffle; per-row Bernoulli keyed by the stratum column). Rows-only by
+    contract (sampling is engine-specific); the proportion sanity check
+    lives in tests/test_extensions.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.sampleBy("l_returnflag", {"R": 0.5, "N": 0.05, "A": 0.2}, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
 @dq("approx_agg")
 def approx_agg(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
