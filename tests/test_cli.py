@@ -136,3 +136,33 @@ def test_cli_inheritance_subcommand(spark, tmp_path, capsys):
     assert main(["inheritance", out, "--model", "de_novo"]) == 0
     dn = capsys.readouterr().out.strip().splitlines()
     assert dn  # header row prints even when no trio qualifies
+
+
+def test_cli_annotate_subcommand(spark, tmp_path, capsys):
+    """`python -m vcf2db_spark annotate <artifact> <bed> ...` — the
+    gemini-annotate tool shape end-to-end."""
+    vcf, ped = write_fixture(str(tmp_path / "src7"))
+    out = str(tmp_path / "anno_src")
+    assert main([vcf, ped, out]) == 0
+    bed = tmp_path / "regions.bed"
+    bed.write_text("chr1\t0\t250\tregionA\t5\t+\nchr2\t100\t200\tregionB\t7\t-\n")
+    aug = str(tmp_path / "augmented")
+    rc = main(
+        [
+            "annotate", out, str(bed),
+            "--boolean", "in_region", "--count", "n_regions",
+            "--extract", "region_names:name:uniq", "max_score:score:max",
+            "-o", aug,
+        ]
+    )
+    assert rc == 0
+    got = {
+        r["start"]: (r["in_region"], r["n_regions"], r["region_names"], r["max_score"])
+        for r in spark.read.parquet(aug).collect()
+    }
+    assert len(got) == 6
+    assert got[99] == (True, 1, ["regionA"], 5.0)    # chr1:99 in regionA
+    assert got[199] == (True, 1, ["regionA"], 5.0)   # chr1:199 in regionA
+    assert got[299] == (False, 0, None, None)        # chr1:299 outside
+    assert got[149] == (True, 1, ["regionB"], 7.0)   # chr2:149 in regionB
+    assert got[249] == (False, 0, None, None)        # chr2:249 outside

@@ -189,6 +189,57 @@ def inheritance_main(argv: list[str]) -> int:
     return 0
 
 
+def annotate_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark annotate <artifact> <regions.bed>
+    [--boolean NAME] [--count NAME] [--extract OUT:COL:OP ...] -o OUT` —
+    the `gemini annotate` tool shape: add overlap-derived columns to the
+    variants table from a BED file, write the augmented table."""
+    ap = argparse.ArgumentParser(prog="python -m vcf2db_spark annotate")
+    ap.add_argument("artifact", help="CLI output dir (parquet) or .db file")
+    ap.add_argument("bed", help="BED interval file (plain or gzip)")
+    ap.add_argument("--boolean", default=None, metavar="NAME", help="any-overlap flag column")
+    ap.add_argument("--count", default=None, metavar="NAME", help="overlap-count column")
+    ap.add_argument(
+        "--extract",
+        nargs="*",
+        default=[],
+        metavar="OUT:COL:OP",
+        help="extracted columns, e.g. gerp_mean:score:mean names:name:uniq",
+    )
+    ap.add_argument("-o", "--out", required=True, help="output parquet path for the augmented variants")
+    ap.add_argument("--bin-width", type=int, default=100_000)
+    args = ap.parse_args(argv)
+
+    from vcf2db_spark.operators.annotate import annotate_variants
+    from vcf2db_spark.pipeline import open_artifact
+    from vcf2db_spark.session import get_spark
+    from vcf2db_spark.sinks.writers import write_parquet
+    from vcf2db_spark.sources.bed import read_bed
+
+    extract: dict[str, tuple[str, str]] = {}
+    for spec in args.extract:
+        parts = spec.split(":")
+        if len(parts) != 3:
+            print(f"--extract expects OUT:COL:OP, got {spec!r}", file=sys.stderr)
+            return 2
+        extract[parts[0]] = (parts[1], parts[2])
+
+    spark = get_spark("vcf2db-annotate")
+    spark.sparkContext.setLogLevel("ERROR")
+    tables = open_artifact(spark, args.artifact)
+    out = annotate_variants(
+        tables.variants,
+        read_bed(spark, args.bed),
+        extract=extract,
+        boolean_col=args.boolean,
+        count_col=args.count,
+        bin_width=args.bin_width,
+    )
+    write_parquet(out, args.out)
+    print(f"annotated variants written to {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
@@ -199,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
         return stats_main(argv[1:])
     if argv and argv[0] == "inheritance":
         return inheritance_main(argv[1:])
+    if argv and argv[0] == "annotate":
+        return annotate_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import functions as F
