@@ -128,3 +128,22 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
         .count()
     )
     assert violations == 0
+
+
+def test_ivf_build_search_api(spark, tmp_path):
+    """build_ivf_index + ivf_search: persisted search equals the inline
+    ivf_topk result (same deterministic centroids), probe scan is pruned."""
+    from vcf2db_spark.operators.similarity import build_ivf_index, ivf_search, ivf_topk
+
+    emb = table(spark, SF, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+    out = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, out, n_lists=8)
+    got = [tuple(r) for r in ivf_search(spark, out, qv, k=5, nprobe=3).collect()]
+    want = [tuple(r) for r in ivf_topk(emb, qv, k=5, n_lists=8, nprobe=3).collect()]
+    assert got == want and len(got) == 5
+
+    probe = ivf_search(spark, out, qv, k=5, nprobe=3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan

@@ -178,3 +178,58 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), id_col)
         .limit(k)
     )
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: vectors partitioned by inverted list
+    (`list_id=` directories → storage-level partition pruning at probe
+    time) plus the centroid table under ``_centroids/`` (the underscore
+    prefix keeps parquet readers of the main dataset from picking it up).
+    Build cost: one centroid sample + one matmul assignment pass + one
+    partitioned write; at 100 TB this is the one-off that turns every
+    subsequent search from a full scan into an nprobe/n_lists scan."""
+    assigned, centroids = ivf_assign(emb, n_lists, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "list_id bigint, centroid array<double>"
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: rank centroids driver-side
+    (O(n_lists) work), probe the nprobe nearest partitions (pruned scan),
+    exact cosine re-rank inside them. Same result contract as
+    ``ivf_topk`` but without re-building the assignment."""
+    qv = np.asarray(query_vec, dtype="float64")
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+
+    def cos_np(c):
+        c = np.asarray(c)
+        return float(np.dot(c, qv) / (np.linalg.norm(c) * np.linalg.norm(qv) + 1e-12))
+
+    ranked = sorted(((cos_np(r["centroid"]), int(r["list_id"])) for r in cents), reverse=True)
+    probe_ids = [lid for _, lid in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path)
+    return (
+        idx.filter(F.col("list_id").isin(probe_ids))
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), id_col)
+        .limit(k)
+    )
