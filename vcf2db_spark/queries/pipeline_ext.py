@@ -246,6 +246,24 @@ def sample_frac(spark, sf_dir):
     )
 
 
+@dq("curate_docs")
+def curate_docs(spark, sf_dir):
+    """C1-C5 composed: the full curation pass (quality filter → exact
+    dedup → MinHash-LSH near-dedup) over `documents`, reporting survivors
+    per (lang_pred, source). Deterministic (seeded hashes, id tie-breaks)
+    but not SQL-expressible in one oracle (LSH banding) → rows-only;
+    stage-level semantics are golden-tested in tests/test_curate.py."""
+    from vcf2db_spark.curate import curate_documents
+
+    docs = table(spark, sf_dir, "documents")
+    out = curate_documents(docs, min_quality=0.0, lsh_threshold=0.9)
+    return (
+        out.groupBy("lang_pred", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred", "source")
+    )
+
+
 @dq("sample_stratified")
 def sample_stratified(spark, sf_dir):
     """B27 stratified tier: ``sampleBy`` draws a DIFFERENT fraction per
