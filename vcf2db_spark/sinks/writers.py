@@ -133,3 +133,51 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return len(spark.read.parquet(path).inputFiles())
+
+
+def optimize_parquet(
+    spark,
+    path: str,
+    zorder_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+    target_file_mb: int = 256,
+    compression: str = "zstd",
+) -> int:
+    """Table maintenance in one pass — the Delta/Iceberg ``OPTIMIZE
+    [ZORDER BY]`` shape for plain parquet datasets: size-targeted
+    compaction plus either a single-column sort (``sort_within``) or a
+    multi-column Z-order layout (``zorder_by``, via
+    ``operators.layout.zorder_write``). Atomic staged rewrite (readers see
+    old or new, never partial). Returns the new file count.
+
+    One maintenance pass amortizes over every subsequent scan: fewer
+    files → cheaper listings/planning; re-established min/max locality →
+    row-group pruning works again after incremental appends."""
+    import math
+    import os
+    import shutil
+
+    if zorder_by and sort_within:
+        raise ValueError("pass zorder_by or sort_within, not both")
+
+    df = spark.read.parquet(path)
+    files = df.inputFiles()
+    total = sum(os.path.getsize(f.removeprefix("file:")) for f in files if f.startswith("file:"))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+    staging = path.rstrip("/") + "._optimizing"
+    if zorder_by:
+        from vcf2db_spark.operators.layout import zorder_write
+
+        zorder_write(df, list(zorder_by), staging, num_files=n, compression=compression)
+    else:
+        out = df.coalesce(n) if n < len(files) else df.repartition(n)
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.mode("overwrite").option("compression", compression).parquet(staging)
+
+    backup = path.rstrip("/") + "._pre_optimize"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return len(spark.read.parquet(path).inputFiles())
