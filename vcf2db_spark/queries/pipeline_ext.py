@@ -257,7 +257,7 @@ def curate_docs(spark, sf_dir):
 
     # bounded input (harness convention): LSH banding over the full sf0.1
     # corpus is the scale path's job, not the per-round compare's
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10_000)
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5_000)
     out = curate_documents(docs, min_quality=0.0, lsh_threshold=0.9)
     return (
         out.groupBy("lang_pred", "source")
