@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--batch-size", type=int, default=50_000, help="JDBC insert batch size")
     ap.add_argument("--legacy-compression", action="store_true", help="zlib blob twins")
+    ap.add_argument(
+        "--decompose",
+        action="store_true",
+        help="split multi-allelic records in-engine (vt decompose -s "
+        "semantics) instead of rejecting them",
+    )
     ap.add_argument("--jdbc-url", default=None, help="jdbc:... target instead of parquet")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
     return ap
@@ -273,6 +279,7 @@ def main(argv: list[str] | None = None) -> int:
         ped_path=args.ped,
         black_list=tuple(args.black_list),
         cache_parse=True,
+        decompose="split" if args.decompose else "reject",
     )
 
     variants = tables.variants

@@ -46,6 +46,7 @@ def load_vcf(
     include_genotypes: bool = True,
     num_partitions: int | None = None,
     cache_parse: bool = False,
+    decompose: str = "reject",
 ) -> VCFTables:
     """``cache_parse=True`` persists the parsed stream so the downstream
     consumers (variant_id's range sampling, the variants sink, the impacts
@@ -59,6 +60,7 @@ def load_vcf(
         vcf_path,
         black_list=black_list,
         include_genotypes=include_genotypes and bool(header.samples),
+        decompose=decompose,
     )
     if cache_parse:
         raw = raw.persist()

@@ -154,9 +154,76 @@ def _parse_sample(
     )
 
 
-def _row_builder(header: VCFHeader, schema: T.StructType):
+def _decompose_sample(fmt_keys: list[str], raw: str, ai: int, n_alts: int) -> str:
+    """Per-sample FORMAT rewrite for alt index ``ai`` (vt decompose -s
+    semantics): GT alleles map 0→0, (ai+1)→1, any other alt→'.';
+    Number=R fields (AD) subset to [ref, alt_ai]."""
+    vals = raw.split(":")
+    for idx, key in enumerate(fmt_keys):
+        if idx >= len(vals):
+            break
+        if key == "GT":
+            gt = vals[idx]
+            sep = "|" if "|" in gt else "/"
+            toks = []
+            for t in gt.replace("|", "/").split("/"):
+                if t in (".", ""):
+                    toks.append(".")
+                else:
+                    a = int(t)
+                    toks.append("0" if a == 0 else ("1" if a == ai + 1 else "."))
+            vals[idx] = sep.join(toks)
+        elif key == "AD":
+            ad = vals[idx]
+            if ad not in (".", "") and "," in ad:
+                advals = ad.split(",")
+                if len(advals) == n_alts + 1:
+                    vals[idx] = f"{advals[0]},{advals[ai + 1]}"
+    return ":".join(vals)
+
+
+def _decompose_parts(
+    parts: list[str], header: VCFHeader, ai: int, alt_i: str, n_alts: int
+) -> list[str]:
+    """One multi-allelic record → the single-alt record for alt index
+    ``ai``: INFO Number=A picks slot ai, Number=R keeps [ref, alt_ai],
+    Number=G (genotype-likelihood shaped) is dropped — the reference punts
+    on G entirely (SURVEY §7 hard-part 4); everything else passes through."""
+    new = list(parts)
+    new[4] = alt_i
+    if parts[7] != ".":
+        out_items = []
+        for item in parts[7].split(";"):
+            if "=" not in item:
+                out_items.append(item)
+                continue
+            key, val = item.split("=", 1)
+            fd = header.infos.get(key)
+            if fd is None:
+                out_items.append(item)
+                continue
+            vals = val.split(",")
+            if fd.number == "A" and len(vals) == n_alts:
+                out_items.append(f"{key}={vals[ai]}")
+            elif fd.number == "R" and len(vals) == n_alts + 1:
+                out_items.append(f"{key}={vals[0]},{vals[ai + 1]}")
+            elif fd.number == "G":
+                continue
+            else:
+                out_items.append(item)
+        new[7] = ";".join(out_items) if out_items else "."
+    if len(parts) > 8:
+        fmt_keys = parts[8].split(":")
+        for si in range(9, len(parts)):
+            new[si] = _decompose_sample(fmt_keys, parts[si], ai, n_alts)
+    return new
+
+
+def _row_builder(header: VCFHeader, schema: T.StructType, decompose: str = "reject"):
     """Compile the per-line transform once per partition: tab-split parts →
-    schema-ordered tuple."""
+    LIST of schema-ordered tuples (one per alt under ``decompose='split'``;
+    multi-allelic input raises under the default ``'reject'``, preserving
+    the reference's `vt decompose` precondition)."""
     info_fields = [
         (f.name, fid)
         for fid, f in (
@@ -166,13 +233,8 @@ def _row_builder(header: VCFHeader, schema: T.StructType):
     ]
     has_gts = "gts" in schema.fieldNames()
 
-    def build(parts: list[str]) -> tuple:
+    def build_one(parts: list[str]) -> tuple:
         chrom, pos, _vid, ref, alt, qual, filt, info_raw = parts[:8]
-        if "," in alt:
-            raise ValueError(
-                f"multi-allelic record at {chrom}:{pos} (ALT={alt!r}); "
-                "input must be decomposed — run `vt decompose` first."
-            )
         info = _parse_info(info_raw, header)
         row: list[object] = [
             chrom,
@@ -192,13 +254,35 @@ def _row_builder(header: VCFHeader, schema: T.StructType):
                 row.append([s[i] for s in samples])
         return tuple(row)
 
+    def build(parts: list[str]) -> list[tuple]:
+        alt = parts[4]
+        if "," not in alt:
+            return [build_one(parts)]
+        if decompose != "split":
+            raise ValueError(
+                f"multi-allelic record at {parts[0]}:{parts[1]} (ALT={alt!r}); "
+                "input must be decomposed — run `vt decompose` first, or "
+                "read with decompose='split'."
+            )
+        alts = alt.split(",")
+        return [
+            build_one(_decompose_parts(parts, header, ai, alt_i, len(alts)))
+            for ai, alt_i in enumerate(alts)
+        ]
+
     return build
 
 
-def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: str | None):
+def _iter_records(
+    path: str,
+    header: VCFHeader,
+    schema: T.StructType,
+    contig: str | None,
+    decompose: str = "reject",
+):
     """Filtered full scan (plain text / plain gzip, or no index): each
     partition streams the file and keeps only its contig."""
-    build = _row_builder(header, schema)
+    build = _row_builder(header, schema, decompose)
     with _open(path) as fh:
         for line in fh:
             if line.startswith("#"):
@@ -206,7 +290,7 @@ def _iter_records(path: str, header: VCFHeader, schema: T.StructType, contig: st
             parts = line.rstrip("\n").split("\t")
             if contig is not None and parts[0] != contig:
                 continue
-            yield build(parts)
+            yield from build(parts)
 
 
 def _iter_chunks(
@@ -214,13 +298,14 @@ def _iter_chunks(
     header: VCFHeader,
     schema: T.StructType,
     partition: "ContigPartition",
+    decompose: str = "reject",
 ):
     """Tabix-seek read: inflate only the partition's BGZF chunk ranges and
     keep records overlapping its [beg, end) locus window. This is the
     htslib region-query loop re-expressed per Spark partition."""
     from vcf2db_spark.sources.bgzf import BGZFReader
 
-    build = _row_builder(header, schema)
+    build = _row_builder(header, schema, decompose)
     beg, end = partition.beg, partition.end
     with BGZFReader(path) as rd:
         for vbeg, vend in partition.chunks or ():
@@ -235,7 +320,7 @@ def _iter_chunks(
                 rec_beg = int(parts[1]) - 1
                 rec_end = rec_beg + len(parts[3])
                 if rec_beg < end and rec_end > beg:
-                    yield build(parts)
+                    yield from build(parts)
 
 
 class VCFReader(DataSourceReader):
@@ -248,6 +333,7 @@ class VCFReader(DataSourceReader):
         self.path = options["path"]
         self.header = parse_header(read_header_text(self.path))
         split = options.get("partitionByContig", "true").lower() == "true"
+        self.decompose = options.get("decompose", "reject").lower()
         self.arrow = options.get("arrowBatches", "true").lower() == "true"
         self.contigs = self.header.contigs if split else []
         # pushed-down locus constraints (pushFilters fills these)
@@ -318,9 +404,13 @@ class VCFReader(DataSourceReader):
 
     def read(self, partition: ContigPartition):
         if partition.chunks is not None:
-            rows = _iter_chunks(self.path, self.header, self.schema_, partition)
+            rows = _iter_chunks(
+                self.path, self.header, self.schema_, partition, self.decompose
+            )
         else:
-            rows = _iter_records(self.path, self.header, self.schema_, partition.contig)
+            rows = _iter_records(
+                self.path, self.header, self.schema_, partition.contig, self.decompose
+            )
         if not self.arrow:
             yield from rows
             return
@@ -382,8 +472,15 @@ def read_vcf(
     partition_by_contig: bool = True,
     arrow_batches: bool = True,
     index: str = "auto",
+    decompose: str = "reject",
 ) -> DataFrame:
     """Library entry point (reference entry point 2, [U §VCFDB.__init__ ~L580]).
+
+    ``decompose='split'`` decomposes multi-allelic records in-engine
+    (vt decompose -s semantics: per-alt INFO A/R slicing, GT allele
+    remap with other-alt→'.', AD subsetting, Number=G dropped) — the
+    preprocessing step the reference requires users to run externally.
+    The default ``'reject'`` preserves the reference's precondition.
 
     ``arrow_batches`` hands Spark columnar RecordBatches instead of
     per-row tuples. Measured locally the two are within noise (the Python
@@ -404,5 +501,6 @@ def read_vcf(
         .option("partitionByContig", str(partition_by_contig).lower())
         .option("arrowBatches", str(arrow_batches).lower())
         .option("index", index)
+        .option("decompose", decompose)
     )
     return reader.load(path)

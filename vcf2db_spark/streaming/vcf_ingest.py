@@ -43,6 +43,7 @@ def read_vcf_stream(
     black_list: tuple[str, ...] = (),
     include_genotypes: bool = True,
     max_files_per_trigger: int | None = None,
+    decompose: str = "reject",
 ) -> DataFrame:
     """Streaming DataFrame of parsed variant records from VCF shards
     arriving under ``watch_dir`` (plain ``.vcf``; header lines in shards
@@ -53,15 +54,16 @@ def read_vcf_stream(
         black_list=black_list,
         include_genotypes=include_genotypes and bool(header.samples),
     )
-    build = _row_builder(header, schema)
+    build = _row_builder(header, schema, decompose)
     names = schema.fieldNames()
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                build(line.rstrip("\n").split("\t"))
+                row
                 for line in pdf["value"]
                 if line and not line.startswith("#")
+                for row in build(line.rstrip("\n").split("\t"))
             ]
             yield pd.DataFrame(rows, columns=names)
 
