@@ -32,6 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m vcf2db_spark",
         description="Load a decomposed, annotated VCF into analytic tables.",
+        epilog="Subcommands over a loaded artifact: "
+        "`query <artifact> -q SQL [--gt-filter ...]`, "
+        "`stats <artifact> --tstv|--snp-counts|--sfs|--roh|--burden`, "
+        "`inheritance <artifact> --model de_novo|...`, "
+        "`annotate <artifact> <bed> -o OUT`.",
     )
     ap.add_argument("vcf", help="decomposed, annotated VCF (.vcf or .vcf.gz)")
     ap.add_argument("ped", nargs="?", default=None, help="PED pedigree file")
