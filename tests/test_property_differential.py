@@ -187,3 +187,25 @@ def _null_case_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", SEEDS[:10])
 def test_null_case_template(seed, spark, oracle_con):
     _run_both(spark, oracle_con, _null_case_query(seed))
+
+
+def _temporal_query(seed: int) -> str:
+    """Temporal family: date_trunc/EXTRACT buckets with random predicates —
+    the B22 surface under the UTC-pinned session both engines share."""
+    rng = random.Random(seed + 60_000)
+    unit = rng.choice(["month", "week", "day"])
+    part = rng.choice(["year", "month", "day"])
+    return (
+        f"SELECT CAST(date_trunc('{unit}', o_orderdate) AS DATE) AS bucket,"
+        f"       COUNT(*) AS n,"
+        f"       CAST(MIN(EXTRACT({part} FROM o_orderdate)) AS BIGINT) AS min_part,"
+        f"       MIN(o_orderkey) AS min_k"
+        f" FROM orders WHERE o_orderkey % {rng.randint(2, 9)} = 0"
+        f"   AND o_totalprice < {rng.randint(100, 500) * 1000}"
+        f" GROUP BY bucket ORDER BY bucket"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_temporal_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _temporal_query(seed))
