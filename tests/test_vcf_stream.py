@@ -77,3 +77,21 @@ def test_no_variant_id_in_stream_mode(spark, dirs):
     (watch / "s.vcf").write_text(HEADER + BODY)
     _drain(spark, watch, out, ckpt, header_vcf)
     assert "variant_id" not in spark.read.parquet(out).columns
+
+
+def test_stream_decompose_split(spark, dirs):
+    """Streaming ingest with in-engine decomposition: a multi-allelic
+    shard yields one row per alt."""
+    watch, out, ckpt, header_vcf = dirs
+    (watch / "multi.vcf").write_text(
+        "chr1\t700\t.\tA\tG,T\t40.0\tPASS\tAC=1,2;AF=0.167,0.333;DP=21"
+        "\tGT:GQ:DP:AD\t1/2:50:9:1,4,4\t0/1:60:8:4,4,0\t0/0:70:7:7,0,0\n"
+    )
+    q = stream_load_vcf(spark, str(watch), header_vcf, out, ckpt, decompose="split")
+    q.awaitTermination(120)
+    df = spark.read.parquet(out).filter(F.col("start") == 699)
+    rows = {r["alt"]: r for r in df.collect()}
+    assert set(rows) == {"G", "T"}
+    assert rows["G"]["ac"] == 1 and rows["T"]["ac"] == 2
+    assert rows["G"]["gt_types"] == [2, 1, 0]  # 1/2→./1 unknown; 0/1→het
+    assert rows["T"]["gt_types"] == [2, 2, 0]

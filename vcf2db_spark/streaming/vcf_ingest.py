@@ -83,6 +83,7 @@ def stream_load_vcf(
     black_list: tuple[str, ...] = (),
     include_genotypes: bool = True,
     available_now: bool = True,
+    decompose: str = "reject",
 ):
     """Incremental load: parse arriving shards, derive type/sub_type and
     cohort genotype stats (the batch pipeline's A5 stage), append to a
@@ -96,6 +97,7 @@ def stream_load_vcf(
         header_path,
         black_list=black_list,
         include_genotypes=include_genotypes,
+        decompose=decompose,
     )
     v = with_variant_type(parsed)
     if include_genotypes and "gt_types" in v.columns:
