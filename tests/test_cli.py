@@ -121,6 +121,14 @@ def test_cli_stats_subcommand(spark, tmp_path, capsys):
     roh_out = capsys.readouterr().out.strip().splitlines()
     assert len(roh_out) >= 2  # header + at least one degenerate run
 
+    assert main(
+        ["stats", out, "--roh-tolerant", "--min-snps", "1", "--min-size-bp", "1",
+         "--max-hets", "1", "--max-unknowns", "1"]
+    ) == 0
+    tol_out = capsys.readouterr().out.strip().splitlines()
+    # tolerant runs absorb interruptions → at least as many/long runs
+    assert len(tol_out) >= len(roh_out)
+
 
 def test_cli_inheritance_subcommand(spark, tmp_path, capsys):
     """`python -m vcf2db_spark inheritance <artifact> --model ...`."""

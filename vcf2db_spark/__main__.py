@@ -117,10 +117,17 @@ def stats_main(argv: list[str]) -> int:
     g.add_argument("--tstv", action="store_true")
     g.add_argument("--snp-counts", action="store_true")
     g.add_argument("--sfs", action="store_true", help="site frequency spectrum")
-    g.add_argument("--roh", action="store_true", help="runs of homozygosity")
+    g.add_argument("--roh", action="store_true", help="runs of homozygosity (strict)")
+    g.add_argument(
+        "--roh-tolerant",
+        action="store_true",
+        help="roh absorbing up to --max-hets/--max-unknowns interruptions (gemini defaults)",
+    )
     g.add_argument("--burden", action="store_true", help="per-gene HIGH-impact burden")
     ap.add_argument("--min-snps", type=int, default=25, help="roh: min sites per run")
     ap.add_argument("--min-size-bp", type=int, default=100_000, help="roh: min run span")
+    ap.add_argument("--max-hets", type=int, default=1, help="roh-tolerant: het budget")
+    ap.add_argument("--max-unknowns", type=int, default=3, help="roh-tolerant: unknown budget")
     args = ap.parse_args(argv)
 
     from vcf2db_spark import stats as S
@@ -142,6 +149,15 @@ def stats_main(argv: list[str]) -> int:
             tables.header.samples or [],
             min_snps=args.min_snps,
             min_size_bp=args.min_size_bp,
+        )
+    elif args.roh_tolerant:
+        df = S.roh_tolerant(
+            tables.variants,
+            tables.header.samples or [],
+            min_snps=args.min_snps,
+            min_size_bp=args.min_size_bp,
+            max_hets=args.max_hets,
+            max_unknowns=args.max_unknowns,
         )
     else:
         if tables.variant_impacts is None:
