@@ -179,3 +179,32 @@ def test_optimize_parquet_zorder(spark, tmp_path):
         }
         assert len(touched) <= n_after
         assert probe.count() > 0
+
+
+def test_ivf_lloyd_refinement_improves_objective(spark):
+    """ivf_assign(refine_iters=N): the spherical-k-means objective (mean
+    cosine of each vector to its assigned centroid) must not decrease
+    with refinement — Lloyd's guarantee, checked exactly."""
+    import numpy as np
+
+    from vcf2db_spark.operators.similarity import ivf_assign
+
+    emb = table(spark, SF, "embeddings")
+
+    def objective(assigned, centroids):
+        cmap = {cid: np.asarray(v, dtype="float64") for cid, v in centroids}
+        rows = assigned.select("list_id", "embedding").collect()
+        cos = []
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype="float64")
+            c = cmap[r["list_id"]]
+            cos.append(float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c) + 1e-12)))
+        return sum(cos) / len(cos)
+
+    a0, c0 = ivf_assign(emb, n_lists=8, refine_iters=0)
+    a2, c2 = ivf_assign(emb, n_lists=8, refine_iters=2)
+    o0, o2 = objective(a0, c0), objective(a2, c2)
+    assert o2 >= o0 - 1e-9, (o0, o2)
+    # refinement is deterministic
+    _, c2b = ivf_assign(emb, n_lists=8, refine_iters=2)
+    assert c2 == c2b
