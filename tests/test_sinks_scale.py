@@ -237,3 +237,26 @@ def test_knn_join_shape_and_recall(spark):
     exact_best = brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=1).collect()[0]["cosine"]
     assert cosines[0] <= exact_best + 1e-9
     del exact  # documented blocking trade: exact set may straddle lists
+
+
+def test_semantic_dedup(spark):
+    """semantic_dedup: planted near-duplicates (same vector + tiny jitter)
+    drop; the smaller id of each pair survives; distinct vectors survive."""
+    from vcf2db_spark.operators.similarity import semantic_dedup
+
+    base = table(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    # plant near-dups: copies of vectors 0..4 with ids 1000..1004 (scaled
+    # by 1.001 — cosine-identical up to float noise)
+    dups = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.001)).alias("embedding"),
+        "label",
+    )
+    corpus = base.unionByName(dups)
+    kept = semantic_dedup(corpus, threshold=0.999, n_lists=4, refine_iters=1)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # every planted dup (id >= 1000) must drop, its original must survive
+    assert all(1000 + i not in kept_ids for i in range(5)), kept_ids & set(range(1000, 1005))
+    assert all(i in kept_ids for i in range(5))
+    # nothing else should cross the 0.999 threshold in random N(0,0.1) data
+    assert len(kept_ids) == 100

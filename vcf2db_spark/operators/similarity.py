@@ -314,3 +314,32 @@ def knn_join(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate removal (SemDeDup-style): drop every
+    vector that has a kept neighbor with cosine ≥ ``threshold``; within a
+    duplicate pair the smaller id survives (deterministic).
+
+    Built on the IVF list blocking of ``knn_join``: only same-list pairs
+    are compared (|corpus|²/n_lists work), then a left-anti join removes
+    the larger id of each over-threshold pair. One list-blocked join, one
+    anti join — no all-pairs product at any scale.
+    """
+    pairs = knn_join(
+        emb, k=1, n_lists=n_lists, refine_iters=refine_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    drops = (
+        pairs.filter((F.col("cosine") >= threshold) & (F.col("id") > F.col("neighbor_id")))
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return emb.join(drops, id_col, "left_anti")
