@@ -87,6 +87,10 @@ chr1\t100\t.\tA\tG\t50.0\tPASS\tDP=30;CSQ=G|missense_variant|GENE1|T1|protein_co
 chr1\t200\t.\tC\tT\t50.0\tPASS\tDP=30;CSQ=T|missense_variant|GENE1|T2|protein_coding||||||\tGT\t0/1\t0/0\t0/1
 chr1\t300\t.\tG\tA\t50.0\tPASS\tDP=30;CSQ=A|missense_variant|GENE2|T3|protein_coding||||||\tGT\t0/1\t0/1\t0/0
 chr1\t400\t.\tT\tC\t50.0\tPASS\tDP=30;CSQ=C|missense_variant|GENE3|T4|protein_coding||||||\tGT\t0/1\t0/1\t0/1
+chr1\t500\t.\tA\tG\t50.0\tPASS\tDP=30;CSQ=G|missense_variant|GENE4|T5|protein_coding||||||\tGT\t0/1\t0/1\t0/0
+chr1\t600\t.\tC\tT\t50.0\tPASS\tDP=30;CSQ=T|missense_variant|GENE4|T6|protein_coding||||||\tGT\t0/1\t0/1\t0/0
+chr1\t700\t.\tG\tA\t50.0\tPASS\tDP=30;CSQ=A|missense_variant|GENE5|T7|protein_coding||||||\tGT\t0/1\t0/0\t0/0
+chr1\t800\t.\tT\tC\t50.0\tPASS\tDP=30;CSQ=C|missense_variant|GENE5|T8|protein_coding||||||\tGT\t0/1\t0/1\t0/1
 """
 
 
@@ -102,12 +106,26 @@ def ch_engine(spark, tmp_path_factory):
 def test_compound_hets(ch_engine):
     """GENE1 has a paternal-origin HET (pos 100) and a maternal-origin HET
     (pos 200) → exactly one pair. GENE2 has only paternal; GENE3's site is
-    ambiguous (both parents HET) → excluded."""
+    ambiguous (both parents HET) → excluded. GENE4's two sites are both
+    paternal (no maternal partner); GENE5's sites have no resolvable
+    origin (de novo shape / both-parents-HET) → all excluded in strict
+    mode."""
     rows = ch_engine.compound_hets().collect()
     assert len(rows) == 1
     r = rows[0]
     assert r["child"] == "CHILD" and r["gene"] == "GENE1"
     assert r["paternal_variant_id"] != r["maternal_variant_id"]
+
+
+def test_compound_hets_pattern_only(ch_engine):
+    """--pattern-only keeps GENE1 (opposite single-parent carriers) and
+    GENE5 (700 is carried by neither parent, 800 by both — no single
+    parent carries both), but drops GENE4 where dad carries both sites
+    (possible cis pair)."""
+    rows = ch_engine.compound_hets(pattern_only=True).collect()
+    got = {(r["child"], r["gene"]) for r in rows}
+    assert got == {("CHILD", "GENE1"), ("CHILD", "GENE5")}
+    assert all(r["variant_id_1"] < r["variant_id_2"] for r in rows)
 
 
 # ---- X-linked models -------------------------------------------------------

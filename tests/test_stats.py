@@ -141,6 +141,22 @@ def test_burden_counts(tables, samples):
     }
 
 
+def test_burden_wide_matrix(tables, samples):
+    from vcf2db_spark.stats import burden_wide
+
+    rows = {r["gene"]: r for r in burden_wide(
+        tables.variants, tables.variant_impacts, samples
+    ).collect()}
+    assert set(rows) == {"BRCA2", "MLH1"}
+    assert (rows["BRCA2"]["S1"], rows["BRCA2"]["S2"]) == (1, 1)
+    assert (rows["MLH1"]["S1"], rows["MLH1"]["S2"]) == (2, 1)
+    # a gene×sample cell with no carriers is zero-filled, never null
+    high = {r["gene"]: r for r in burden_wide(
+        tables.variants, tables.variant_impacts, samples, severities=("HIGH",)
+    ).collect()}
+    assert (high["BRCA2"]["S1"], high["BRCA2"]["S2"]) == (0, 1)
+
+
 def test_burden_severity_knob(tables, samples):
     high_only = burden(
         tables.variants, tables.variant_impacts, samples, severities=("HIGH",)

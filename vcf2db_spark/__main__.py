@@ -124,6 +124,11 @@ def stats_main(argv: list[str]) -> int:
         help="roh absorbing up to --max-hets/--max-unknowns interruptions (gemini defaults)",
     )
     g.add_argument("--burden", action="store_true", help="per-gene HIGH-impact burden")
+    ap.add_argument(
+        "--wide",
+        action="store_true",
+        help="burden: print the gene × sample matrix instead of long form",
+    )
     ap.add_argument("--min-snps", type=int, default=25, help="roh: min sites per run")
     ap.add_argument("--min-size-bp", type=int, default=100_000, help="roh: min run span")
     ap.add_argument("--max-hets", type=int, default=1, help="roh-tolerant: het budget")
@@ -162,9 +167,8 @@ def stats_main(argv: list[str]) -> int:
     else:
         if tables.variant_impacts is None:
             raise SystemExit("--burden needs a variant_impacts table in the artifact")
-        df = S.burden(
-            tables.variants, tables.variant_impacts, tables.header.samples or []
-        )
+        fn = S.burden_wide if args.wide else S.burden
+        df = fn(tables.variants, tables.variant_impacts, tables.header.samples or [])
     cols = df.columns
     print("\t".join(cols))
     for row in df.toLocalIterator():
@@ -192,6 +196,11 @@ def inheritance_main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser(prog="python -m vcf2db_spark inheritance")
     ap.add_argument("artifact", help="CLI output dir (parquet) or .db file")
     ap.add_argument("--model", required=True, choices=INHERITANCE_MODELS)
+    ap.add_argument(
+        "--pattern-only",
+        action="store_true",
+        help="comp_hets: genotype-pattern candidates only (ignore affection/origin)",
+    )
     ap.add_argument("--limit", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -205,8 +214,12 @@ def inheritance_main(argv: list[str]) -> int:
     if tables.samples is None:
         raise SystemExit("inheritance models need a samples (PED) table in the artifact")
     eng = InheritanceEngine(tables)
-    method = "compound_hets" if args.model == "comp_hets" else args.model
-    df = getattr(eng, method)()
+    if args.pattern_only and args.model != "comp_hets":
+        raise SystemExit("--pattern-only applies only to --model comp_hets")
+    if args.model == "comp_hets":
+        df = eng.compound_hets(pattern_only=args.pattern_only)
+    else:
+        df = getattr(eng, args.model)()
     if args.limit is not None:
         df = df.limit(args.limit)
     cols = df.columns

@@ -296,9 +296,19 @@ class CompHetMixin:
     Composition: per-trio origin labeling (element_at predicates) →
     self-join on (trio, gene) with opposite origins — the join key is
     (gene), so the shuffle is bounded by per-gene variant counts, never
-    all-pairs."""
+    all-pairs.
 
-    def compound_hets(self) -> DataFrame:
+    ``pattern_only=True`` is gemini's ``comp_hets --pattern-only``:
+    affection status is ignored and no per-site parental origin is
+    required — any two child-HET sites in the same gene qualify unless a
+    single parent carries the alternate allele at BOTH sites (the pair
+    could then be in cis on that parent's haplotype). Reconstructed from
+    gemini's public docs (UNCERTAIN: upstream also consults phase when
+    available; we are unphased-only)."""
+
+    def compound_hets(self, pattern_only: bool = False) -> DataFrame:
+        if pattern_only:
+            return self._compound_hets_pattern_only()
         v = self.tables.variants
         if "gene" not in v.columns:
             raise ValueError("compound_hets requires the denormalized gene column")
@@ -334,7 +344,66 @@ class CompHetMixin:
             out = out.unionByName(o)
         return out
 
+    def _compound_hets_pattern_only(self) -> DataFrame:
+        """Pattern-only pairs: child HET at both sites of a gene; excluded
+        when one parent carries alt (HET/HOM_ALT) at both sites. Same
+        gene-keyed self-join shape as the strict form — per-trio candidate
+        sets are filtered scans of the one variants table, and the
+        ``vid <`` inequality halves the pair space."""
+        v = self.tables.variants
+        if "gene" not in v.columns:
+            raise ValueError("compound_hets requires the denormalized gene column")
+        carries = lambda g: g.isin(HET, HOM_ALT)  # noqa: E731
+        outs = []
+        for t in self.trios:
+            cand = (
+                v.filter((self._gt(t.child) == HET) & F.col("gene").isNotNull())
+                .select(
+                    "variant_id",
+                    "gene",
+                    carries(self._gt(t.father)).alias("dad_carries"),
+                    carries(self._gt(t.mother)).alias("mom_carries"),
+                )
+            )
+            a = cand.select(
+                F.col("gene"),
+                F.col("variant_id").alias("variant_id_1"),
+                F.col("dad_carries").alias("dad_1"),
+                F.col("mom_carries").alias("mom_1"),
+            )
+            b = cand.select(
+                F.col("gene").alias("gene_b"),
+                F.col("variant_id").alias("variant_id_2"),
+                F.col("dad_carries").alias("dad_2"),
+                F.col("mom_carries").alias("mom_2"),
+            )
+            pairs = (
+                a.join(b, a.gene == b.gene_b)
+                .filter(F.col("variant_id_1") < F.col("variant_id_2"))
+                # a pair both of whose sites sit on one parent's carried
+                # haplotype set is potentially cis → not a candidate
+                .filter(~(F.col("dad_1") & F.col("dad_2")))
+                .filter(~(F.col("mom_1") & F.col("mom_2")))
+                .select(
+                    F.lit(t.child).alias("child"),
+                    "gene",
+                    "variant_id_1",
+                    "variant_id_2",
+                )
+            )
+            outs.append(pairs)
+        if not outs:
+            schema = "child string, gene string, variant_id_1 long, variant_id_2 long"
+            return v.sparkSession.createDataFrame([], schema)
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
 
 # attach to the engine (defined after the class to keep the base models
 # and the pair-join composition separately readable)
 InheritanceEngine.compound_hets = CompHetMixin.compound_hets
+InheritanceEngine._compound_hets_pattern_only = (
+    CompHetMixin._compound_hets_pattern_only
+)

@@ -265,3 +265,25 @@ def burden(
         .agg(F.count("*").alias("n_variants"))
         .orderBy("gene", "sample")
     )
+
+
+def burden_wide(
+    variants: DataFrame,
+    variant_impacts: DataFrame,
+    sample_names: list[str],
+    severities: tuple[str, ...] = ("HIGH", "MED"),
+) -> DataFrame:
+    """The gene × sample matrix ``gemini burden`` prints: one row per
+    gene, one column per sample, zero-filled. Pivot values are passed
+    explicitly (the cohort list is already known from the header), which
+    skips Spark's extra distinct-scan pass and keeps the plan a single
+    shuffle over gene. Column width = cohort size — fine for the trio/
+    cohort scale gemini targets; at biobank width stay on the long form."""
+    long = burden(variants, variant_impacts, sample_names, severities)
+    return (
+        long.groupBy("gene")
+        .pivot("sample", sample_names)
+        .agg(F.first("n_variants"))
+        .na.fill(0, subset=list(sample_names))
+        .orderBy("gene")
+    )
