@@ -216,3 +216,54 @@ def test_sample_stratified_proportions(spark, sf_dir):
     for flag, frac in (("R", 0.5), ("N", 0.05), ("A", 0.2)):
         expect = totals[flag] * frac
         assert abs(got1.get(flag, 0) - expect) < max(30, 0.25 * expect), (flag, got1, expect)
+
+
+# ---- chunking / ngrams / scrubbing helpers ---------------------------------
+
+
+def test_token_chunks_reassemble(spark):
+    """Chunks of any size must reassemble to the original token stream and
+    carry correct per-chunk token counts (last chunk ragged)."""
+    from vcf2db_spark.functions.text import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "  p  q  ")], "id long, text string"
+    )
+    rows = (
+        df.select("id", F.explode(token_chunks("text", 3)).alias("c"))
+        .select("id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+        .collect()
+    )
+    by_id = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_id.setdefault(r["id"], []).append(r)
+    assert [r["chunk_text"] for r in by_id[1]] == ["a b c", "d e f", "g"]
+    assert [r["n_tokens"] for r in by_id[1]] == [3, 3, 1]
+    assert [r["chunk_text"] for r in by_id[2]] == ["x"]
+    # interior whitespace collapses via the \s+ split; trim kills the edges
+    assert [r["chunk_text"] for r in by_id[3]] == ["p q"]
+
+
+def test_token_ngrams_short_doc_guard(spark):
+    """Docs shorter than n yield an EMPTY array — not a descending
+    sequence() artifact."""
+    from vcf2db_spark.functions.text import token_ngrams
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c")], "id long, text string")
+    got = {r["id"]: r["g"] for r in df.select("id", token_ngrams("text", 3).alias("g")).collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c"]
+
+
+def test_scrub_text_default_patterns(spark):
+    from vcf2db_spark.functions.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com or call +1 (555) 123-4567 now"), (2, "clean")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["s"] for r in df.select("id", scrub_text("text").alias("s")).collect()}
+    assert rows[1]["n_redactions"] == 2
+    assert "<EMAIL>" in rows[1]["scrubbed"] and "<PHONE>" in rows[1]["scrubbed"]
+    assert "bob@" not in rows[1]["scrubbed"] and "555" not in rows[1]["scrubbed"]
+    assert rows[2].asDict() == {"scrubbed": "clean", "n_redactions": 0}

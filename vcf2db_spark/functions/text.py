@@ -81,6 +81,66 @@ def doc_fingerprint(text_col: str = "text") -> Column:
     return F.md5(sig)
 
 
+def token_ngrams(text_col: Column | str, n: int) -> Column:
+    """Token n-grams as space-joined strings, built with transform over an
+    index sequence + slice — a narrow JVM-side expression (no explode, no
+    shuffle); the caller decides whether to explode. Empty array when the
+    document is shorter than ``n`` (sequence() would otherwise count
+    DOWNWARD from 1 to a negative stop — a silent corruption, so guard)."""
+    toks = ws_tokens(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col))
+    n_toks = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_toks - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_toks >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def token_chunks(text_col: Column | str, chunk_size: int) -> Column:
+    """Fixed-token-count document chunking (the pre-training shard step):
+    array of (chunk_idx, chunk_text, n_tokens) structs. Same narrow
+    transform/slice shape as token_ngrams — chunking 100 TB is then a
+    map-only pass, with the explode fanning rows out scan-locally."""
+    toks = ws_tokens(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col))
+    n_toks = F.size(toks)
+    n_chunks = F.ceil(n_toks / F.lit(float(chunk_size))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * chunk_size + 1, chunk_size), " ").alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(toks, i * chunk_size + 1, chunk_size))
+            .cast("long")
+            .alias("n_tokens"),
+        ),
+    )
+
+
+#: default PII-ish scrub patterns (email, long digit runs / phone shapes)
+SCRUB_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_text(
+    text_col: Column | str,
+    patterns: tuple[tuple[str, str], ...] = SCRUB_PATTERNS,
+) -> Column:
+    """PII-style redaction: struct(scrubbed, n_redactions). Chained
+    regexp_replace + regexp_count — pure codegen'd expressions, so the
+    scrub rides the same scan as every other narrow stage."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    scrubbed = c
+    n_red = F.lit(0).cast("long")
+    for pat, repl in patterns:
+        n_red = n_red + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return F.struct(scrubbed.alias("scrubbed"), n_red.alias("n_redactions"))
+
+
 def lang_id(text_col: str = "text") -> Column:
     """Stopword-vote language heuristic: argmax over per-language function-
     word hit counts; CJK-character ratio short-circuits to 'zh'. Returns

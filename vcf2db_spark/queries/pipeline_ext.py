@@ -289,3 +289,165 @@ def approx_agg(spark, sf_dir):
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# C5 — document chunking, repetition signals, PII scrubbing, and benchmark
+# decontamination (the remaining training-corpus passes; all exact
+# expressions, all oracle-backed)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "text_chunk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents WHERE doc_id < 200
+    ),
+    c AS (
+      SELECT doc_id, l,
+             unnest(range(0, CAST(ceil(len(l) / 32.0) AS INT))) AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           array_to_string(l[chunk_idx*32+1 : chunk_idx*32+32], ' ') AS chunk_text,
+           len(l[chunk_idx*32+1 : chunk_idx*32+32]) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunk(spark, sf_dir):
+    """Fixed-token chunking for pre-training shards: transform/slice builds
+    per-doc chunk arrays scan-locally (no shuffle), explode fans them out.
+    At 100 TB this is a map-only pass whose output partitioning inherits
+    the input's — no repartition needed before the tokenizer."""
+    from vcf2db_spark.functions.text import token_chunks
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id", F.explode(token_chunks("text", 32)).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
+@dq(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t)
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    per AS (SELECT doc_id, MAX(n) AS max_bg, CAST(SUM(n) AS BIGINT) AS n_bg
+            FROM bc GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(l)) / len(l), 6) AS dup_token_ratio,
+           ROUND(per.max_bg / per.n_bg, 6) AS top_bigram_frac
+    FROM t JOIN per ON t.doc_id = per.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-token ratio (narrow
+    array expressions) and top-bigram fraction (ngram explode → two-level
+    agg). The bigram counts partial-aggregate map-side on (doc_id, bg), so
+    the shuffle carries only distinct bigrams per doc — bounded by doc
+    length, independent of corpus size."""
+    from vcf2db_spark.functions.text import token_ngrams, ws_tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.trim(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("dup_token_ratio"),
+    )
+    bg = d.select("doc_id", F.explode(token_ngrams("text", 2)).alias("bg"))
+    per = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_bg"), F.sum("n").alias("n_bg"))
+    )
+    return base.join(per, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        F.round(F.col("max_bg").cast("double") / F.col("n_bg"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+@dq(
+    "text_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'value( part)?')) AS BIGINT)
+             AS n_redactions,
+           md5(regexp_replace(text, 'value( part)?', '<PII>', 'g')) AS scrubbed_md5,
+           CAST(LENGTH(regexp_replace(text, 'value( part)?', '<PII>', 'g')) AS BIGINT)
+             AS scrubbed_len
+    FROM documents
+    """,
+)
+def text_scrub(spark, sf_dir):
+    """PII-style scrubbing probe: the library default patterns target
+    emails/phones (absent from the synthetic fixture), so the DQ exercises
+    the same chained regexp_replace/regexp_count machinery on a pattern
+    the fixture does contain, and hashes the scrubbed text to prove the
+    rewrite is byte-identical across engines."""
+    from vcf2db_spark.functions.text import scrub_text
+
+    d = table(spark, sf_dir, "documents")
+    s = scrub_text("text", patterns=((r"value( part)?", "<PII>"),))
+    return d.select("doc_id", s.alias("s")).select(
+        "doc_id",
+        F.col("s.n_redactions").alias("n_redactions"),
+        F.md5(F.col("s.scrubbed")).alias("scrubbed_md5"),
+        F.length(F.col("s.scrubbed")).cast("long").alias("scrubbed_len"),
+    )
+
+
+@dq(
+    "contam_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(l[i:i+7], ' ') AS ngram
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - 6)) AS i FROM t)
+    ),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 50),
+    train AS (SELECT doc_id, ngram FROM g WHERE doc_id >= 50)
+    SELECT train.doc_id,
+           CAST(COUNT(DISTINCT train.ngram) AS BIGINT) AS n_contaminated
+    FROM train JOIN bench USING (ngram)
+    GROUP BY 1
+    """,
+)
+def contam_ngram(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama recipe): flag training docs
+    sharing any 8-token n-gram with the held-out set (here: doc_id < 50
+    stands in for the benchmark). The benchmark n-gram set is tiny and
+    broadcast — the training side never shuffles; at 100 TB this stays a
+    map-side semi-join against a distributed-cached dictionary."""
+    from vcf2db_spark.functions.text import token_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(token_ngrams("text", 8)).alias("ngram"))
+    bench = F.broadcast(
+        g.filter(F.col("doc_id") < 50).select("ngram").distinct()
+    )
+    train = g.filter(F.col("doc_id") >= 50)
+    return (
+        train.join(bench, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ngram").alias("n_contaminated"))
+    )
