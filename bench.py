@@ -5,16 +5,47 @@
 Timing = full execution to count() (materializes the result, excludes
 driver-side pandas conversion). Session warm-up (JVM start + first parquet
 read) is excluded by a warm-up pass of the flagship query.
+
+Per-query numbers are MEDIAN-OF-3 (local Spark wall-times vary ±30%
+run-to-run from JIT/GC/thread scheduling; the median is robust to one bad
+pass in either direction). The DuckDB oracle twin runs in-process on the
+same parquet files and is recorded per query as {spark_s, duckdb_s, ratio}
+so regressions are attributable per query (VERDICT r1 items 3+8).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PASSES = 3
+
+
+def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
+    """Median-of-3 DuckDB timings for every oracle SQL on the same files."""
+    import duckdb
+
+    from vcf2db_spark.io import TABLES
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    con.execute(oracles["agg_group"]).fetchall()  # warm OS page cache
+    runs: dict[str, list[float]] = {n: [] for n in oracles}
+    for _ in range(N_PASSES):
+        for name, sql in sorted(oracles.items()):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs[name].append(time.perf_counter() - t0)
+    return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
 
 def main() -> None:
@@ -36,33 +67,43 @@ def main() -> None:
     spark.range(1).count()
     floor = round(time.perf_counter() - t0, 4)
 
-    # steady-state timing: two passes, keep the per-query minimum. Local
-    # Spark wall-times vary ±30% run-to-run (JIT, GC, thread scheduling);
-    # min-of-2 reports the reproducible floor the same way the DuckDB
-    # denominator's single warm pass does (its variance is negligible).
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    runs: dict[str, list[float]] = {n: [] for n in QUERIES}
+    for _pass in range(N_PASSES):
         for name, fn in sorted(QUERIES.items()):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 4)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            runs[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(v), 4) for n, v in runs.items()}
+
+    duck = bench_duckdb(sf_dir, dict(ORACLES))
+    per_query = {
+        n: {
+            "spark_s": timings[n],
+            "duckdb_s": duck.get(n),
+            "ratio": round(timings[n] / duck[n], 2) if duck.get(n) else None,
+        }
+        for n in sorted(timings)
+    }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     oracle_total = round(sum(v for k, v in timings.items() if k in ORACLES), 4)
+    duck_total = round(sum(duck.values()), 4)
     out = {
         "metric": "declared_query_wall_time_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # breakdown for the 2x-vs-DuckDB gate (tools/bench_duckdb.py is the
-        # denominator — it can only run the oracle-backed set):
+        # breakdown for the 2x-vs-DuckDB gate (duckdb twin runs in-process
+        # on the same parquet files — it can only run the oracle-backed set):
         "oracle_backed_total": oracle_total,
         "rows_only_total": round(sum(timings.values()) - oracle_total, 4),
+        "duckdb_oracle_total": duck_total,
+        "oracle_ratio": round(oracle_total / duck_total, 2) if duck_total else None,
         "job_floor_sec": floor,
         "n_queries": len(timings),
+        "passes": N_PASSES,
+        "per_query": per_query,
     }
     print(json.dumps(out))
     spark.stop()

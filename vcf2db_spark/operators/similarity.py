@@ -185,6 +185,51 @@ def ivf_assign(
     return assigned, centroids
 
 
+def ivf_assign_multi(
+    emb: DataFrame,
+    n_lists: int = 16,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Multi-probe IVF assignment: each vector lands in its ``probes``
+    nearest lists (one row per (vector, list) after explode).
+
+    This is the boundary-recall mitigation for list-blocked candidate
+    generation: a pair split across adjacent lists still collides as long
+    as either vector's second-nearest list is the other's first. Cost is
+    bounded: the exploded table is ``probes×`` rows, so same-list pair
+    work rises by ~``probes²`` while staying Σ|list|² ≪ |corpus|².
+
+    Centroids (and optional Lloyd refinement) come from the single-probe
+    ``ivf_assign`` — the index layout stays identical; only candidate
+    generation widens.
+    """
+    _assigned, centroids = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
+    ids = np.array([c for c, _ in centroids], dtype="int64")
+    C = np.array([v for _, v in centroids], dtype="float64")
+    Cn = C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)
+    p = min(probes, len(ids))
+
+    @pandas_udf("array<bigint>")
+    def assign_multi(vecs: pd.Series) -> pd.Series:
+        V = np.array(vecs.tolist(), dtype="float64")
+        Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
+        sims = Vn @ Cn.T
+        # top-p centroid indices per row (argpartition then exact order)
+        part = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        row_order = np.argsort(-np.take_along_axis(sims, part, axis=1), axis=1)
+        top = np.take_along_axis(part, row_order, axis=1)
+        return pd.Series(list(ids[top]))
+
+    multi = emb.withColumn("_lists", assign_multi(F.col(vec_col)))
+    exploded = multi.select(
+        *[F.col(c) for c in emb.columns], F.explode("_lists").alias("list_id")
+    )
+    return exploded, centroids
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -276,6 +321,7 @@ def knn_join(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Batch k-NN: top-``k`` cosine neighbors for EVERY vector — the
     neighbor-graph primitive behind semantic dedup and corpus clustering.
@@ -285,17 +331,27 @@ def knn_join(
     per vector by a window. Cost: Σ|list|² pair evaluations instead of
     |corpus|² — with balanced lists that's |corpus|²/n_lists, and the
     per-list join is an equi-join on ``list_id`` (shuffle-partitioned,
-    AQE-splittable), never a cartesian product. Recall misses only pairs
-    straddling a list boundary — raise ``n_lists`` quality via
-    ``refine_iters`` or re-run with a merged two-probe assignment when
-    recall matters more than cost.
+    AQE-splittable), never a cartesian product.
+
+    ``probes > 1`` switches candidate generation to the multi-probe
+    assignment (``ivf_assign_multi``): each vector also collides with the
+    members of its ``probes-1`` runner-up lists, recovering pairs that
+    straddle a list boundary at ~``probes²×`` pair cost. Duplicate
+    candidates from shared lists are folded by a (id, neighbor_id)
+    partial-agg before the top-k window, so the output contract is
+    unchanged.
 
     Output: (id, neighbor_id, cosine), ``k`` rows per id (fewer in
     degenerate tiny lists), ties broken by neighbor id.
     """
     from pyspark.sql import Window
 
-    assigned, _ = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
+    if probes > 1:
+        assigned, _ = ivf_assign_multi(
+            emb, n_lists, probes, id_col, vec_col, refine_iters
+        )
+    else:
+        assigned, _ = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
     a = assigned.select(
         F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
     )
@@ -308,6 +364,11 @@ def knn_join(
         "neighbor_id",
         F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
     )
+    if probes > 1:
+        # a pair sharing several probed lists is scored once per shared
+        # list — identical score each time; max() is a map-side-combinable
+        # dedup (no extra shuffle beyond the groupBy's)
+        scored = scored.groupBy("id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -323,6 +384,7 @@ def semantic_dedup(
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Embedding-space near-duplicate removal (SemDeDup-style): drop every
     vector that has a kept neighbor with cosine ≥ ``threshold``; within a
@@ -335,7 +397,7 @@ def semantic_dedup(
     """
     pairs = knn_join(
         emb, k=1, n_lists=n_lists, refine_iters=refine_iters,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, probes=probes,
     )
     drops = (
         pairs.filter((F.col("cosine") >= threshold) & (F.col("id") > F.col("neighbor_id")))

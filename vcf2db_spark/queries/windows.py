@@ -700,11 +700,12 @@ def win_first_last(spark, sf_dir):
     """,
 )
 def win_ntile_dense(spark, sf_dir):
+    # Scale-safe global ranking (operators/ranking.py): dense_rank via a
+    # broadcast distinct-priority dim; ntile via two-phase range-partitioned
+    # row_number + arithmetic. No single-partition WindowExec in the plan.
+    from vcf2db_spark.operators.ranking import dense_rank_dim, with_ntile
+
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
-    return o.select(
-        "o_orderkey",
-        F.dense_rank().over(Window.orderBy("o_orderpriority")).alias("pr_rank"),
-        F.ntile(4)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("price_quartile"),
-    )
+    o = dense_rank_dim(o, "o_orderpriority", alias="pr_rank")
+    o = with_ntile(o, ["o_totalprice", "o_orderkey"], 4, alias="price_quartile")
+    return o.select("o_orderkey", "pr_rank", "price_quartile")

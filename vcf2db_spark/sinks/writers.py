@@ -95,6 +95,92 @@ def varchar_widths(df: DataFrame, string_cols: list[str] | None = None) -> dict[
     return {c: int(row[c]) if row[c] is not None else 1 for c in cols}
 
 
+_JDBC_TYPES: dict[str, dict[str, str]] = {
+    # simpleString -> SQL type, per dialect. Strings are handled separately
+    # (width-sized). Arrays/maps/structs serialize to TEXT/JSON-ish columns
+    # the same way the SQLite sink flattens them.
+    "mysql": {
+        "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+        "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
+        "boolean": "TINYINT(1)", "date": "DATE", "timestamp": "DATETIME(6)",
+        "binary": "LONGBLOB", "_string_over": "TEXT", "_fallback": "TEXT",
+    },
+    "postgresql": {
+        "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+        "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE PRECISION",
+        "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
+        "binary": "BYTEA", "_string_over": "TEXT", "_fallback": "TEXT",
+    },
+    "sqlite": {
+        "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
+        "bigint": "INTEGER", "float": "REAL", "double": "REAL",
+        "boolean": "INTEGER", "date": "TEXT", "timestamp": "TEXT",
+        "binary": "BLOB", "_string_over": "TEXT", "_fallback": "TEXT",
+    },
+}
+
+# widest VARCHAR each dialect takes before the column should become TEXT
+_VARCHAR_MAX = {"mysql": 16383, "postgresql": 10485760, "sqlite": 1 << 30}
+
+
+def sized_ddl(
+    df: DataFrame,
+    table: str,
+    dialect: str = "postgresql",
+    widths: dict[str, int] | None = None,
+    headroom: float = 1.5,
+    min_width: int = 8,
+) -> str:
+    """CREATE TABLE DDL with data-driven VARCHAR widths — the reference's
+    first-batch column-length check [U vcf2db.py §check_column_lengths
+    ~L760] as one distributed max(length()) aggregate over the FULL input
+    (``varchar_widths``), so a later batch can never overflow the column
+    the way a buffered-first-batch guess can.
+
+    ``headroom`` pads observed widths (append workloads grow); columns
+    wider than the dialect's VARCHAR ceiling degrade to TEXT. Non-scalar
+    Spark types (array/map/struct) map to the dialect fallback since the
+    writers serialize them to joined text.
+    """
+    if dialect not in _JDBC_TYPES:
+        raise ValueError(f"unknown dialect {dialect!r}; have {sorted(_JDBC_TYPES)}")
+    tmap = _JDBC_TYPES[dialect]
+    widths = widths if widths is not None else varchar_widths(df)
+    cols = []
+    for field in df.schema.fields:
+        simple = field.dataType.simpleString()
+        if simple == "string":
+            w = max(min_width, int(widths.get(field.name, min_width) * headroom))
+            sql_t = f"VARCHAR({w})" if w <= _VARCHAR_MAX[dialect] else tmap["_string_over"]
+        else:
+            sql_t = tmap.get(simple, tmap["_fallback"])
+        null = "" if field.nullable else " NOT NULL"
+        cols.append(f"  {field.name} {sql_t}{null}")
+    body = ",\n".join(cols)
+    return f"CREATE TABLE {table} (\n{body}\n)"
+
+
+def write_jdbc_sized(
+    df: DataFrame,
+    url: str,
+    table: str,
+    dialect: str = "postgresql",
+    execute_ddl=None,
+    batch_size: int = 50_000,
+    properties: dict[str, str] | None = None,
+) -> str:
+    """Create a width-sized table, then append into it via the JDBC batch
+    writer — DDL and data in one call, like the reference's
+    create-then-insert flow. ``execute_ddl`` is a callable that runs the
+    CREATE statement against the target (a DB-API cursor lambda in tests;
+    in production a JDBC statement through the driver). Returns the DDL."""
+    ddl = sized_ddl(df, table, dialect=dialect)
+    if execute_ddl is not None:
+        execute_ddl(ddl)
+    write_jdbc(df, url, table, mode="append", batch_size=batch_size, properties=properties)
+    return ddl
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -45,11 +45,34 @@ EVENTS_SCHEMA = StructType(
     ]
 )
 
-# As stored on disk: parquet TIMESTAMP(NANOS) is surfaced as long under
-# spark.sql.legacy.parquet.nanosAsLong (same handling as io.table()).
-_EVENTS_DISK_SCHEMA = StructType(
+# If a producer writes parquet TIMESTAMP(NANOS), Spark's vectorized reader
+# surfaces it as long under spark.sql.legacy.parquet.nanosAsLong; we then
+# truncate nanos -> micros ourselves (same handling as io.table()).
+_EVENTS_NANOS_DISK_SCHEMA = StructType(
     [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA.fields]
 )
+
+
+def _ts_stored_as_nanos(path: str) -> bool:
+    """Inspect the parquet footer of the first file under ``path`` to see
+    whether ``ts`` is TIMESTAMP(NANOS). The driver fixtures are
+    TIMESTAMP(MICROS); branching on the footer (like the batch reader,
+    io.py:table) keeps both producers correct."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    candidates = (
+        [path] if os.path.isfile(path) else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+    for f in candidates:
+        try:
+            t = pq.read_schema(f).field("ts").type
+            return str(t) == "timestamp[ns]"
+        except Exception:
+            continue
+    return False
 
 
 def read_events_stream(
@@ -62,12 +85,17 @@ def read_events_stream(
     files), which is what the tests and backfills use.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_DISK_SCHEMA)
+    nanos = _ts_stored_as_nanos(path)
+    schema = _EVENTS_NANOS_DISK_SCHEMA if nanos else EVENTS_SCHEMA
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if nanos:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def stage_events_dir(sf_dir: str) -> str:
