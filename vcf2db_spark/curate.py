@@ -66,14 +66,23 @@ def curate_documents(
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
 
-    # exact dedup: keep the smallest id per fingerprint — one shuffle
-    w_min = F.min_by(id_col, F.col(id_col))
+    # exact dedup: keep the smallest id per fingerprint. A window filter
+    # (min over the fingerprint partition) does it in ONE hash exchange of
+    # the scored rows; the groupBy+join-back alternative evaluates the
+    # scoring subtree twice and shuffles both sides.
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("fingerprint")
     exact = (
-        kept.groupBy("fingerprint")
-        .agg(w_min.alias("_keep_id"))
-        .join(kept, F.col("_keep_id") == F.col(id_col))
+        kept.withColumn("_keep_id", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) == F.col("_keep_id"))
         .drop("_keep_id")
     )
+    # the survivors feed BOTH the LSH candidate pass and the final
+    # anti-join probe — persist so the quality/lang/fingerprint scoring
+    # runs once (at 100 TB this is the stage boundary you'd materialize
+    # to storage anyway)
+    exact = exact.persist()
 
     # near-dup: LSH candidates above threshold; larger id of each pair drops
     cands = minhash_lsh_candidates(
@@ -85,7 +94,6 @@ def curate_documents(
     if not report:
         return curated
     kept = kept.cache()
-    exact = exact.cache()
     out = CurationReport(
         n_input=docs.count(),
         n_after_quality=kept.count(),

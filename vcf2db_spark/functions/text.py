@@ -96,6 +96,50 @@ def token_ngrams(text_col: Column | str, n: int) -> Column:
     return F.when(n_toks >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def token_ngram_hashes(text_col: Column | str, n: int) -> Column:
+    """xxhash64 of each token n-gram slice — same windows as
+    ``token_ngrams`` but the gram never materializes as a string: the
+    slice array hashes directly (arrays are hashable JVM-side), saving
+    ~n_tokens concat allocations per document and shrinking any
+    downstream set/join payload to 8 bytes per gram. Token→string-gram is
+    injective for whitespace-split tokens, so distinct-hash cardinalities
+    match distinct-gram cardinalities up to 2⁻⁶⁴ collisions."""
+    toks = ws_tokens(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col))
+    n_toks = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_toks - n + 1),
+        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    )
+    return F.when(n_toks >= n, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def explode_token_ngram_hashes(df, text_col: str, n: int, keep: tuple[str, ...] = ("doc_id",)):
+    """One row per token n-gram hash: (keep..., gh bigint). Scan-local, no
+    shuffle — the fan-out path for n-gram joins (decontamination, n-gram
+    indexes).
+
+    Plan-shape note (measured 3.5× at sf0.1): exploding the *array of
+    hashes* (``explode(token_ngram_hashes(...))``) is a Spark pothole —
+    InferFiltersFromGenerate clones the whole higher-order-function
+    expression into a non-codegen Filter, so the interpreted HOF runs 2-3×
+    per row. Exploding a cheap POSITION sequence instead and doing
+    slice+xxhash64 in the post-Generate projection keeps every expensive
+    expression inside whole-stage codegen, evaluated once per output row.
+    """
+    toks = ws_tokens(F.trim(F.col(text_col)))
+    return (
+        df.select(*keep, toks.alias("_t"))
+        .select(
+            *keep,
+            "_t",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(0)))
+            ).alias("_i"),
+        )
+        .select(*keep, F.xxhash64(F.slice("_t", F.col("_i"), n)).alias("gh"))
+    )
+
+
 def token_chunks(text_col: Column | str, chunk_size: int) -> Column:
     """Fixed-token-count document chunking (the pre-training shard step):
     array of (chunk_idx, chunk_text, n_tokens) structs. Same narrow
@@ -145,6 +189,10 @@ def lang_id(text_col: str = "text") -> Column:
     """Stopword-vote language heuristic: argmax over per-language function-
     word hit counts; CJK-character ratio short-circuits to 'zh'. Returns
     'und' when nothing scores."""
+    # NOTE: a create_map literal lookup per token benchmarked 2× SLOWER
+    # here — GetMapValue on a literal map is a linear key scan, so it costs
+    # the same comparisons as array_contains while also materializing a
+    # votes array. The per-language filter stays.
     toks = ws_tokens(text_col)
     scores = []
     for lang, words in sorted(LANG_STOPWORDS.items()):

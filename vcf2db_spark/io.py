@@ -24,8 +24,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Also pins the session timezone to UTC: the driver may pass a session we
     didn't configure, and the fixtures' naive timestamps must resolve
-    identically in Spark and DuckDB.
+    identically in Spark and DuckDB. Other runtime confs (AQE, a sane
+    shuffle-partition count) are pinned once via session.pin_session_conf.
     """
+    from vcf2db_spark.session import pin_session_conf
+
+    pin_session_conf(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -69,13 +69,29 @@ def minhash_signatures(
     _P = (1 << 31) - 1  # Mersenne prime; universal-hash modulus
     rng = random.Random(42)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(n_hashes)]
+    # Explode a cheap POSITION sequence and build/hash the shingle in the
+    # post-Generate projection: exploding the HOF-built shingle array
+    # directly trips InferFiltersFromGenerate, which clones the whole
+    # interpreted transform(...) into a non-codegen Filter (see
+    # functions/text.py::explode_token_ngram_hashes; measured 3.5× there).
+    toks = _tokens(text_col)
     exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle)).alias("_sh"),
+        F.col(id_col).alias("id"), toks.alias("_t")
     ).select(
-        # murmur3 the shingle ONCE; [0, 2^32) so a*h+b stays < 2^63
         "id",
-        (F.hash(F.col("_sh")).cast("long") + F.lit(1 << 31)).alias("_h"),
+        "_t",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("_t") - shingle, F.lit(0)))
+        ).alias("_i"),
+    ).select(
+        # murmur3 the shingle ONCE; [0, 2^32) so a*h+b stays < 2^63.
+        # hash(array_join(slice)) ≡ hash(shingle string) — identical
+        # signatures to the array-explode formulation.
+        "id",
+        (
+            F.hash(F.array_join(F.slice("_t", F.col("_i") + 1, shingle), " ")).cast("long")
+            + F.lit(1 << 31)
+        ).alias("_h"),
     )
     mins = [
         F.min(((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_P)).cast("int")).alias(f"_h{i}")

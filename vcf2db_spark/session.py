@@ -36,10 +36,22 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
 
 def pin_session_conf(spark: SparkSession) -> None:
     """Runtime-settable confs we rely on, applied defensively when the
-    driver hands us a session we did not build."""
+    driver hands us a session we did not build (io.table() calls this on
+    every fixture read; it early-exits after the first application)."""
+    if getattr(spark, "_vcf2db_pinned", False):
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # an unconfigured session defaults to 200 shuffle partitions — far too
+    # many tasks for a local driver harness (AQE coalesces reads, but the
+    # map side still buckets 200 ways); leave any non-default choice alone
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, 2 * cores))))
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static conf on some builds; VCF pushdown then stays off
+    spark._vcf2db_pinned = True
