@@ -333,3 +333,22 @@ def test_sized_jdbc_ddl(spark, tmp_path):
     names = [r[1] for r in con.execute("PRAGMA table_info(nation)").fetchall()]
     assert names == df.columns
     con.close()
+
+
+def test_rank_and_ntile_paths_agree(spark):
+    """The size-dispatched global ranking must produce identical rows on
+    the single-partition path and the two-phase scale path."""
+    from vcf2db_spark.operators.ranking import rank_and_ntile
+
+    o = table(spark, SF, "orders").filter(F.col("o_orderkey") < 2000)
+    small = rank_and_ntile(
+        o, "o_orderpriority", ["o_totalprice", "o_orderkey"], 4,
+        small_threshold=10**9,
+    ).select("o_orderkey", "dense_rank", "ntile")
+    scaled = rank_and_ntile(
+        o, "o_orderpriority", ["o_totalprice", "o_orderkey"], 4,
+        small_threshold=0,
+    ).select("o_orderkey", "dense_rank", "ntile")
+    a = sorted(map(tuple, small.collect()))
+    b = sorted(map(tuple, scaled.collect()))
+    assert a == b

@@ -63,6 +63,16 @@ def global_row_number(
     exact per-partition offsets (computed from counts, broadcast back).
     ``order_cols`` must be a total order (include a unique tiebreaker).
     """
+    out, _counts = _row_number_parts(df, order_cols, alias, num_partitions)
+    return out
+
+
+def _row_number_parts(
+    df: DataFrame, order_cols: list[str], alias: str, num_partitions: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked df, per-partition counts) — counts exposed so callers that
+    also need the grand total (ntile) don't re-evaluate the range-exchange
+    lineage a second time."""
     cols = [F.col(c) for c in order_cols]
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
@@ -72,8 +82,6 @@ def global_row_number(
     ranged = ranged.withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid").orderBy(*cols)
     local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
-    # P-row offset table: rows before each partition. The window here runs
-    # over P rows (one per shuffle partition), not over the data.
     # Exact prefix-sum offsets over exactly P rows (one per shuffle
     # partition) via a bounded non-equi self-join — no WindowExec, no
     # single-partition stage; O(P²) pairs is invariant to data volume.
@@ -84,11 +92,12 @@ def global_row_number(
         .groupBy("_pid")
         .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).alias("_offset"))
     )
-    return (
+    out = (
         local.join(F.broadcast(offsets), on="_pid", how="inner")
         .withColumn(alias, (F.col("_local_rn") + F.col("_offset")).cast("int"))
         .drop("_pid", "_local_rn", "_offset")
     )
+    return out, counts
 
 
 def ntile_expr(rn: Column, total: Column, k: int) -> Column:
@@ -107,6 +116,42 @@ def ntile_expr(rn: Column, total: Column, k: int) -> Column:
     )
 
 
+def rank_and_ntile(
+    df: DataFrame,
+    dense_key: str,
+    order_cols: list[str],
+    k: int,
+    rank_alias: str = "dense_rank",
+    ntile_alias: str = "ntile",
+    small_threshold: int = 1_000_000,
+) -> DataFrame:
+    """DENSE_RANK(dense_key) + NTILE(k) OVER (ORDER BY order_cols), with
+    size-dispatched strategy:
+
+    - input ≤ ``small_threshold`` rows → collapse to ONE partition
+      deliberately and run both windows there (partitioned by the —
+      single — partition id, so the plan is explicit about it). For
+      bounded inputs a single task is the optimal plan; the two-phase
+      machinery would spend ~8 tiny stages of pure scheduling overhead.
+    - larger → the scale path: broadcast dense-rank dim + two-phase
+      range-partitioned row_number (no single-task sort anywhere).
+
+    Both paths produce identical rows (asserted in tests); the count()
+    deciding the dispatch is one column-pruned scan.
+    """
+    if df.count() <= small_threshold:
+        one = df.repartition(1).withColumn("_pid", F.spark_partition_id())
+        w_r = Window.partitionBy("_pid").orderBy(dense_key)
+        w_n = Window.partitionBy("_pid").orderBy(*order_cols)
+        return (
+            one.withColumn(rank_alias, F.dense_rank().over(w_r))
+            .withColumn(ntile_alias, F.ntile(k).over(w_n))
+            .drop("_pid")
+        )
+    out = dense_rank_dim(df, dense_key, alias=rank_alias)
+    return with_ntile(out, order_cols, k, alias=ntile_alias)
+
+
 def with_ntile(
     df: DataFrame, order_cols: list[str], k: int, alias: str = "ntile"
 ) -> DataFrame:
@@ -115,8 +160,10 @@ def with_ntile(
     total arrives as a broadcast 1-row cross join (scalar), so the whole
     thing stays one range exchange + projections.
     """
-    rn_df = global_row_number(df, order_cols, alias="_grn")
-    total = rn_df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    rn_df, counts = _row_number_parts(df, order_cols, "_grn", None)
+    # grand total from the P-row counts table — NOT a second count() over
+    # the ranked lineage (that would re-run the range exchange)
+    total = counts.groupBy().agg(F.sum("_cnt").alias("_total"))
     out = rn_df.crossJoin(F.broadcast(total))
     return out.withColumn(alias, ntile_expr(F.col("_grn"), F.col("_total"), k)).drop(
         "_grn", "_total"

@@ -279,3 +279,54 @@ def stream_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C6 — multimodal: real-container decode → feature extraction. Media blobs
+# are built deterministically FROM the documents fixture (text bytes →
+# PGM image raster for even doc_ids, 8-bit PCM WAV for odd), so the DQ
+# needs no media fixture; the decode side exercises the pure-numpy
+# PPM/PGM + WAV parsers end-to-end. Binary columns + Arrow-batched
+# mapInPandas have no SQL analog → rows-only by contract.
+# --------------------------------------------------------------------------
+
+
+@dq("media_features")
+def media_features(spark, sf_dir):
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vcf2db_spark.functions import media_codecs as mc
+    from vcf2db_spark.functions import multimodal as mm
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                w = 16
+                n = max(1, raw.size // w)
+                cube = np.resize(raw, (n, w, 1))  # deterministic tile/pad
+                if did % 2 == 0:
+                    rows.append((did, "image", mc.encode_ppm(cube)))
+                else:
+                    rows.append((did, "audio", mc.encode_wav(cube.reshape(n * w, 1), bits=8)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
+
+    media = d.select("doc_id", "text").mapInPandas(
+        encode, "media_id bigint, kind string, content binary"
+    )
+    feats = mm.extract_features(media)
+    return (
+        feats.join(media.select("media_id", "kind"), "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

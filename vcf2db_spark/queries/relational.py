@@ -122,11 +122,18 @@ def join_star(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
+    # orders is a FACT table — no broadcast HINT for it: a hint would pin
+    # the plan that dies at 100 TB. Unhinted, Catalyst/AQE picks broadcast
+    # while orders fits under autoBroadcastJoinThreshold and falls back to
+    # a shuffle join when it doesn't. The true dimensions stay hinted.
+    # Project the fact tables to the consumed columns before any exchange.
+    l = l.select("l_orderkey", "l_extendedprice", "l_discount")
+    o = o.select("o_orderkey", "o_custkey")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.select("r_regionkey", "r_name")), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
             dsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),

@@ -722,12 +722,15 @@ def win_first_last(spark, sf_dir):
     """,
 )
 def win_ntile_dense(spark, sf_dir):
-    # Scale-safe global ranking (operators/ranking.py): dense_rank via a
-    # broadcast distinct-priority dim; ntile via two-phase range-partitioned
-    # row_number + arithmetic. No single-partition WindowExec in the plan.
-    from vcf2db_spark.operators.ranking import dense_rank_dim, with_ntile
+    # Size-dispatched global ranking (operators/ranking.py): bounded input
+    # → one deliberate single-partition window; at scale → broadcast
+    # dense-rank dim + two-phase range-partitioned row_number. Either way
+    # no implicit unpartitioned WindowExec in the plan.
+    from vcf2db_spark.operators.ranking import rank_and_ntile
 
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
-    o = dense_rank_dim(o, "o_orderpriority", alias="pr_rank")
-    o = with_ntile(o, ["o_totalprice", "o_orderkey"], 4, alias="price_quartile")
+    o = rank_and_ntile(
+        o, "o_orderpriority", ["o_totalprice", "o_orderkey"], 4,
+        rank_alias="pr_rank", ntile_alias="price_quartile",
+    )
     return o.select("o_orderkey", "pr_rank", "price_quartile")
