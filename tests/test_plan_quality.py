@@ -90,3 +90,60 @@ def test_filter_queries_push_predicates(plans):
         assert pushed and any("PushedFilters: []" not in l for l in pushed), (
             f"{name}: no predicate reached the scan"
         )
+
+
+def test_no_interpreted_hof_in_generate_filters(plans):
+    """Regression guard for the InferFiltersFromGenerate pothole: exploding
+    a higher-order-function-built array lets the optimizer clone the whole
+    interpreted HOF expression into a non-codegen Filter (2-6x measured).
+    The fix is exploding a cheap position sequence and doing slice+hash in
+    the post-Generate projection (functions/text.py::
+    explode_token_ngram_hashes). Assert no declared query's plan carries a
+    Filter whose condition embeds a transform(...) lambda."""
+    offenders = []
+    for n, p in plans.items():
+        for line in p.splitlines():
+            s = line.strip()
+            if s.startswith("+- Filter ") or s.startswith("Filter ") or "Condition :" in s:
+                if "lambdafunction" in s and "transform(" in s:
+                    offenders.append(n)
+                    break
+    assert not offenders, f"interpreted HOF cloned into Filter: {offenders}"
+
+
+def test_no_single_partition_window(plans):
+    """No declared query may plan an unpartitioned WindowExec over
+    data-scaled input (the single-task global sort). The deliberate
+    bounded-input single-partition path (rank_and_ntile small side)
+    partitions by the explicit _pid column, which does not trip this."""
+    offenders = []
+    for n, p in plans.items():
+        # WindowExec prints 'Window [..], [partition spec], [order spec]' —
+        # an empty partition spec renders as 'Window [...], [..ASC..]' with
+        # only two bracket groups; detect via the warning-equivalent form:
+        for line in p.splitlines():
+            s = line.strip().lstrip("+-* ")
+            if s.startswith("Window ") and ", [" in s:
+                # top-level bracket groups: [exprs], [partition], [order].
+                # A missing group means either no order spec (fine — e.g.
+                # min() over a partition) or NO PARTITION (the single-task
+                # global sort): only the latter's second group is an order
+                # spec, recognizable by ASC/DESC markers.
+                depth = 0
+                groups: list[str] = []
+                buf = ""
+                for ch in s[len("Window "):]:
+                    if ch == "[":
+                        if depth == 0:
+                            buf = ""
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                        if depth == 0:
+                            groups.append(buf)
+                    elif depth >= 1:
+                        buf += ch
+                if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+                    offenders.append(n)
+                    break
+    assert not offenders, f"unpartitioned global WindowExec: {offenders}"

@@ -21,7 +21,13 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        # One slot per core; AQE coalesces small shuffles down at runtime.
+        # (A/B with 8 vs 32 at sf0.1 is within run-to-run noise once warm —
+        # the first session in a process pays ~2s of JIT regardless.)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))),
+        )
         # Determinism: pin session TZ (fixtures carry naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas_udf / toPandas round-trips.
@@ -49,7 +55,10 @@ def pin_session_conf(spark: SparkSession) -> None:
     # map side still buckets 200 ways); leave any non-default choice alone
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, 2 * cores))))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(8, cores))),
+        )
     try:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
