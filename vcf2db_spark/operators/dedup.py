@@ -120,6 +120,13 @@ def minhash_lsh_candidates(
     """
     r = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
+    # NOTE (measured): both self-join sides recompute the signature pass
+    # (one side is broadcast — no exchange to reuse), but persist()-ing
+    # sigs here is WORSE locally: the InMemoryRelation's unknown stats
+    # forfeit the auto-broadcast and AQE re-planning, forcing a sort-merge
+    # join (5.5 s vs 1.2 s at sf0.1). At 100 TB, checkpoint the signature
+    # table to storage instead — a parquet round-trip keeps stats and
+    # costs one write of 64 ints/doc.
     band_idx = F.posexplode(
         F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
