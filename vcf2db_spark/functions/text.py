@@ -127,15 +127,16 @@ def explode_token_ngram_hashes(df, text_col: str, n: int, keep: tuple[str, ...] 
     expression inside whole-stage codegen, evaluated once per output row.
     """
     toks = ws_tokens(F.trim(F.col(text_col)))
+    # guard: sequence(1, 0) counts DOWNWARD (emitting an invalid slice
+    # start of 0), so documents shorter than n tokens must produce an
+    # EMPTY position array, not a descending one
+    n_t = F.size("_t")
+    positions = F.when(
+        n_t >= n, F.sequence(F.lit(1), n_t - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(*keep, toks.alias("_t"))
-        .select(
-            *keep,
-            "_t",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("_t") - (n - 1), F.lit(0)))
-            ).alias("_i"),
-        )
+        .select(*keep, "_t", F.explode(positions).alias("_i"))
         .select(*keep, F.xxhash64(F.slice("_t", F.col("_i"), n)).alias("gh"))
     )
 

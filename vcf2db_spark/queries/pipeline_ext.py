@@ -488,3 +488,157 @@ def contam_ngram(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count_distinct("gh").alias("n_contaminated"))
     )
+
+
+# --------------------------------------------------------------------------
+# C5+ — corpus vocabulary, window-level duplication (Lee-et-al-style exact
+# substring dedup signal), and OOV rate against the corpus vocabulary:
+# the tokenizer-construction / data-quality triad of a training pipeline.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "vocab_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: token → occurrence count + document
+    frequency, top-100 by count (ties by token). One partial-aggregated
+    shuffle on token; at 100 TB this is the vocabulary-construction scan
+    (word-level BPE seed counts), with TakeOrdered replacing a global
+    sort."""
+    from vcf2db_spark.functions.text import ws_tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(100)
+    )
+
+
+@dq(
+    "dedup_window",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(l[i:i+15], ' ') AS gram
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) - 14)) AS i FROM t)
+    ),
+    multi AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE multi.gram IS NOT NULL) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(COUNT(*) FILTER (WHERE multi.gram IS NOT NULL) * 1.0
+                 / COUNT(*), 6) AS dup_fraction
+    FROM g LEFT JOIN multi ON g.gram = multi.gram
+    GROUP BY g.doc_id
+    """,
+)
+def dedup_window(spark, sf_dir):
+    """Exact-substring duplication signal (the Lee et al. dedup shape at
+    window granularity): fraction of each doc's 16-token windows that
+    also occur in ANOTHER doc. Windows travel as xxhash64 of the token
+    slice (8 bytes, not ~100-char strings; counts identical mod 2⁻⁶⁴);
+    the multi-doc window set comes from one (gh → distinct-doc>1) agg and
+    joins back on the hash — two partial-agg shuffles, no all-pairs."""
+    from vcf2db_spark.functions.text import explode_token_ngram_hashes
+
+    d = table(spark, sf_dir, "documents")
+    g = explode_token_ngram_hashes(d, "text", 16)
+    multi = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("gh", F.lit(1).alias("_dup"))
+    )
+    return (
+        g.join(multi, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+            F.round(F.count("_dup").cast("double") / F.count(F.lit(1)), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+@dq(
+    "oov_rate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM tok GROUP BY token
+      ORDER BY COUNT(*) DESC, token LIMIT 100
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE vocab.token IS NULL) AS BIGINT) AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE vocab.token IS NULL) * 1.0 / COUNT(*), 6)
+             AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+    GROUP BY tok.doc_id
+    """,
+)
+def oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the corpus top-100
+    vocabulary — the coverage metric a tokenizer/vocab choice is judged
+    by. The vocabulary is O(vocab_size) rows and rides a broadcast; the
+    token stream never shuffles for the membership test (one groupBy on
+    doc_id afterwards)."""
+    from vcf2db_spark.functions.text import ws_tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "token")
+        .limit(100)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_in_vocab").alias("_n_in"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("_in_vocab")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("_n_in")).alias("n_oov"),
+            "oov_rate",
+        )
+    )
