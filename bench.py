@@ -2,9 +2,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing = full execution to count() (materializes the result, excludes
-driver-side pandas conversion). Session warm-up (JVM start + first parquet
-read) is excluded by a warm-up pass of the flagship query.
+Timing = FULL materialization of every output column through the noop
+sink (``df.write.format("noop")``). A bare ``count()`` would let Catalyst
+prune the projections of queries that end in a select — flattering Spark
+on exactly the expression-heavy queries. The DuckDB twin materializes to
+Arrow (engine-native columnar) rather than Python row objects, so neither
+side pays a foreign-object conversion tax. Session warm-up (JVM start +
+first parquet read) is excluded by a warm-up pass of the flagship query.
 
 Per-query numbers are MEDIAN-OF-3 (local Spark wall-times vary ±30%
 run-to-run from JIT/GC/thread scheduling; the median is robust to one bad
@@ -38,12 +42,12 @@ def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    con.execute(oracles["agg_group"]).fetchall()  # warm OS page cache
+    con.execute(oracles["agg_group"]).arrow()  # warm OS page cache
     runs: dict[str, list[float]] = {n: [] for n in oracles}
     for _ in range(N_PASSES):
         for name, sql in sorted(oracles.items()):
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).arrow()
             runs[name].append(time.perf_counter() - t0)
     return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
@@ -56,8 +60,12 @@ def main() -> None:
     spark = get_spark("vcf2db-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(df) -> None:
+        # full evaluation of every output column, no driver transfer
+        df.write.format("noop").mode("overwrite").save()
+
     # warm-up: JVM + parquet footer caches
-    QUERIES["agg_group"](spark, sf_dir).count()
+    run(QUERIES["agg_group"](spark, sf_dir))
 
     # per-query fixed cost floor: a trivial 1-row job (scheduling + plan +
     # collect round-trip, no real compute). Multiplied by the query count
@@ -71,7 +79,7 @@ def main() -> None:
     for _pass in range(N_PASSES):
         for name, fn in sorted(QUERIES.items()):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            run(fn(spark, sf_dir))
             runs[name].append(time.perf_counter() - t0)
     timings = {n: round(statistics.median(v), 4) for n, v in runs.items()}
 

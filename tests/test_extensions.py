@@ -267,3 +267,14 @@ def test_scrub_text_default_patterns(spark):
     assert "<EMAIL>" in rows[1]["scrubbed"] and "<PHONE>" in rows[1]["scrubbed"]
     assert "bob@" not in rows[1]["scrubbed"] and "555" not in rows[1]["scrubbed"]
     assert rows[2].asDict() == {"scrubbed": "clean", "n_redactions": 0}
+
+
+def test_lang_id_table_matches_expression(spark, sf_dir):
+    """The exploded broadcast-join lang classifier must agree row-for-row
+    with the per-row expression form on the full fixture."""
+    from vcf2db_spark.functions.text import lang_id, lang_id_table
+
+    d = table(spark, sf_dir, "documents")
+    expr = {r["doc_id"]: r["l"] for r in d.select("doc_id", lang_id("text").alias("l")).collect()}
+    tab = {r["doc_id"]: r["detected_lang"] for r in lang_id_table(d).collect()}
+    assert expr == tab

