@@ -55,6 +55,10 @@ def curate_documents(
     Deterministic end to end: fixed hash seeds, id-based tie-breaks.
     ``report=True`` additionally computes per-stage counts (one extra
     action per stage over the cached intermediate)."""
+    # NOTE: swapping lang_id for the exploded lang_id_table join here
+    # measured net-NEUTRAL-to-worse (the doc-id join re-shapes the cached
+    # stage); the expression form stays. The table form wins when lang is
+    # the only thing computed (see the lang_id DQ).
     scored = docs.withColumns(
         {
             "quality": quality_score(text_col),

@@ -356,64 +356,43 @@ def text_chunk(spark, sf_dir):
     """,
 )
 def text_repetition(spark, sf_dir):
-    """Gopher-style repetition signals: duplicate-token ratio and
-    top-bigram fraction — a MAP-ONLY pass. The per-doc mode count comes
-    from a run-length fold over the doc's sorted bigram array (array_sort
-    + aggregate, all JVM expressions), so no explode, no shuffle, no join:
-    at 100 TB this runs scan-local at input partitioning. (The round-1
-    version shuffled distinct (doc_id, bigram) pairs; per-document
-    statistics never need corpus-wide exchange.)"""
-    from vcf2db_spark.functions.text import token_ngram_hashes, ws_tokens
+    """Gopher-style repetition signals: duplicate-token ratio (narrow
+    array expressions) and top-bigram fraction via a two-level aggregate
+    over HASHED bigrams — position-explode (codegen-safe, see
+    explode_token_ngram_hashes), partial-agg count on (doc_id, gh), max
+    per doc. The shuffle carries one 8-byte hash per DISTINCT bigram per
+    doc (bounded by doc length, independent of corpus size). A shuffle-
+    free alternative — run-length fold over the sorted bigram array — is
+    plan-elegant but 4× slower in practice: array aggregate() is a
+    CodegenFallback expression, interpreted per element."""
+    from vcf2db_spark.functions.text import explode_token_ngram_hashes, ws_tokens
 
     d = table(spark, sf_dir, "documents")
     toks = ws_tokens(F.trim(F.col("text")))
-    # bigrams as xxhash64 of the 2-token slice: the mode count only needs
-    # equality, and sorting/folding 8-byte longs beats building + sorting
-    # ~n_tokens bigram strings per doc
-    bgs = F.array_sort(token_ngram_hashes("text", 2))
-    # run-length fold: state (prev, run, best) over the sorted array ⇒
-    # best = multiplicity of the most frequent bigram
-    max_bg = F.aggregate(
-        bgs,
-        F.struct(
-            F.lit(None).cast("bigint").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
+    base = d.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("dup_token_ratio"),
     )
-    # Filter FIRST on the cheap precondition (bigrams exist ⟺ ≥2 tokens) and
-    # derive the bigram count as n_tokens-1: filtering on a column computed
-    # in the same select forces Catalyst to inline and re-evaluate the
-    # expensive sort+fold subtree in both the predicate and the projection
-    # (measured 6×: 3.0 s → 0.5 s at sf0.1).
-    return (
-        d.filter(F.size(ws_tokens(F.trim(F.col("text")))) >= 2)
-        .select(
-            "doc_id",
-            F.size(toks).cast("long").alias("n_tokens"),
-            F.round(
-                1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
-            ).alias("dup_token_ratio"),
-            max_bg.alias("_max_bg"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "dup_token_ratio",
-            F.round(
-                F.col("_max_bg").cast("double") / (F.col("n_tokens") - 1).cast("double"),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+    g = explode_token_ngram_hashes(d, "text", 2)
+    per = (
+        g.groupBy("doc_id", "gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("doc_id")
+        .agg(F.max("_n").alias("_max_bg"))
+    )
+    # n_bigrams == n_tokens - 1 exactly (both sides tokenize identically),
+    # so the denominator needs no second pass over the gram stream
+    return base.join(per, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        F.round(
+            F.col("_max_bg").cast("double") / (F.col("n_tokens") - 1).cast("double"),
+            6,
+        ).alias("top_bigram_frac"),
     )
 
 
