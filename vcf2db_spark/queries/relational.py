@@ -495,8 +495,8 @@ def agg_grouping_sets(spark, sf_dir):
         SELECT o_orderstatus, o_orderpriority,
                GROUPING__ID AS gid,
                COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,6))
-                    AS DOUBLE) AS sum_price
+               (CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT)) AS DOUBLE)
+                / 1000000.0) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())

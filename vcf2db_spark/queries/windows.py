@@ -72,24 +72,28 @@ def win_lag(spark, sf_dir):
     "win_running",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(38,10)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_value
+           (CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000.0) AS running_value
     FROM events
     """,
 )
 def win_running(spark, sf_dir):
+    # fixed-point running sum (same convention as registry.dsum): exact
+    # BIGINT accumulation in the frame, one downscale — decimal window
+    # accumulators are ~3× slower for the same determinism
     e = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    units = F.sum(F.round(F.col("value") * 1000000.0).cast("long")).over(w)
     return e.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double").alias("running_value"),
+        (units.cast("double") / F.lit(1000000.0)).alias("running_value"),
     )
 
 
@@ -102,25 +106,29 @@ def win_running(spark, sf_dir):
     "win_moving",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10)))
-                      OVER w AS DOUBLE)
-                 / COUNT(o_totalprice) OVER w, 6) AS mov_avg_price
+           (CAST(ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS BIGINT))
+                            OVER w AS DOUBLE)
+                       / COUNT(o_totalprice) OVER w) AS DOUBLE)
+            / 1000000.0) AS mov_avg_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def win_moving(spark, sf_dir):
+    # fixed-point moving mean, rounded in INTEGER UNITS before the
+    # downscale (same boundary-safety argument as registry.davg)
     o = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, Window.currentRow)
     )
-    mov = F.sum(F.col("o_totalprice").cast("decimal(38,10)")).over(w).cast("double") / F.count(
-        "o_totalprice"
-    ).over(w)
-    return o.select("o_orderkey", "o_custkey", r6(mov).alias("mov_avg_price"))
+    units = F.sum(F.round(F.col("o_totalprice") * 1000000.0).cast("long")).over(w)
+    mov = F.round(units.cast("double") / F.count("o_totalprice").over(w)).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    return o.select("o_orderkey", "o_custkey", mov.alias("mov_avg_price"))
 
 
 # --------------------------------------------------------------------------
