@@ -121,3 +121,30 @@ def test_sample_frames_real_formats(real_media):
     # h=12, every 5th row -> rows 0,5,10
     assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
     assert all(mc.sniff(bytes(r["frame"])) == "bmp" for r in frames)
+
+
+# ---- property round-trips ---------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24), c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_bmp_roundtrip_property(h, w, c, seed):
+    arr = cube(h, w, c, seed=seed)
+    for enc in (mc.encode_ppm, mc.encode_bmp):
+        fmt, back = mc.decode(enc(arr))
+        np.testing.assert_array_equal(back, arr, err_msg=f"{enc.__name__} {h}x{w}x{c}")
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(1, 256), ch=st.integers(1, 4), seed=st.integers(0, 2**31 - 1))
+def test_wav8_roundtrip_property(n, ch, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(0, 256, size=(n, ch), dtype=np.uint8)
+    fmt, back = mc.decode(mc.encode_wav(samples, bits=8))
+    assert fmt == "wav"
+    np.testing.assert_array_equal(back.reshape(n, ch), samples)
