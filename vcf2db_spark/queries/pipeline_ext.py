@@ -626,3 +626,75 @@ def oov_rate(spark, sf_dir):
             "oov_rate",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C3+ — neighbor-graph tier: exact k-NN (oracle-backed, bounded) as the
+# correctness twin of the IVF-list-blocked knn_join / semantic_dedup
+# (rows-only: murmur3-seeded centroid choice is engine-specific).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "knn_exact",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 200
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(a.emb, b.emb)
+                   / (SQRT(list_dot_product(a.emb, a.emb))
+                      * SQRT(list_dot_product(b.emb, b.emb))), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < 50 AND a.vec_id != b.vec_id
+    )
+    SELECT id, neighbor_id, cosine FROM pairs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id) <= 3
+    """,
+)
+def knn_exact(spark, sf_dir):
+    """Exact top-3 cosine neighbors for each of the first 50 vectors in a
+    bounded 200-vector corpus: broadcast pair join (no shuffle of the
+    corpus side), sequential-double HOF dot products (bitwise-equal to
+    DuckDB list_dot_product), per-id window top-k. This is the exact
+    twin the blocked knn_join's recall is tested against at scale."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("_ea")
+    )
+    b = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_eb"))
+    pairs = a.join(F.broadcast(b), F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id", "neighbor_id", r6(cosine(F.col("_ea"), F.col("_eb"))).alias("cosine")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3).drop("_rn")
+
+
+@dq("knn_graph")
+def knn_graph(spark, sf_dir):
+    """IVF-list-blocked batch k-NN with two-probe candidate generation
+    (operators/similarity.py::knn_join) — the 100 TB neighbor-graph path.
+    Deterministic (seeded murmur3 centroids, id tie-breaks) but the hash
+    family is engine-specific → rows-only; recall vs the exact twin is
+    asserted in tests/test_sinks_scale.py."""
+    from vcf2db_spark.operators.similarity import knn_join
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return knn_join(e, k=3, n_lists=8, refine_iters=1, probes=2)
+
+
+@dq("semdedup")
+def semdedup(spark, sf_dir):
+    """SemDeDup-style embedding near-dup removal (drop the larger id of
+    any pair with cosine ≥ 0.99 sharing an IVF list; two-probe recall).
+    Rows-only for the same seeded-hash reason as knn_graph."""
+    from vcf2db_spark.operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return semantic_dedup(e, threshold=0.99, n_lists=8, refine_iters=1, probes=2)
