@@ -63,4 +63,50 @@ def pin_session_conf(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     except Exception:
         pass  # static conf on some builds; VCF pushdown then stays off
+    _ship_package(spark)
     spark._vcf2db_pinned = True
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``vcf2db_spark`` importable on Python WORKERS regardless of the
+    driver environment. Closures that reference this package by module
+    (mapInPandas media stages, applyInPandasWithState) unpickle on the
+    worker with a plain ``import vcf2db_spark`` — which fails if the
+    driver only had the repo on ``sys.path`` (not ``$PYTHONPATH``, which
+    is what worker processes inherit). ``addPyFile`` of a package zip is
+    the environment-independent fix: workers prepend shipped files to
+    their ``sys.path``. Cheap (one ~100 KB zip per session), idempotent
+    via the pin guard."""
+    import hashlib
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # content-address the zip by source mtimes so edits invalidate the
+    # cached artifact across sessions (it lives in /tmp)
+    stamp = [pkg_dir]
+    for root, _dirs, files in os.walk(pkg_dir):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                stamp.append(f"{os.path.relpath(p, pkg_dir)}:{os.path.getmtime(p)}")
+    tag = hashlib.md5("|".join(stamp).encode()).hexdigest()[:10]
+    zpath = os.path.join("/tmp", f"vcf2db_spark_pkg_{tag}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect sessions without a SparkContext
