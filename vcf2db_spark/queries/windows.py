@@ -742,3 +742,39 @@ def win_ntile_dense(spark, sf_dir):
         rank_alias="pr_rank", ntile_alias="price_quartile",
     )
     return o.select("o_orderkey", "pr_rank", "price_quartile")
+
+
+# --------------------------------------------------------------------------
+# B16 — RANGE frame over event time (trailing 1-hour sum per user): the
+# value-based frame complement to win_moving's ROWS frame. Both engines
+# order by epoch microseconds (bigint) so the frame boundaries are
+# integer-exact; the accumulator is the fixed-point convention.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           (CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 1000000.0) AS trailing_1h_sum
+    FROM events
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    w = (
+        # ts reads as TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        # cast to TIMESTAMP is a deterministic reinterpretation
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    units = F.sum(F.round(F.col("value") * 1000000.0).cast("long")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (units.cast("double") / F.lit(1000000.0)).alias("trailing_1h_sum"),
+    )
