@@ -30,6 +30,11 @@ PYTHON_OK = {
     "ann_lsh",
     "ann_ivf",
     "stream_stateful_totals",
+    # IVF centroid assignment = Arrow-batched numpy matmul by design
+    "knn_graph",
+    "semdedup",
+    # media decode/encode stages are Arrow-batched mapInPandas by design
+    "media_features",
 }
 # streaming drains aren't inspectable the same way (memory-table scan)
 STREAMING = {n for n in QUERIES if n.startswith("stream_") and "stream" in n} & {
