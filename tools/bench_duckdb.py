@@ -35,12 +35,15 @@ def main() -> None:
         )
 
     # warm-up (OS page cache for the parquet files)
-    con.execute(ORACLES["agg_group"]).fetchall()
+    con.execute(ORACLES["agg_group"]).arrow()
 
+    # Arrow materialization (engine-native columnar), matching bench.py's
+    # in-process twin — fetchall() would tax DuckDB with per-cell Python
+    # object conversion the Spark side doesn't pay under the noop sink.
     timings: dict[str, float] = {}
     for name, sql in sorted(ORACLES.items()):
         t0 = time.perf_counter()
-        con.execute(sql).fetchall()
+        con.execute(sql).arrow()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     print(
