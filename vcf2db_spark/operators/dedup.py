@@ -140,8 +140,15 @@ def minhash_lsh_candidates(
         )
     )
     banded = sigs.select("id", "signature", band_idx.alias("band", "band_hash"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # shuffle-hash, not broadcast: at scale the banded table can never
+    # broadcast (it's corpus-sized), so the honest plan is a hash-
+    # partitioned join on (band, band_hash); locally it also skips the
+    # broadcast hash-table build (~10% measured). The self-join's two
+    # generate subtrees don't canonicalize to one exchange, so the sig
+    # pipeline still evaluates per side — the cross-side reuse fix is a
+    # checkpointed signature table (see the persist() note above).
+    a = banded.hint("shuffle_hash").alias("a")
+    b = banded.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
             b,
