@@ -76,3 +76,52 @@ def stream_stream_join(spark, sf_dir):
 
     s = read_events_stream(spark, stage_events_dir(sf_dir))
     return run_to_memory(purchases_with_recent_clicks(s), "dq_stream_ss_join")
+
+
+_SINK_CALLS = 0
+
+
+@dq("stream_sink_parquet")
+def stream_sink_parquet(spark, sf_dir):
+    """C7 with the PRODUCTION sink: drain the tumbling-window aggregation
+    through the exactly-once parquet file sink (checkpointed offsets +
+    file-manifest commit protocol), then read the committed files back
+    and reduce per event_type. Output and checkpoint are wiped per call,
+    so the drain is a deterministic batch-equivalent run; rows-only (the
+    file-sink mechanics are the thing under test — window values are
+    hash-checked via stream_tumble's oracle)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    s = read_events_stream(spark, stage_events_dir(sf_dir))
+    agg = tumbling_counts(s, watermark="10 minutes")
+    # one FRESH directory per invocation: wiping a shared path would
+    # invalidate still-live DataFrames returned by earlier calls (lazy
+    # plans re-read the sink files at action time)
+    global _SINK_CALLS
+    _SINK_CALLS += 1
+    base = os.path.join("/tmp", f"vcf2db_sinkdq_{os.getpid()}_{_SINK_CALLS}")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 6).alias("sum_value"),
+    )
