@@ -152,3 +152,30 @@ def test_no_single_partition_window(plans):
                     offenders.append(n)
                     break
     assert not offenders, f"unpartitioned global WindowExec: {offenders}"
+
+
+def test_declared_outputs_are_scalar(spark):
+    """Driver-canonicalizer compatibility guard: the driver sorts every
+    declared query's result with pandas ``sort_values`` over all columns
+    before hashing, and list/dict cells are unhashable — an ARRAY / MAP /
+    STRUCT output column crashes the correctness record for that query
+    (the round-2 ``agg_collect`` / ``semdedup`` failure class). Every
+    declared query must emit scalar columns only; collection results are
+    joined to strings on both engines (see ``agg_collect``). Streaming
+    queries are included — their drained memory-sink output is
+    canonicalized the same way."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, (
+        f"declared queries with unhashable (non-scalar) output columns: {offenders}"
+    )

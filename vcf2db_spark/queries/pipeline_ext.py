@@ -697,4 +697,7 @@ def semdedup(spark, sf_dir):
     from vcf2db_spark.operators.similarity import semantic_dedup
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return semantic_dedup(e, threshold=0.99, n_lists=8, refine_iters=1, probes=2)
+    kept = semantic_dedup(e, threshold=0.99, n_lists=8, refine_iters=1, probes=2)
+    # Project survivors to scalar columns: the query proves survivorship,
+    # not the vectors, and the driver canonicalizer can't hash array cells.
+    return kept.select("vec_id", "label")

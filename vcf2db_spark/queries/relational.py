@@ -595,16 +595,27 @@ def agg_distinct_salted(spark, sf_dir):
     "agg_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses,
-           list_sort(list(DISTINCT l_linenumber))[1:3] AS first_linenumbers
+           array_to_string(list_sort(list(DISTINCT l_linenumber))[1:3], ',')
+             AS first_linenumbers
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_collect(spark, sf_dir):
+    # Arrays are joined to comma-strings on BOTH engines: the driver's
+    # canonicalizer (pandas sort_values over every column) cannot hash
+    # list cells, so declared queries must emit scalar columns only —
+    # enforced for the whole registry by tests/test_plan_quality.py.
     li = table(spark, sf_dir, "lineitem")
-    statuses = F.array_sort(F.collect_set("l_linestatus"))
-    linenos = F.slice(F.array_sort(F.collect_set("l_linenumber")), 1, 3)
+    statuses = F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",")
+    linenos = F.array_join(
+        F.transform(
+            F.slice(F.array_sort(F.collect_set("l_linenumber")), 1, 3),
+            lambda v: v.cast("string"),
+        ),
+        ",",
+    )
     return li.groupBy("l_returnflag").agg(
         statuses.alias("statuses"),
         F.size(F.collect_set("l_linestatus")).cast("bigint").alias("n_statuses"),
