@@ -57,3 +57,31 @@ def test_fixture_scale_smoke(spark, sf_dir):
     # all surviving ids exist in the input
     surviving = rep.curated.select("doc_id")
     assert surviving.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_curate_cache_released_across_calls(spark, sf_dir):
+    """Repeated lazy curate calls must not accumulate persisted stages
+    (the driver's multi-query sweep calls curate_docs several times per
+    session): each call releases the previous call's cache, and
+    release_curate_cache() drops the last one."""
+    from vcf2db_spark import curate as C
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    base = n_cached()  # other suites may hold their own caches
+    a = C.curate_documents(docs)
+    a.count()
+    assert len(C._ACTIVE_PERSISTS) == 1
+    b = C.curate_documents(docs)
+    b.count()
+    assert len(C._ACTIVE_PERSISTS) == 1  # previous cache was released
+    C.release_curate_cache()
+    assert not C._ACTIVE_PERSISTS
+    assert n_cached() <= base
+
+    # report path: all counts materialized inside the call → nothing stays
+    rep = C.curate_documents(docs, report=True)
+    assert rep.n_input == 200
+    assert n_cached() <= base

@@ -148,3 +148,35 @@ def test_wav8_roundtrip_property(n, ch, seed):
     fmt, back = mc.decode(mc.encode_wav(samples, bits=8))
     assert fmt == "wav"
     np.testing.assert_array_equal(back.reshape(n, ch), samples)
+
+
+def test_bmp_short_palette_biclrused():
+    """External 8-bit BMPs may ship biClrUsed < 256 palette entries; the
+    decoder must size the palette from the header instead of slicing a
+    fixed 1024 bytes into the raster."""
+    import struct
+
+    import numpy as np
+
+    from vcf2db_spark.functions.media_codecs import decode
+
+    # hand-build a 4x2 8-bit BMP with a 4-entry grayscale palette
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    palette = b"".join(struct.pack("<BBBB", v, v, v, 0) for v in (0, 85, 170, 255))
+    stride = (w + 3) // 4 * 4
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    padded[:, :w] = idx
+    raster = padded[::-1].tobytes()
+    data_off = 14 + 40 + len(palette)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 2835, 2835, 4, 4)
+        + palette
+        + raster
+    )
+    fmt, out = decode(blob)
+    assert fmt == "bmp"
+    assert out.shape == (h, w, 1)
+    expect = np.array([0, 85, 170, 255], dtype=np.uint8)[idx][:, :, None]
+    assert np.array_equal(out, expect)

@@ -352,3 +352,53 @@ def test_rank_and_ntile_paths_agree(spark):
     a = sorted(map(tuple, small.collect()))
     b = sorted(map(tuple, scaled.collect()))
     assert a == b
+
+
+def test_dense_rank_dim_null_keys(spark):
+    """NULL keys must not be dropped: they rank first (Spark ASC NULLS
+    FIRST window semantics) and shift every non-null rank by one."""
+    from vcf2db_spark.operators.ranking import dense_rank_dim
+
+    df = spark.createDataFrame(
+        [(1, "b"), (2, None), (3, "a"), (4, "b"), (5, None)], "id int, k string"
+    )
+    got = {(r["id"], r["dense_rank"]) for r in dense_rank_dim(df, "k").collect()}
+    assert got == {(1, 3), (2, 1), (3, 2), (4, 3), (5, 1)}
+
+
+def test_global_row_number_is_bigint(spark):
+    """Row numbers are bigint end-to-end: an int cast would silently wrap
+    negative past ~2.15B rows under non-ANSI mode."""
+    from vcf2db_spark.operators.ranking import global_row_number, with_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    rn = global_row_number(df, ["v"])
+    assert dict(rn.dtypes)["rn"] == "bigint"
+    nt = with_ntile(df, ["v"], 3)
+    assert dict(nt.dtypes)["ntile"] == "bigint"
+    assert sorted(r["rn"] for r in rn.collect()) == list(range(1, 11))
+
+
+def test_sized_ddl_quoting_and_types(spark):
+    """Identifiers are dialect-quoted (reserved words / mixed case can't
+    break the DDL) and decimal / timestamp_ntz map to real SQL types
+    instead of the TEXT fallback."""
+    import sqlite3
+
+    from vcf2db_spark.sinks.writers import sized_ddl
+
+    df = spark.sql(
+        "SELECT CAST(1.5 AS DECIMAL(12,2)) AS `order`, "
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00' AS ts, 'x' AS MixedCase"
+    )
+    pg = sized_ddl(df, "select", dialect="postgresql")
+    assert '"select"' in pg and '"order" DECIMAL(12,2)' in pg
+    assert '"ts" TIMESTAMP' in pg and '"MixedCase"' in pg
+    my = sized_ddl(df, "select", dialect="mysql")
+    assert "`select`" in my and "`order` DECIMAL(12,2)" in my
+    assert "DATETIME(6)" in my
+    # sqlite dialect must still execute with a reserved-word table/column
+    lite = sized_ddl(df, "select", dialect="sqlite")
+    con = sqlite3.connect(":memory:")
+    con.execute(lite)
+    con.close()

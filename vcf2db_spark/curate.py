@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from vcf2db_spark.functions.text import doc_fingerprint, lang_id, quality_score
 from vcf2db_spark.operators.dedup import minhash_lsh_candidates
 
+# Persisted intermediates from the most recent lazy (non-report) curate
+# call. The persist must outlive this function (the caller hasn't run the
+# plan yet), but repeated calls in one session — the driver's multi-query
+# sweep — must not accumulate cached stages in executor memory: each call
+# releases the previous call's cache, and ``release_curate_cache()`` lets
+# a caller drop the last one explicitly.
+_ACTIVE_PERSISTS: list[DataFrame] = []
+
+
+def release_curate_cache() -> None:
+    """Unpersist intermediates cached by earlier ``curate_documents`` calls."""
+    while _ACTIVE_PERSISTS:
+        df = _ACTIVE_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
 
 @dataclass
 class CurationReport:
@@ -85,7 +103,9 @@ def curate_documents(
     # the survivors feed BOTH the LSH candidate pass and the final
     # anti-join probe — persist so the quality/lang/fingerprint scoring
     # runs once (at 100 TB this is the stage boundary you'd materialize
-    # to storage anyway)
+    # to storage anyway). Previous calls' caches are released first so
+    # repeated invocations hold at most one cached stage.
+    release_curate_cache()
     exact = exact.persist()
 
     # near-dup: LSH candidates above threshold; larger id of each pair drops
@@ -96,6 +116,7 @@ def curate_documents(
     curated = exact.join(drops, id_col, "left_anti")
 
     if not report:
+        _ACTIVE_PERSISTS.append(exact)
         return curated
     kept = kept.cache()
     out = CurationReport(
@@ -105,4 +126,8 @@ def curate_documents(
         n_after_neardup=curated.count(),
         curated=curated,
     )
+    # every count above materialized; the caches have served their purpose
+    # and a re-execution of ``curated`` simply recomputes the plan
+    kept.unpersist()
+    exact.unpersist()
     return out

@@ -169,8 +169,15 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
         out = rows[:, :, ::-1]  # BGR -> RGB
     elif bpp == 8:
         # palette lives between header and raster; map indices through it,
-        # then keep a 1-channel cube if the palette is grayscale
-        pal = np.frombuffer(blob[14 + hdr_size : 14 + hdr_size + 1024], dtype=np.uint8)
+        # then keep a 1-channel cube if the palette is grayscale. Size the
+        # palette from biClrUsed (offset 46) — external BMPs with
+        # biClrUsed < 256 ship a short palette, and a fixed 1024-byte
+        # slice would bleed into raster bytes — and clamp to data_off.
+        clr_used = struct.unpack_from("<I", blob, 46)[0] if hdr_size >= 36 else 0
+        n_colors = clr_used or 256
+        pal_start = 14 + hdr_size
+        pal_end = min(pal_start + 4 * n_colors, data_off)
+        pal = np.frombuffer(blob[pal_start:pal_end], dtype=np.uint8)
         pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
         stride = (w + 3) // 4 * 4
         raster = np.frombuffer(blob[data_off : data_off + stride * h], dtype=np.uint8)

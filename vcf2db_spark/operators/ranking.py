@@ -37,21 +37,38 @@ def dense_rank_dim(df: DataFrame, key: str, alias: str = "dense_rank") -> DataFr
 
     The window runs over the distinct-key dim only (low-cardinality by
     contract); the fact table never shuffles — the rank arrives via a
-    broadcast hash join.
+    broadcast hash join. NULL keys follow Spark window semantics (ASC
+    NULLS FIRST): a NULL key ranks 1 and shifts every non-null rank up.
     """
     # Rank the dim without any WindowExec: rank(v) = |{v' : v' <= v}| via a
     # bounded non-equi self-join. O(d²) pairs on a ≤d-row dim is free, and
     # the plan stays warning-clean (a global window, even over a tiny dim,
-    # would plan a single-partition WindowExec).
+    # would plan a single-partition WindowExec). The non-equi predicate
+    # never matches NULL, so NULL keys take the separate rank-1 branch and
+    # the rank-back join is null-safe.
     dim = df.select(key).distinct()
-    other = dim.select(F.col(key).alias("_k2"))
-    rank_dim = (
-        dim.join(F.broadcast(other), F.col("_k2") <= F.col(key), "inner")
+    nn = dim.filter(F.col(key).isNotNull())
+    other = nn.select(F.col(key).alias("_k2"))
+    ranked_nn = (
+        nn.join(F.broadcast(other), F.col("_k2") <= F.col(key), "inner")
         .groupBy(key)
         .agg(F.count(F.lit(1)).cast("int").alias(alias))
     )
-    dim = rank_dim
-    return df.join(F.broadcast(dim), on=key, how="inner")
+    # 0/1 scalar: does a NULL key exist? (shifts non-null ranks by one)
+    has_null = dim.groupBy().agg(
+        F.coalesce(F.max(F.col(key).isNull().cast("int")), F.lit(0)).alias("_hasnull")
+    )
+    ranked_nn = (
+        ranked_nn.crossJoin(F.broadcast(has_null))
+        .withColumn(alias, (F.col(alias) + F.col("_hasnull")).cast("int"))
+        .drop("_hasnull")
+    )
+    null_row = dim.filter(F.col(key).isNull()).withColumn(alias, F.lit(1).cast("int"))
+    rank_dim = ranked_nn.unionByName(null_row).withColumnRenamed(key, "_rkey")
+    return (
+        df.join(F.broadcast(rank_dim), F.col(key).eqNullSafe(F.col("_rkey")), "inner")
+        .drop("_rkey")
+    )
 
 
 def global_row_number(
@@ -94,7 +111,7 @@ def _row_number_parts(
     )
     out = (
         local.join(F.broadcast(offsets), on="_pid", how="inner")
-        .withColumn(alias, (F.col("_local_rn") + F.col("_offset")).cast("int"))
+        .withColumn(alias, (F.col("_local_rn") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_local_rn", "_offset")
     )
     return out, counts
@@ -109,10 +126,12 @@ def ntile_expr(rn: Column, total: Column, k: int) -> Column:
     base = F.floor(total / k)  # floor(n/k)
     big = total % k  # number of size-(base+1) tiles
     cutoff = big * (base + 1)  # rows covered by the big tiles
+    # bigint output: rn/total are bigint past ~2.15B rows, and a silent
+    # int wrap here would corrupt tile ids under non-ANSI mode
     return (
         F.when(rn <= cutoff, F.floor((rn - 1) / (base + 1)) + 1)
         .otherwise(big + F.floor((rn - cutoff - 1) / base) + 1)
-        .cast("int")
+        .cast("bigint")
     )
 
 
@@ -145,7 +164,7 @@ def rank_and_ntile(
         w_n = Window.partitionBy("_pid").orderBy(*order_cols)
         return (
             one.withColumn(rank_alias, F.dense_rank().over(w_r))
-            .withColumn(ntile_alias, F.ntile(k).over(w_n))
+            .withColumn(ntile_alias, F.ntile(k).over(w_n).cast("bigint"))
             .drop("_pid")
         )
     out = dense_rank_dim(df, dense_key, alias=rank_alias)

@@ -103,21 +103,32 @@ _JDBC_TYPES: dict[str, dict[str, str]] = {
         "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
         "bigint": "BIGINT", "float": "FLOAT", "double": "DOUBLE",
         "boolean": "TINYINT(1)", "date": "DATE", "timestamp": "DATETIME(6)",
-        "binary": "LONGBLOB", "_string_over": "TEXT", "_fallback": "TEXT",
+        "timestamp_ntz": "DATETIME(6)", "binary": "LONGBLOB",
+        "_string_over": "TEXT", "_fallback": "TEXT",
     },
     "postgresql": {
         "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
         "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE PRECISION",
         "boolean": "BOOLEAN", "date": "DATE", "timestamp": "TIMESTAMP",
-        "binary": "BYTEA", "_string_over": "TEXT", "_fallback": "TEXT",
+        "timestamp_ntz": "TIMESTAMP", "binary": "BYTEA",
+        "_string_over": "TEXT", "_fallback": "TEXT",
     },
     "sqlite": {
         "tinyint": "INTEGER", "smallint": "INTEGER", "int": "INTEGER",
         "bigint": "INTEGER", "float": "REAL", "double": "REAL",
         "boolean": "INTEGER", "date": "TEXT", "timestamp": "TEXT",
-        "binary": "BLOB", "_string_over": "TEXT", "_fallback": "TEXT",
+        "timestamp_ntz": "TEXT", "binary": "BLOB",
+        "_string_over": "TEXT", "_fallback": "TEXT",
     },
 }
+
+# identifier quote character per dialect (ANSI double quote; MySQL backtick)
+_IDENT_QUOTE = {"mysql": "`", "postgresql": '"', "sqlite": '"'}
+
+
+def _quote_ident(name: str, dialect: str) -> str:
+    q = _IDENT_QUOTE[dialect]
+    return f"{q}{name.replace(q, q * 2)}{q}"
 
 # widest VARCHAR each dialect takes before the column should become TEXT
 _VARCHAR_MAX = {"mysql": 16383, "postgresql": 10485760, "sqlite": 1 << 30}
@@ -152,12 +163,16 @@ def sized_ddl(
         if simple == "string":
             w = max(min_width, int(widths.get(field.name, min_width) * headroom))
             sql_t = f"VARCHAR({w})" if w <= _VARCHAR_MAX[dialect] else tmap["_string_over"]
+        elif simple.startswith("decimal("):
+            # pass precision/scale through — the TEXT fallback would
+            # silently degrade exact numerics in the target DB
+            sql_t = "DECIMAL" + simple[len("decimal"):].upper()
         else:
             sql_t = tmap.get(simple, tmap["_fallback"])
         null = "" if field.nullable else " NOT NULL"
-        cols.append(f"  {field.name} {sql_t}{null}")
+        cols.append(f"  {_quote_ident(field.name, dialect)} {sql_t}{null}")
     body = ",\n".join(cols)
-    return f"CREATE TABLE {table} (\n{body}\n)"
+    return f"CREATE TABLE {_quote_ident(table, dialect)} (\n{body}\n)"
 
 
 def write_jdbc_sized(
