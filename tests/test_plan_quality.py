@@ -32,6 +32,7 @@ PYTHON_OK = {
     "stream_stateful_totals",
     # IVF centroid assignment = Arrow-batched numpy matmul by design
     "knn_graph",
+    "knn_recall",
     "semdedup",
     # media decode/encode stages are Arrow-batched mapInPandas by design
     "media_features",

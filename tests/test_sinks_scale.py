@@ -402,3 +402,17 @@ def test_sized_ddl_quoting_and_types(spark):
     con = sqlite3.connect(":memory:")
     con.execute(lite)
     con.close()
+
+
+def test_knn_recall_query_floor(spark):
+    """The driver-visible recall ladder (knn_recall DQ) is pinned: each
+    added probe must raise recall, and the operating points stay above
+    fixed floors on both fixture scales (0.72/0.95 measured at sf0.01,
+    0.77/0.98 at sf0.001 — floors leave margin, not slack)."""
+    from vcf2db_spark.queries.pipeline_ext import knn_recall
+
+    got = {r["probes"]: r["recall_at_k"] for r in knn_recall(spark, SF).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] <= got[2] <= got[3]
+    assert got[2] >= 0.6, got
+    assert got[3] >= 0.9, got

@@ -33,13 +33,27 @@ _RECORDED_R01 = [
 ]
 
 
-def _rotate_recorded_last() -> None:
-    recorded = set(_RECORDED_R01)
-    fresh = {k: v for k, v in QUERIES.items() if k not in recorded}
-    old = {k: v for k, v in QUERIES.items() if k in recorded}
+# Round-3 priority: the two queries whose r2 rows ERRED (now fixed — the
+# driver must re-record them) and queries ADDED this round first, then the
+# r1-recorded set (oldest records, refresh), then the r2-recorded set
+# (freshest records) last. New queries must be listed here to enter the
+# driver's 50-row window.
+_PRIORITY_R03 = ["agg_collect", "semdedup", "knn_recall"]
+
+
+def _rotate_for_round() -> None:
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R03)}
+    for i, name in enumerate(_RECORDED_R01):
+        order.setdefault(name, (1, i))
+    reg_idx = {name: i for i, name in enumerate(QUERIES)}
+    # everything else was recorded green in r2 → last, registration order
+    reordered = sorted(
+        QUERIES.items(),
+        key=lambda kv: order.get(kv[0], (2, reg_idx[kv[0]])),
+    )
+    snapshot = dict(reordered)
     QUERIES.clear()
-    QUERIES.update(fresh)
-    QUERIES.update(old)
+    QUERIES.update(snapshot)
 
 
-_rotate_recorded_last()
+_rotate_for_round()

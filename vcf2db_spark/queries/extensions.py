@@ -284,9 +284,9 @@ def stream_session(spark, sf_dir):
 # --------------------------------------------------------------------------
 # C6 — multimodal: real-container decode → feature extraction. Media blobs
 # are built deterministically FROM the documents fixture (text bytes →
-# PGM image raster for even doc_ids, 8-bit PCM WAV for odd), so the DQ
-# needs no media fixture; the decode side exercises the pure-numpy
-# PPM/PGM + WAV parsers end-to-end. Binary columns + Arrow-batched
+# PGM raster / 8-bit palette BMP / 8-bit PCM WAV round-robin by doc_id),
+# so the DQ needs no media fixture; the decode side exercises every
+# pure-numpy codec end-to-end. Binary columns + Arrow-batched
 # mapInPandas have no SQL analog → rows-only by contract.
 # --------------------------------------------------------------------------
 
@@ -311,10 +311,12 @@ def media_features(spark, sf_dir):
                 w = 16
                 n = max(1, raw.size // w)
                 cube = np.resize(raw, (n, w, 1))  # deterministic tile/pad
-                if did % 2 == 0:
-                    rows.append((did, "image", mc.encode_ppm(cube)))
+                if did % 3 == 0:
+                    rows.append((did, "image_ppm", mc.encode_ppm(cube)))
+                elif did % 3 == 1:
+                    rows.append((did, "image_bmp", mc.encode_bmp(cube)))
                 else:
-                    rows.append((did, "audio", mc.encode_wav(cube.reshape(n * w, 1), bits=8)))
+                    rows.append((did, "audio_wav", mc.encode_wav(cube.reshape(n * w, 1), bits=8)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
     media = d.select("doc_id", "text").mapInPandas(

@@ -689,6 +689,40 @@ def knn_graph(spark, sf_dir):
     return knn_join(e, k=3, n_lists=8, refine_iters=1, probes=2)
 
 
+@dq("knn_recall")
+def knn_recall(spark, sf_dir):
+    """Driver-visible quality metric for the approximate tier: recall@3 of
+    the IVF-blocked ``knn_join`` (two-probe) against the exact brute-force
+    twin ``knn_exact``, on the same 200-vector corpus / first-50 query
+    scope. Computed distributed — a left-semi join on (id, neighbor_id)
+    and two scalar counts — never collecting the pair sets. Seeded-hash
+    blocking → rows-only; the absolute floor is pinned in
+    tests/test_sinks_scale.py::test_knn_recall_query_floor."""
+    from functools import reduce
+
+    from vcf2db_spark.operators.similarity import knn_join
+
+    exact = knn_exact(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
+    rows = []
+    for probes in (1, 2, 3):
+        approx = knn_join(e, k=3, n_lists=8, refine_iters=1, probes=probes).filter(
+            F.col("id") < 50
+        )
+        hits = exact.join(approx, ["id", "neighbor_id"], "left_semi")
+        n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("_hit"))
+        rows.append(
+            n_hit.crossJoin(F.broadcast(n_tot)).select(
+                F.lit(3).alias("k"),
+                F.lit(probes).alias("probes"),
+                F.col("_tot").alias("n_exact_pairs"),
+                F.round(F.col("_hit") / F.col("_tot"), 6).alias("recall_at_k"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), rows)
+
+
 @dq("semdedup")
 def semdedup(spark, sf_dir):
     """SemDeDup-style embedding near-dup removal (drop the larger id of
