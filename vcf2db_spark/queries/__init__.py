@@ -38,7 +38,9 @@ _RECORDED_R01 = [
 # r1-recorded set (oldest records, refresh), then the r2-recorded set
 # (freshest records) last. New queries must be listed here to enter the
 # driver's 50-row window.
-_PRIORITY_R03 = ["agg_collect", "semdedup", "knn_recall"]
+_PRIORITY_R03 = [
+    "agg_collect", "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
+]
 
 
 def _rotate_for_round() -> None:
