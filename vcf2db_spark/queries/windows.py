@@ -504,22 +504,41 @@ def udf_scalar(spark, sf_dir):
     """,
 )
 def udaf_grouped(spark, sf_dir):
-    def wmean(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Two-phase salted UDAF: the custom Python logic (exact integer-cents
+    # dot product) runs as a PARTIAL aggregate over (flag, salt) groups,
+    # and the JVM combines the partials. A naive
+    # groupBy(flag).applyInPandas ships every row into |distinct flag|
+    # Python tasks — 3 tasks for 6M+ rows at sf1, the low-cardinality
+    # skew that murders grouped UDAFs at scale. The cents/qty sums are
+    # associative, so salting is exact, the Arrow transfer parallelizes
+    # across all cores, and the final combine is a 96-row JVM aggregate.
+    def wmean_partial(pdf: pd.DataFrame) -> pd.DataFrame:
         cents = np.rint(pdf["l_extendedprice"].to_numpy() * 100.0).astype("int64")
         qty = np.rint(pdf["l_quantity"].to_numpy()).astype("int64")
-        out = round(float(cents @ qty) / 100.0 / float(qty.sum()), 6)
         return pd.DataFrame(
-            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [out]}
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "cents_qty": [int(cents @ qty)],
+                "qty": [int(qty.sum())],
+            }
         )
 
     li = table(spark, sf_dir, "lineitem").select(
         # project BEFORE the group shuffle: applyInPandas ships every
         # selected column through the exchange and the Arrow boundary —
         # 3 columns, not the 16-column table
-        "l_returnflag", "l_extendedprice", "l_quantity"
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        F.pmod(F.col("l_orderkey"), F.lit(32)).alias("_salt"),
     )
-    return li.groupBy("l_returnflag").applyInPandas(
-        wmean, schema="l_returnflag string, weighted_avg_price double"
+    partial = li.groupBy("l_returnflag", "_salt").applyInPandas(
+        wmean_partial, schema="l_returnflag string, cents_qty long, qty long"
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum("cents_qty").cast("double") / 100.0 / F.sum("qty").cast("double"), 6
+        ).alias("weighted_avg_price")
     )
 
 
@@ -554,10 +573,15 @@ def udtf_split(spark, sf_dir):
                 yield i, t
 
     spark.udtf.register("vcf2db_split_tokens", SplitTokens)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    # filter BEFORE the lateral join: predicates on the left table are not
+    # reliably pushed through a Generate, and an unpushed filter would run
+    # the Python UDTF over the whole corpus just to discard 99.8% of it
+    table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         "SELECT doc_id, t.token_idx, t.token "
-        "FROM _udtf_docs, LATERAL vcf2db_split_tokens(text) t WHERE doc_id < 100"
+        "FROM _udtf_docs, LATERAL vcf2db_split_tokens(text) t"
     )
 
 

