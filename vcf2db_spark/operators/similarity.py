@@ -224,8 +224,12 @@ def ivf_assign_multi(
         return pd.Series(list(ids[top]))
 
     multi = emb.withColumn("_lists", assign_multi(F.col(vec_col)))
+    # posexplode: keep the probe rank (0 = nearest list) — consumers that
+    # don't need it ignore the column; the recall ladder derives every
+    # probe level from one assignment pass with it
     exploded = multi.select(
-        *[F.col(c) for c in emb.columns], F.explode("_lists").alias("list_id")
+        *[F.col(c) for c in emb.columns],
+        F.posexplode("_lists").alias("_probe_rank", "list_id"),
     )
     return exploded, centroids
 

@@ -700,15 +700,51 @@ def knn_recall(spark, sf_dir):
     tests/test_sinks_scale.py::test_knn_recall_query_floor."""
     from functools import reduce
 
-    from vcf2db_spark.operators.similarity import knn_join
+    from pyspark.sql import Window
+
+    from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
 
     exact = knn_exact(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
+
+    # ONE multi-probe assignment pass covers every ladder rung: a pair is
+    # generated at probe level p iff some shared list has both sides'
+    # probe rank < p, so min-over-lists of max(rank_a, rank_b) + 1 is the
+    # smallest level that produces it. Scoring + dedup happen once; each
+    # rung is a filter + window over the folded pair set — equivalent to
+    # running knn_join at probes=p (same centroids, same tie-breaks) at a
+    # third of the cost.
+    assigned, _ = ivf_assign_multi(e, n_lists=8, probes=3, refine_iters=1)
+    a = assigned.filter(F.col("vec_id") < 50).select(
+        "list_id",
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("_va"),
+        F.col("_probe_rank").alias("_ra"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_vb"),
+        F.col("_probe_rank").alias("_rb"),
+    )
+    pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id",
+        "neighbor_id",
+        (F.greatest("_ra", "_rb") + 1).alias("_lvl"),
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+    )
+    folded = scored.groupBy("id", "neighbor_id").agg(
+        F.min("_lvl").alias("_lvl"), F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "neighbor_id")
     rows = []
     for probes in (1, 2, 3):
-        approx = knn_join(e, k=3, n_lists=8, refine_iters=1, probes=probes).filter(
-            F.col("id") < 50
+        approx = (
+            folded.filter(F.col("_lvl") <= probes)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
         )
         hits = exact.join(approx, ["id", "neighbor_id"], "left_semi")
         n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("_hit"))
