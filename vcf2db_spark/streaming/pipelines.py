@@ -98,10 +98,17 @@ def read_events_stream(
     return df
 
 
+#: compressed bytes of the most recently staged stream source — the
+#: size probe ``_drain_partitions`` uses to pick a state-store count for
+#: the next local drain (every DQ stream stages right before draining)
+_LAST_SOURCE_BYTES: int | None = None
+
+
 def stage_events_dir(sf_dir: str) -> str:
     """The file-stream source lists a DIRECTORY; fixtures are single
     parquet files. Stage <sf_dir>/events.parquet into a content-addressed
     /tmp dir once and reuse it across calls."""
+    global _LAST_SOURCE_BYTES
     src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
     d = os.path.join("/tmp", f"vcf2db_stream_{tag}")
@@ -109,7 +116,18 @@ def stage_events_dir(sf_dir: str) -> str:
     if not os.path.exists(dst):
         os.makedirs(d, exist_ok=True)
         shutil.copy(src, dst)
+    _LAST_SOURCE_BYTES = os.path.getsize(dst)
     return d
+
+
+def _drain_partitions(sdf: DataFrame) -> int:
+    """State-store count for an ephemeral local drain: ~one store per
+    3 MB of compressed source, clamped to [4, 16] (sweep at sf0.1/sf1:
+    4 wins under ~5 MB, 8-16 win at ~20 MB; above 16 the per-store WAL
+    fixed costs grow faster than the parallelism pays locally)."""
+    if _LAST_SOURCE_BYTES is None:
+        return 4
+    return max(4, min(16, -(-_LAST_SOURCE_BYTES // (3 << 20))))
 
 
 # -------------------------------------------------------------------------
@@ -293,11 +311,14 @@ def run_to_memory(
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
-    # 4 state-store instances: each drain processes ~10⁵ rows, where
-    # per-store WAL/commit fixed costs dominate compute (8→4 measured
-    # ~12% on the stream-stream join); a real deployment sizes this to
-    # state volume / executor count instead
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # State-store instances sized by INPUT VOLUME: per-store WAL/commit
+    # fixed costs dominate tiny drains (8→4 measured ~12% on the
+    # stream-stream join at sf0.1), but starving a larger drain of
+    # parallelism costs more (stateful totals at sf1: 20.3 s @4 parts vs
+    # 14.1 s @8). One file-size probe of the stream's source dirs picks
+    # ~one store per 32 MB, clamped to [4, 16]; a real deployment sizes
+    # this to state volume / executor count instead.
+    spark.conf.set("spark.sql.shuffle.partitions", str(_drain_partitions(sdf)))
     # state-version retention exists for failure recovery of long-running
     # streams; an ephemeral availableNow drain needs none of it (~10%)
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
