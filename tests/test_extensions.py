@@ -278,3 +278,40 @@ def test_lang_id_table_matches_expression(spark, sf_dir):
     expr = {r["doc_id"]: r["l"] for r in d.select("doc_id", lang_id("text").alias("l")).collect()}
     tab = {r["doc_id"]: r["detected_lang"] for r in lang_id_table(d).collect()}
     assert expr == tab
+
+
+def test_duplicate_clusters_semantics(spark):
+    """Connected components: transitive merge (a~b, b~c → one cluster),
+    min-id labels, singletons label themselves, chain graphs converge
+    (pointer jumping), input pair order irrelevant."""
+    from vcf2db_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id bigint")
+    # components: {1,2,3} via chain 3-2, 2-1; {5,6,7,8} via 8-7,7-6,6-5
+    # (a 4-chain); {9,10}; 4 is a singleton
+    pairs = spark.createDataFrame(
+        [(3, 2), (2, 1), (8, 7), (7, 6), (6, 5), (10, 9)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, nodes).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5), (7, 5), (8, 5),
+        (9, 9), (10, 9),
+    }
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    """No pairs → every node is its own cluster (and the loop exits on
+    the first unchanged checksum, not after max_iters)."""
+    from vcf2db_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in (7, 3, 5)], "doc_id bigint")
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(empty, nodes).collect()
+    }
+    assert got == {(7, 7), (3, 3), (5, 5)}

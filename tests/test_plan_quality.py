@@ -180,3 +180,15 @@ def test_declared_outputs_are_scalar(spark):
     assert not offenders, (
         f"declared queries with unhashable (non-scalar) output columns: {offenders}"
     )
+
+
+def test_udtf_scan_is_prefiltered(plans):
+    """Regression guard for the UDTF lateral-join pothole: a WHERE on the
+    lateral join's output is NOT pushed through the Generate, so the
+    Python table function runs over the whole corpus (measured 11x on
+    udtf_split at sf1). The filter must reach the documents scan."""
+    plan = plans["udtf_split"]
+    pushed = [l for l in plan.splitlines() if "PushedFilters: [" in l]
+    assert pushed and any("LessThan(doc_id,100)" in l for l in pushed), (
+        "doc_id<100 did not reach the scan feeding the UDTF:\n" + plan[:2000]
+    )

@@ -40,6 +40,7 @@ _RECORDED_R01 = [
 # driver's 50-row window.
 _PRIORITY_R03 = [
     "agg_collect", "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
+    "dedup_clusters",
 ]
 
 

@@ -60,6 +60,60 @@ def dedup_jaccard(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# C2+ — duplicate CLUSTERS: connected components over the Jaccard pair
+# graph (pairwise drop rules under-merge transitive duplicates). Spark:
+# iterative min-label propagation with pointer jumping
+# (operators/dedup.py::duplicate_clusters); oracle: DuckDB recursive-CTE
+# transitive closure over the identical pair set — an iterative
+# distributed algorithm hash-checked against a recursive SQL fixpoint.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      FROM documents WHERE doc_id < 500
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_toks FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter / (sa.n_toks + sb.n_toks - n_inter) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    minreach AS (SELECT src, MIN(dst) AS min_dst FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(m.min_dst, d.doc_id)) AS BIGINT)
+             AS cluster_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+    LEFT JOIN minreach m ON m.src = d.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    from vcf2db_spark.operators.dedup import duplicate_clusters
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = jaccard_pairs(d, threshold=0.8)
+    return duplicate_clusters(pairs, d.select("doc_id"), loop_partitions=4)
+
+
+# --------------------------------------------------------------------------
 # C3 — pairwise cosine near-dup (exact, bounded): posexplode + decimal dot
 # --------------------------------------------------------------------------
 
