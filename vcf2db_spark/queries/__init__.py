@@ -12,6 +12,7 @@ from vcf2db_spark.queries import (  # noqa: F401
     pipeline_ext,
     relational,
     streaming_dq,
+    tpch,
     windows,
 )
 from vcf2db_spark.registry import ORACLES, QUERIES  # noqa: F401
@@ -41,6 +42,9 @@ _RECORDED_R01 = [
 _PRIORITY_R03 = [
     "agg_collect", "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
     "dedup_clusters",
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 ]
 
 
