@@ -1,0 +1,89 @@
+"""Quantization-tier properties (operators/quantization.py): int8 error
+bounds, PQ reconstruction quality monotonicity, k-means cluster sanity.
+All on the sf0.001 embeddings fixture (500 × 64-d float vectors).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.operators.quantization import (
+    int8_quant_stats,
+    pq_encode_stats,
+    pq_train,
+)
+from vcf2db_spark.queries.vectors import cluster_kmeans, pq_error, quant_int8
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_int8_error_bound(spark):
+    """Symmetric int8: worst-case round-trip error is half a quantization
+    step = scale/254; the mean (fixed-point, 1e-6 resolution) can exceed
+    its true value by at most 5e-7."""
+    emb = table(spark, SF, "embeddings")
+    rows = int8_quant_stats(emb).collect()
+    assert len(rows) == emb.count()  # no all-zero vectors in the fixture
+    for r in rows:
+        bound = r["scale"] / 254.0 * (1.0 + 1e-9)
+        assert 0.0 <= r["max_abs_err"] <= bound
+        assert r["mean_abs_err"] <= r["max_abs_err"] + 5e-7
+
+
+def test_int8_deterministic(spark):
+    a = sorted(map(tuple, int8_quant_stats(table(spark, SF, "embeddings")).collect()))
+    b = sorted(map(tuple, int8_quant_stats(table(spark, SF, "embeddings")).collect()))
+    assert a == b
+
+
+def test_pq_reconstruction_improves_with_k(spark):
+    """More codewords per subspace → mean L2 reconstruction error must not
+    get worse (same deterministic training sample, same assignments
+    device)."""
+    emb = table(spark, SF, "embeddings")
+    errs = {}
+    for k in (4, 32):
+        books = pq_train(emb, m=8, k=k, iters=2, sample=256)
+        assert books.shape == (8, k, 8)
+        errs[k] = (
+            pq_encode_stats(emb, books)
+            .agg(F.avg("l2_err").alias("e"))
+            .collect()[0]["e"]
+        )
+    assert errs[32] <= errs[4]
+
+
+def test_pq_cosine_in_range(spark):
+    emb = table(spark, SF, "embeddings")
+    books = pq_train(emb, m=8, k=8, iters=1, sample=256)
+    rows = pq_encode_stats(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["cos_recon"] <= 1.0 + 1e-9
+        assert r["l2_err"] >= 0.0
+        assert math.isfinite(r["l2_err"])
+
+
+def test_cluster_kmeans_partitions_corpus(spark):
+    emb = table(spark, SF, "embeddings")
+    rows = cluster_kmeans(spark, SF).collect()
+    assert sum(r["n_members"] for r in rows) == emb.count()
+    assert 1 <= len(rows) <= 8
+    for r in rows:
+        assert -1.0 - 1e-6 <= r["mean_cos_to_centroid"] <= 1.0 + 1e-6
+
+
+def test_declared_queries_scalar_outputs(spark):
+    """Driver-canon guard for the new tier (mirrors
+    tests/test_plan_quality.py's registry-wide ban): no array/map/struct
+    columns in declared outputs."""
+    for fn in (quant_int8, pq_error, cluster_kmeans):
+        df = fn(spark, SF)
+        for f in df.schema.fields:
+            assert f.dataType.typeName() not in ("array", "map", "struct"), (
+                fn.__name__,
+                f.name,
+            )

@@ -1,0 +1,176 @@
+"""Embedding compression operators: int8 affine quantization and product
+quantization (PQ) — the storage tier of a large-scale embedding pipeline
+(SURVEY.md §2C similarity family; companions to operators/similarity.py).
+
+Design split, 100 TB-shaped:
+
+- **int8 path** is pure JVM higher-order functions (transform/zip_with/
+  aggregate) — no Python in the plan at all, so it whole-stage-codegens
+  and scales like any narrow projection.
+- **PQ path** trains codebooks on a *deterministic bounded sample*
+  collected to the driver (O(sample × dim) memory, like the IVF centroid
+  table), then encodes the full corpus distributively with one
+  Arrow-batched numpy matmul per subspace — never a per-row Python loop.
+  Codebooks travel to executors inside the pandas_udf closure
+  (broadcast-sized: m·k·(dim/m) floats).
+
+Determinism: no rand() anywhere. Sampling keys on murmur3 of the id
+(same device as operators/similarity.py ivf_assign); Lloyd refinement is
+plain means over fixed assignments, ties broken by smallest centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# --------------------------------------------------------------------------
+# int8 affine quantization (symmetric, per-vector max-abs scale)
+# --------------------------------------------------------------------------
+
+
+def int8_quant_stats(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 round-trip error, computed entirely JVM-side.
+
+    quantized_i = round(x_i / scale * 127), dequantized back with the same
+    per-vector max-abs ``scale``. Returns scalar columns only (driver-canon
+    safe): id, scale, max_abs_err, mean_abs_err. Elements are cast to
+    double FIRST so the arithmetic is the identical IEEE sequence the
+    DuckDB oracle runs (list<float> fixtures would otherwise round-trip
+    through float32 on the Spark side only). The per-vector MEAN error
+    goes through the repo's fixed-point convention (exact BIGINT unit
+    sums, registry.py) because a plain double fold would expose
+    summation-order differences between Spark's HOF fold and DuckDB's
+    unnest aggregate; MAX needs no such care (order-free).
+
+    Plan shape: narrow projection, zero shuffles, whole-stage codegen —
+    no explode, no Python. At 100 TB this is a map-only pass.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # round-trip error per element; scale > 0 guaranteed by the filter
+    dq = F.transform(
+        v,
+        lambda x: F.round(x / F.col("_scale") * F.lit(127.0))
+        / F.lit(127.0)
+        * F.col("_scale"),
+    )
+    err = F.zip_with(v, F.col("_dq"), lambda a, b: F.abs(a - b))
+    units = F.aggregate(
+        F.col("_err"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round(x * F.lit(1_000_000.0)).cast("long"),
+    )
+    mean_err = (
+        F.round(units.cast("double") / F.size(F.col("_err"))).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return (
+        emb.select(id_col, F.col(vec_col), scale.alias("_scale"))
+        .filter(F.col("_scale") > 0.0)
+        .withColumn("_dq", dq)
+        .withColumn("_err", err)
+        .select(
+            id_col,
+            F.col("_scale").alias("scale"),
+            F.array_max("_err").alias("max_abs_err"),
+            mean_err.alias("mean_abs_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+
+
+def _subspace_kmeans(
+    X: np.ndarray, k: int, iters: int
+) -> np.ndarray:
+    """Deterministic Lloyd k-means for one subspace on the driver-side
+    training sample. Init = first k distinct rows in input order (the
+    sample is already hash-ordered, i.e. a seeded shuffle). Ties in
+    assignment break to the lowest centroid index (np.argmin)."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            members = X[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on the ``sample`` vectors with smallest
+    murmur3(id) — a deterministic sample-without-rand, same device as
+    ivf_assign (operators/similarity.py:121). Returns an (m, k, dim/m)
+    ndarray. Driver memory is O(sample·dim + m·k·dim/m); the corpus is
+    never collected."""
+    rows = (
+        emb.select(id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return np.stack(
+        [_subspace_kmeans(X[:, j * sub : (j + 1) * sub], k, iters) for j in range(m)]
+    )
+
+
+def pq_encode_stats(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector against the codebooks and report scalar
+    reconstruction stats (no array columns in the output). One
+    Arrow-batched numpy pass: for each subspace, argmin distance to its k
+    codewords (vectorized over the whole batch), reconstruction = the
+    chosen codewords. Returns (id, l2_err, cos_recon): L2 reconstruction
+    error and cosine(original, reconstruction)."""
+    m, k, sub = codebooks.shape
+    C = codebooks.copy()
+
+    @pandas_udf("struct<l2_err: double, cos_recon: double>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        X = np.array(vecs.tolist(), dtype="float64")
+        R = np.empty_like(X)
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            # (batch, k) distances via ||x||² - 2xC' + ||c||²
+            d = (
+                (Xj * Xj).sum(axis=1, keepdims=True)
+                - 2.0 * (Xj @ C[j].T)
+                + (C[j] * C[j]).sum(axis=1)[None, :]
+            )
+            R[:, j * sub : (j + 1) * sub] = C[j][np.argmin(d, axis=1)]
+        l2 = np.sqrt(((X - R) ** 2).sum(axis=1))
+        denom = np.linalg.norm(X, axis=1) * np.linalg.norm(R, axis=1) + 1e-12
+        cos = (X * R).sum(axis=1) / denom
+        return pd.DataFrame({"l2_err": l2, "cos_recon": cos})
+
+    return emb.select(
+        id_col, encode(F.col(vec_col)).alias("_s")
+    ).select(id_col, "_s.l2_err", "_s.cos_recon")

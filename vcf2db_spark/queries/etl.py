@@ -240,3 +240,56 @@ _ZORDER_KEEP = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
 def layout_zorder(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(*_ZORDER_KEEP)
     return with_zorder_key(li, ["l_partkey", "l_suppkey"], bits=16)
+
+
+# --------------------------------------------------------------------------
+# A-tier extension — one-pass column profiling. The reference sniffs
+# column domains with ad-hoc SELECTs while sizing the target DDL; a
+# pipeline at scale wants the whole numeric profile from ONE fact scan.
+# Spark computes all 8 columns' (count, nulls, distinct, min, max) in a
+# single aggregate and unpivots with stack(); the oracle is the naive
+# 8-subquery UNION — different plans, identical values.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT({c}) AS n_nulls,
+            COUNT(DISTINCT {c}) AS n_distinct,
+            CAST(MIN({c}) AS DOUBLE) AS min_val,
+            CAST(MAX({c}) AS DOUBLE) AS max_val
+            FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@dq("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    )

@@ -1,0 +1,119 @@
+"""Embedding-compression and clustering query tier (SURVEY.md §2C
+similarity/vector family — round-3 additions on operators/quantization.py
+and the Lloyd-refined IVF machinery in operators/similarity.py).
+
+``quant_int8`` is oracle-backed: the int8 round-trip is pure arithmetic,
+so DuckDB can replay it over ``unnest(embedding)`` and the value hashes
+must match bitwise. PQ and k-means involve driver-trained codebooks /
+iterative refinement (not SQL-expressible) — rows-only by the driver
+contract, with the quality properties pinned in tests/test_quantization.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.operators.quantization import (
+    int8_quant_stats,
+    pq_encode_stats,
+    pq_train,
+)
+from vcf2db_spark.operators.similarity import ivf_assign
+from vcf2db_spark.registry import OAVG, davg, dq
+
+# --------------------------------------------------------------------------
+# int8 quantization error profile — oracle-backed vector arithmetic
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "quant_int8",
+    oracle=f"""
+    WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, MAX(ABS(v)) AS scale FROM x GROUP BY vec_id),
+    e AS (SELECT x.vec_id, s.scale,
+                 ABS(v - ROUND(v / s.scale * 127.0) / 127.0 * s.scale) AS err
+          FROM x JOIN s ON x.vec_id = s.vec_id
+          WHERE s.scale > 0.0)
+    SELECT vec_id, MAX(scale) AS scale,
+           MAX(err) AS max_abs_err,
+           {OAVG('err')} AS mean_abs_err
+    FROM e GROUP BY vec_id
+    """,
+)
+def quant_int8(spark, sf_dir):
+    """Per-vector int8 round-trip error. Spark side is a zero-shuffle
+    map-only pass over JVM higher-order functions (no explode — the
+    oracle's unnest+group-by shape exists only because SQL lacks array
+    folds); MAX is order-free and the mean is fixed-point, so the two
+    radically different plans hash identically."""
+    return int8_quant_stats(table(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# product quantization reconstruction quality — rows-only (driver-trained
+# codebooks; deterministic, pinned by tests/test_quantization.py)
+# --------------------------------------------------------------------------
+
+
+@dq("pq_error")
+def pq_error(spark, sf_dir):
+    """PQ (m=8 subspaces × k=16 codewords) reconstruction quality per
+    label: codebooks train on a deterministic hash-sample (driver-side,
+    bounded), encoding is one Arrow-batched numpy argmin per subspace.
+    Output: label, n, mean reconstruction cosine, mean L2 error —
+    scalars only."""
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=2, sample=1024)
+    stats = pq_encode_stats(emb, books)
+    lab = emb.select("vec_id", "label")
+    return (
+        stats.join(lab, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            davg("cos_recon").alias("mean_cos_recon"),
+            davg("l2_err").alias("mean_l2_err"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# spherical k-means clustering — rows-only (iterative Lloyd refinement)
+# --------------------------------------------------------------------------
+
+
+@dq("cluster_kmeans")
+def cluster_kmeans(spark, sf_dir):
+    """Spherical k-means over the embedding corpus: deterministic seeding
+    + 2 distributed Lloyd iterations (ivf_assign refine_iters — the same
+    operator that builds the ANN index's lists). Output: one row per
+    cluster with its size and mean cosine to the final centroid (the
+    clustering objective tests assert is monotone under refinement)."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(emb, n_lists=8, refine_iters=2)
+    # mean cosine to own centroid, via a broadcast centroid dim + JVM fold
+    cent = spark.createDataFrame(
+        [(lid, vec) for lid, vec in centroids], "list_id: bigint, centroid: array<double>"
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, F.col("centroid"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(v) * norm(F.col("centroid")) + F.lit(1e-12))
+    return (
+        assigned.join(F.broadcast(cent), "list_id")
+        .withColumn("_cos", cos)
+        .groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            davg("_cos").alias("mean_cos_to_centroid"),
+        )
+    )

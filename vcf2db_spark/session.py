@@ -21,6 +21,17 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE downgrade sort-merge joins to shuffled-hash at runtime
+        # when the build side's per-partition map output is small (≤128 MB
+        # here). Size-gated: a 100 TB build side exceeds the threshold and
+        # keeps the spill-safe SMJ, so unlike preferSortMergeJoin=false
+        # (measured 2× regression on the interval join) this cannot pin a
+        # hash build that doesn't fit. Measured at sf1: tpch_q5 1.9→1.3 s,
+        # join_star/agg_distinct ~6-10% — no query regressed.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "134217728",
+        )
         # One slot per core; AQE coalesces small shuffles down at runtime.
         # (A/B with 8 vs 32 at sf0.1 is within run-to-run noise once warm —
         # the first session in a process pays ~2s of JIT regardless.)
@@ -40,6 +51,15 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Static conf: the compiled-class cache for whole-stage codegen.
+        # The default (100 entries) thrashes when a session cycles through
+        # the full ~120-query declared surface — every re-run of a query
+        # recompiles + re-JITs its generated classes, which measured ~2×
+        # on steady-state wall time at sf1 (agg_distinct 2.3 s recorded vs
+        # 1.0 s with a warm class cache). Irrelevant to single-pipeline
+        # production jobs; essential for a many-query session like the
+        # bench/driver sweep.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     return builder.getOrCreate()
 
@@ -54,6 +74,9 @@ def pin_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "134217728"
+    )
     # an unconfigured session defaults to 200 shuffle partitions — far too
     # many tasks for a local driver harness (AQE coalesces reads, but the
     # map side still buckets 200 ways); leave any non-default choice alone
