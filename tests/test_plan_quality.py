@@ -34,6 +34,9 @@ PYTHON_OK = {
     "knn_graph",
     "knn_recall",
     "semdedup",
+    # PQ encode / k-means assignment = Arrow-batched numpy matmul by design
+    "pq_error",
+    "cluster_kmeans",
     # media decode/encode stages are Arrow-batched mapInPandas by design
     "media_features",
 }

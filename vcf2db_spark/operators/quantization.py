@@ -70,9 +70,15 @@ def int8_quant_stats(
         F.round(units.cast("double") / F.size(F.col("_err"))).cast("double")
         / F.lit(1_000_000.0)
     )
+    # Drop all-zero vectors with a cheap EXISTS precondition BEFORE any
+    # computed alias exists: filtering on `_scale > 0` after the select
+    # would make Catalyst inline the whole max-abs HOF into the Filter
+    # and re-evaluate it per row (the docs/SCALE.md §9.2 pothole — the
+    # plan guard test_no_interpreted_hof_in_generate_filters rejects it).
+    # scale > 0 ⟺ some element ≠ 0, so the predicates are equivalent.
     return (
-        emb.select(id_col, F.col(vec_col), scale.alias("_scale"))
-        .filter(F.col("_scale") > 0.0)
+        emb.filter(F.exists(F.col(vec_col), lambda x: x != F.lit(0.0)))
+        .select(id_col, F.col(vec_col), scale.alias("_scale"))
         .withColumn("_dq", dq)
         .withColumn("_err", err)
         .select(

@@ -822,35 +822,36 @@ def tpch_q19(spark, sf_dir):
 def tpch_q20(spark, sf_dir):
     """Q20 potential part promotion: suppliers whose lifetime supply of
     'red' parts exceeds 4× their 1997 demand (availqty/demand split
-    replaces the missing partsupp.availqty). Two co-keyed aggregates over
-    the same fact join on the composite key; both IN subqueries become
-    semi joins (part list broadcast, supplier key set broadcast)."""
+    replaces the missing partsupp.availqty). The oracle writes the
+    canonical two-CTE join; Spark fuses both aggregates into ONE pass
+    over the fact (conditional sum for the windowed demand, ``demandqty
+    > 0`` reproducing the inner join's pair set) — half the scans and
+    shuffles, same rows. The red-part filter pushes BELOW the aggregate
+    (broadcast semi join on the scan) so only red lineitems shuffle at
+    all. Both IN subqueries become semi joins."""
     li = table(spark, sf_dir, "lineitem")
-    avail = li.groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_quantity").alias("availqty")
-    )
-    demand = (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .groupBy(
-            F.col("l_suppkey").alias("d_suppkey"),
-            F.col("l_partkey").alias("d_partkey"),
-        )
-        .agg(F.sum("l_quantity").alias("demandqty"))
-    )
     red = table(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
         "p_partkey"
     )
-    promo_supp = (
-        avail.join(
-            demand,
-            (avail.l_suppkey == demand.d_suppkey)
-            & (avail.l_partkey == demand.d_partkey),
+    in_97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    ps = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("availqty"),
+            F.sum(F.when(in_97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "demandqty"
+            ),
         )
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
-        .filter(F.col("availqty") > 4 * F.col("demandqty"))
+    )
+    promo_supp = (
+        ps.filter(
+            (F.col("demandqty") > 0.0)
+            & (F.col("availqty") > 4 * F.col("demandqty"))
+        )
         .select("l_suppkey")
         .distinct()
     )

@@ -1,0 +1,144 @@
+"""Training-export query tier: the operations that turn a curated corpus
+into model-ready input at 100 TB (SURVEY.md §2C extension — companions to
+the dedup/quality/contamination families in queries/pipeline_ext.py).
+
+All three are oracle-backed: the shuffle key is an explicit Knuth
+multiplicative hash (both engines compute the identical BIGINT
+arithmetic — no engine-specific hash functions), packing is integer
+cumulative sums, and mixing weights are single-division doubles over
+exact integer totals.
+
+Scale notes: nothing here uses a global (single-partition) window — the
+shuffle positions and packing offsets are windowed WITHIN a shard/source
+partition, which is exactly how a 1000-executor export writes shards. A
+pathologically skewed source in ``seq_pack`` would route through the
+two-phase range-partitioned ranking in operators/ranking.py (same
+rewrite as win_ntile_dense).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.registry import dq
+
+# Knuth multiplicative hash constant (2^32 / phi); doc_id ≤ ~2^40 at any
+# realistic corpus size keeps the product inside BIGINT.
+_KNUTH = 2654435761
+_MOD = 4294967296
+N_SHARDS = 8
+SEQ_LEN = 2048
+
+
+@dq(
+    "shuffle_export",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      (doc_id * {_KNUTH}) % {_MOD} AS hkey
+               FROM documents)
+    SELECT doc_id, hkey % {N_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHARDS}
+                              ORDER BY hkey, doc_id) - 1 AS pos
+    FROM h
+    """,
+)
+def shuffle_export(spark, sf_dir):
+    """Deterministic global shuffle for training export: a Knuth
+    multiplicative hash gives every document a pseudo-random sort key,
+    shard = hkey mod N (hash-balanced, no global coordination), position
+    = rank within shard. One shuffle on the shard key; each shard's
+    window sorts independently — the exact layout a distributed
+    shard-writer needs, with zero single-partition stages."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    h = d.withColumn("hkey", (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD))
+    w = Window.partitionBy(F.col("hkey") % N_SHARDS).orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hkey") % N_SHARDS).alias("shard"),
+        (F.row_number().over(w) - 1).alias("pos"),
+    )
+
+
+@dq(
+    "seq_pack",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      len(string_split_regex(text, '\\s+')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // {SEQ_LEN} AS seq_id,
+           (cum - n_tokens) % {SEQ_LEN} AS seq_offset
+    FROM c
+    """,
+)
+def seq_pack(spark, sf_dir):
+    """GPT-style sequence packing (concat-then-chop): documents are laid
+    head-to-tail per source in doc_id order; each document's starting
+    token offset is the running sum of its predecessors, so seq_id =
+    start // SEQ_LEN and seq_offset = start % SEQ_LEN. Integer cumulative
+    sums — exact in both engines. The window is partitioned by source
+    (per-shard packing), not global."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(start / SEQ_LEN).alias("seq_id"),
+        (start % SEQ_LEN).alias("seq_offset"),
+    )
+
+
+@dq(
+    "mix_weights",
+    oracle="""
+    WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+                      CAST(SUM(len(string_split_regex(text, '\\s+')))
+                           AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 COUNT(*) AS n_groups FROM g)
+    SELECT source, lang, n_docs, n_tokens,
+           CAST(tot AS DOUBLE) / (n_groups * n_tokens) AS weight
+    FROM g, t
+    """,
+)
+def mix_weights(spark, sf_dir):
+    """Domain-mixing sampling weights: per (source, lang) bucket, the
+    multiplier that re-weights its natural token share to a uniform
+    target mix (weight = total/(n_groups·bucket)). Exact integer token
+    totals; the single double division is identical IEEE in both
+    engines. The corpus-wide total is a 1-row broadcast — the same
+    scalar-subquery shape as tpch_q11."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", "lang", F.size(F.split("text", r"\s+")).alias("nt"))
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    t = g.agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n_groups")
+    )
+    return g.join(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("tot").cast("double") / (F.col("n_groups") * F.col("n_tokens"))).alias(
+            "weight"
+        ),
+    )
