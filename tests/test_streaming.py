@@ -219,3 +219,42 @@ def test_rocksdb_state_store_matches_default(spark, events_dup_dir):
         rocks_dedup, rocks_tumble = drain("rocksdb")
     assert rocks_dedup == base_dedup and len(base_dedup) > 0
     assert rocks_tumble == base_tumble and len(base_tumble) > 0
+
+
+def test_upsert_drain_batch_equivalence(spark, tmp_path):
+    """CDC upsert: the incremental foreachBatch merge must be independent
+    of batch boundaries (1-file vs 3-file source) and equal the one-shot
+    batch argmax per user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.io import table
+    from vcf2db_spark.streaming.pipelines import (
+        stage_events_dir,
+        stage_events_dir_multi,
+        upsert_latest_drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], str(r["ts"]), r["event_type"], r["value"])
+            for r in df.select("user_id", "ts", "event_type", "value").collect()
+        )
+
+    multi = upsert_latest_drain(
+        spark, stage_events_dir_multi(sf, n_files=3), str(tmp_path / "w3")
+    )
+    single = upsert_latest_drain(
+        spark, stage_events_dir(sf), str(tmp_path / "w1")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        table(spark, sf, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    assert canon(multi) == canon(single) == canon(batch)

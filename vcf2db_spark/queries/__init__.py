@@ -48,7 +48,7 @@ _PRIORITY_R03 = [
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "quant_int8", "pq_error", "cluster_kmeans", "profile_columns",
-    "shuffle_export", "seq_pack", "mix_weights",
+    "shuffle_export", "seq_pack", "mix_weights", "stream_upsert",
 ]
 
 

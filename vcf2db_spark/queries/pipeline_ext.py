@@ -600,26 +600,35 @@ def dedup_window(spark, sf_dir):
     also occur in ANOTHER doc. Windows travel as xxhash64 of the token
     slice (8 bytes, not ~100-char strings; counts identical mod 2⁻⁶⁴);
     the multi-doc window set comes from one (gh → distinct-doc>1) agg and
-    joins back on the hash — two partial-agg shuffles, no all-pairs."""
+    joins back on the hash — no all-pairs.
+
+    Plan shape (r3 rewrite): the exploded window stream collapses FIRST
+    to (doc_id, gh, c) — one partial-agged exchange — and every later
+    stage works on that. The multi-doc aggregate is then a plain
+    count-of-rows per gh (each row is already one distinct doc), and the
+    back-join hits the SAME gh-hashed exchange of gd, so Catalyst reuses
+    it instead of re-exploding the corpus (was: explode twice + a
+    count_distinct expand; measured 5.2 s → see BASELINE.md at sf1)."""
     from vcf2db_spark.functions.text import explode_token_ngram_hashes
 
     d = table(spark, sf_dir, "documents")
     g = explode_token_ngram_hashes(d, "text", 16)
+    gd = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("_c"))
     multi = (
-        g.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
+        gd.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_nd"))
         .filter(F.col("_nd") > 1)
         .select("gh", F.lit(1).alias("_dup"))
     )
+    n_win = F.sum("_c")
+    n_dup = F.sum(F.when(F.col("_dup").isNotNull(), F.col("_c")).otherwise(F.lit(0)))
     return (
-        g.join(multi, "gh", "left")
+        gd.join(multi, "gh", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count("_dup").alias("n_dup_windows"),
-            F.round(F.count("_dup").cast("double") / F.count(F.lit(1)), 6).alias(
-                "dup_fraction"
-            ),
+            n_win.alias("n_windows"),
+            n_dup.alias("n_dup_windows"),
+            F.round(n_dup.cast("double") / n_win, 6).alias("dup_fraction"),
         )
     )
 

@@ -125,3 +125,47 @@ def stream_sink_parquet(spark, sf_dir):
         F.sum("n_events").alias("n_events"),
         F.round(F.sum("sum_value"), 6).alias("sum_value"),
     )
+
+
+@dq(
+    "stream_upsert",
+    oracle="""
+    WITH r AS (SELECT user_id, ts, event_type, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+    SELECT user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_type,
+           value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_upsert(spark, sf_dir):
+    """CDC apply as a stream: a foreachBatch keyed upsert (versioned
+    parquet state emulating MERGE INTO; 3-file source → genuine
+    multi-batch incremental run) whose FINAL state must equal the
+    one-shot batch argmax — which is exactly what the DuckDB oracle
+    computes. One of the few oracle-backed STREAMING queries: the merge
+    is associative and tie-free (unique event_id), so batch boundaries
+    cannot change the answer."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.streaming.pipelines import (
+        stage_events_dir_multi,
+        upsert_latest_drain,
+    )
+
+    global _SINK_CALLS
+    _SINK_CALLS += 1
+    work = os.path.join("/tmp", f"vcf2db_upsert_{os.getpid()}_{_SINK_CALLS}")
+    src = stage_events_dir_multi(sf_dir, n_files=3)
+    final = upsert_latest_drain(spark, src, work)
+    return final.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -376,3 +376,95 @@ def purchases_with_recent_clicks(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {band}")),
         "inner",
     ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+# -------------------------------------------------------------------------
+# CDC apply — keyed upsert via foreachBatch. The production shape is
+# MERGE INTO a transactional table format; on plain parquet the atomic
+# swap is emulated with versioned state directories (write new version,
+# then read it as the next batch's base — never read-and-overwrite one
+# path inside a single job). State per key is ONE row (the latest), so
+# state volume ∝ distinct keys, not stream length.
+# -------------------------------------------------------------------------
+
+
+def stage_events_dir_multi(sf_dir: str, n_files: int = 4) -> str:
+    """Split the events fixture into ``n_files`` parquet slices so a
+    maxFilesPerTrigger=1 drain yields a genuine multi-batch incremental
+    run (the single-file staging gives foreachBatch only one batch)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5((os.path.abspath(src) + f"#{n_files}").encode()).hexdigest()[:12]
+    d = os.path.join("/tmp", f"vcf2db_stream_multi_{tag}")
+    if not os.path.isdir(d) or len(os.listdir(d)) != n_files:
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(src)
+        step = -(-t.num_rows // n_files)
+        for i in range(n_files):
+            pq.write_table(t.slice(i * step, step), os.path.join(d, f"part-{i:03d}.parquet"))
+    global _LAST_SOURCE_BYTES
+    _LAST_SOURCE_BYTES = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+    )
+    return d
+
+
+def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> DataFrame:
+    """Drain the events stream through a foreachBatch keyed upsert and
+    return the FINAL state: the (ts, event_id)-latest row per user_id.
+
+    Each micro-batch first reduces map-side to its own per-key latest
+    (batch sizes bound the window input), then merges with the previous
+    state version by the same argmax — associative and tie-free (event_id
+    is unique), so the result is independent of batch boundaries. That
+    independence is what the DuckDB oracle checks: incremental CDC apply
+    must equal the one-shot batch window."""
+    from pyspark.sql import Window
+
+    # ephemeral drain: versioned state + checkpoint on tmpfs when
+    # available (same rationale as run_to_memory — WAL/commit fsyncs are
+    # pure fixed cost locally; production points both at object storage)
+    if os.path.isdir("/dev/shm"):
+        work_dir = os.path.join("/dev/shm", os.path.basename(work_dir))
+    shutil.rmtree(work_dir, ignore_errors=True)
+    os.makedirs(work_dir, exist_ok=True)
+    versions: list[str] = []
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return df.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        ).drop("_rn")
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        new = latest_per_key(batch)
+        if versions:
+            base = sp.read.parquet(versions[-1])
+            new = latest_per_key(base.unionByName(new))
+        out = os.path.join(work_dir, f"state_v{batch_id}")
+        new.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    s = read_events_stream(spark, source_dir, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_drain_partitions(s)))
+    ckpt = os.path.join(work_dir, "ckpt")
+    try:
+        q = (
+            s.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not versions:  # empty source
+        return spark.createDataFrame([], EVENTS_SCHEMA)
+    return spark.read.parquet(versions[-1])
