@@ -272,24 +272,29 @@ def _profile_oracle() -> str:
 
 @dq("profile_columns", oracle=_profile_oracle())
 def profile_columns(spark, sf_dir):
+    """One-scan numeric profile. Plan note: 8 countDistinct's in a single
+    aggregate would compile to a 9-way Expand (row count × 9 before any
+    combine — measured 3.95 s at sf1, 21× DuckDB). Instead the scan
+    unpivots to (col_name, value) long form and aggregates TWICE: first
+    to distinct (col, value) pairs carrying their multiplicity (map-side
+    combinable — the shuffle moves ~Σ distinct values, not 48M rows),
+    then to the per-column profile where n_distinct is a plain row count.
+    Same two-phase shape as the agg_distinct pre-aggregation; no Expand
+    anywhere."""
     li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            F.count("*").alias(f"{c}__rows"),
-            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("double").alias(f"{c}__min"),
-            F.max(c).cast("double").alias(f"{c}__max"),
-        ]
-    one = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
+        f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS
     )
-    return one.select(
-        F.expr(
-            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
-            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
-        )
+    long = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, val)")
+    )
+    pairs = long.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("_c"))
+    return pairs.groupBy("col_name").agg(
+        F.sum("_c").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), F.col("_c")).otherwise(F.lit(0))).alias(
+            "n_nulls"
+        ),
+        F.count("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
     )

@@ -106,17 +106,38 @@ def tpch_q2(spark, sf_dir):
     decorrelated by hand into a per-part MIN aggregate joined back on
     (partkey, cost-equality) — the plan Catalyst would also produce, but
     stated explicitly so the equality join is visibly on the
-    deterministic MIN of identically-derived doubles. EU supplier dim is
-    broadcast twice (candidate rows + min computation); the only shuffle
-    is the per-part MIN."""
-    ps = _ps(spark, sf_dir)
+    deterministic MIN of identically-derived doubles.
+
+    Pushdown note: both the EU-supplier and the part-class restriction
+    commute with the per-(part,supp) MIN — they drop whole groups, never
+    rows within a kept group — so BOTH are applied to the lineitem scan
+    as broadcast semi-joins BEFORE the ps aggregate. The proxy then
+    aggregates ~p_sel·s_sel of the fact instead of all of it (measured
+    2.1 s → see BASELINE.md at sf1); the oracle keeps the canonical
+    whole-relation CTE, which DuckDB's optimizer prunes the same way."""
     eu = _eu_suppliers(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("_pk"))),
+            F.col("l_partkey") == F.col("_pk"),
+            "leftsemi",
+        )
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost"),
+    )
     ps_eu = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey)
     min_cost = ps_eu.groupBy("l_partkey").agg(
         F.min("supplycost").alias("min_cost")
-    )
-    p = table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
     return (
         ps_eu.join(min_cost, "l_partkey")
@@ -901,10 +922,14 @@ def tpch_q21(spark, sf_dir):
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     eu = _eu_suppliers(spark, sf_dir)
+    # EU restriction applies only to l1 (the waiting supplier); it joins
+    # BELOW the orders join so the fact side of the big shuffle is
+    # pre-shrunk to EU suppliers' lines. l2/l3 must stay unfiltered —
+    # the other-supplier probes look at every line of the order.
     l1 = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
-        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
         .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
     )
     l2 = li.select(
