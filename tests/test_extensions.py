@@ -315,3 +315,27 @@ def test_duplicate_clusters_empty_pairs(spark):
         for r in duplicate_clusters(empty, nodes).collect()
     }
     assert got == {(7, 7), (3, 3), (5, 5)}
+
+
+def test_duplicate_clusters_paths_agree(spark):
+    """Size dispatch: the driver union-find (small path) and the
+    iterative min-label loop (scale path, forced via small_threshold=0)
+    must produce identical labelings — including transitive chains and
+    singletons."""
+    from vcf2db_spark.operators.dedup import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 31)], "doc_id bigint")
+    # a long chain (worst case for propagation), a star, and a pair
+    chain = [(i + 1, i) for i in range(1, 10)]          # 1..10 linked
+    star = [(20, j) for j in (21, 22, 23, 24)]          # 20-centered
+    pairs = spark.createDataFrame(
+        chain + star + [(29, 28)], "id_a bigint, id_b bigint"
+    )
+
+    def canon(df):
+        return sorted((r["doc_id"], r["cluster_id"]) for r in df.collect())
+
+    small = duplicate_clusters(pairs, nodes)
+    iterative = duplicate_clusters(pairs, nodes, small_threshold=0)
+    assert canon(small) == canon(iterative)
+    assert dict(canon(small))[10] == 1  # chain fully collapsed to min id

@@ -288,6 +288,7 @@ def duplicate_clusters(
     b_col: str = "id_b",
     max_iters: int = 20,
     loop_partitions: int | None = None,
+    small_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over duplicate-candidate pairs: every node
     gets ``cluster_id`` = the smallest id reachable through the pair
@@ -295,6 +296,17 @@ def duplicate_clusters(
     generation (Jaccard/MinHash-LSH/SimHash) and cluster-level actions —
     keep-one-per-cluster, cluster-size stats, transitive dedup — where
     pairwise drop rules under-merge (A~B, B~C but A!~C).
+
+    Size-dispatched like operators/ranking.py::rank_and_ntile: a
+    duplicate-PAIR graph is usually tiny relative to the corpus (pairs ≪
+    docs² by LSH construction), and each distributed CC round is one
+    Spark action — at a bounded scope the loop is pure job-floor tax
+    (measured ~7 s for a 500-node declared query, ~5 rounds × scheduling
+    constants). When the pair count is ≤ ``small_threshold`` the edges
+    collect to the driver and a union-find labels them in O(E·α) —
+    same min-label semantics, one job in and one broadcast-sized result
+    out. Larger graphs take the iterative path below unchanged; both
+    paths are asserted identical in tests/test_extensions.py.
 
     Spark-first iterative min-label propagation with pointer jumping:
     each round takes the min label over the node's neighbors (one
@@ -312,6 +324,12 @@ def duplicate_clusters(
     graph state.
     """
     spark = pairs.sparkSession
+    # ONE probing job decides the path AND (when small) delivers the
+    # edges: collect at most threshold+1 pairs — 16 bytes each, bounded
+    # driver memory by construction.
+    probe = pairs.select(a_col, b_col).limit(small_threshold + 1).collect()
+    if len(probe) <= small_threshold:
+        return _cc_unionfind(probe, nodes, id_col, a_col, b_col)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if loop_partitions:
         # every round is 2 joins + an agg over label-sized data; at a
@@ -324,6 +342,46 @@ def duplicate_clusters(
         return _cc_loop(pairs, nodes, id_col, a_col, b_col, max_iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_unionfind(
+    probe: list,
+    nodes: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Bounded-scope path: path-compressed union-find on the collected
+    pair list (driver memory = O(nodes touched by a pair)), then a
+    broadcast join labels the full node table — singletons label
+    themselves via coalesce. Deterministic: the representative tracked
+    per set is the MINIMUM id, matching the iterative path exactly."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in probe:
+        xa, xb = find(row[a_col]), find(row[b_col])
+        if xa != xb:
+            lo, hi = (xa, xb) if xa < xb else (xb, xa)
+            parent[hi] = lo  # min id becomes the representative
+    labels = [(n, find(n)) for n in list(parent)]
+    spark = nodes.sparkSession
+    node_t = nodes.schema[id_col].dataType.simpleString()
+    lab = spark.createDataFrame(
+        labels, f"_n: {node_t}, _lab: {node_t}"
+    )
+    return nodes.select(F.col(id_col)).join(
+        F.broadcast(lab), F.col(id_col) == F.col("_n"), "left"
+    ).select(
+        id_col, F.coalesce("_lab", F.col(id_col)).alias("cluster_id")
+    )
 
 
 def _cc_loop(
