@@ -49,6 +49,7 @@ _PRIORITY_R03 = [
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     "quant_int8", "pq_error", "cluster_kmeans", "profile_columns",
     "shuffle_export", "seq_pack", "mix_weights", "stream_upsert",
+    "qualify_topn", "win_percentiles", "unpivot_melt",
 ]
 
 

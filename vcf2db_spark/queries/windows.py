@@ -802,3 +802,97 @@ def win_range_frame(spark, sf_dir):
         "user_id",
         (units.cast("double") / F.lit(1000000.0)).alias("trailing_1h_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# B14+ completeness (r3): QUALIFY-style window filtering, distribution
+# ranks, and relational unpivot/melt
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "qualify_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def qualify_topn(spark, sf_dir):
+    """Top-3 orders per customer — the QUALIFY idiom (filter on a window
+    result). Spark has no QUALIFY keyword; the DataFrame form (window →
+    filter) compiles to the identical plan DuckDB's QUALIFY sugar
+    produces: one exchange on the partition key, per-partition sort, no
+    global sort."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@dq(
+    "win_percentiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6) AS cume,
+           NTILE(10) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def win_percentiles(spark, sf_dir):
+    """Distribution ranks (percent_rank / cume_dist / ntile) per priority
+    class. The rank ratios are integer divisions evaluated identically in
+    both engines; ties are impossible (o_orderkey breaks them), so the
+    ROUND(.,6) is a formality. Partitioned window — no global sort."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@dq(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey % 100 = 0)
+    UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Wide→long melt (the inverse of pivot_crosstab): DataFrame.unpivot
+    compiles to an Expand over the 3 measures — a narrow 3× row
+    expansion, no shuffle. The 1%-of-orders filter is pushed to the scan
+    and only bounds the declared output."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
