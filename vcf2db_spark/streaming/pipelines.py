@@ -468,3 +468,74 @@ def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> 
     if not versions:  # empty source
         return spark.createDataFrame([], EVENTS_SCHEMA)
     return spark.read.parquet(versions[-1])
+
+
+# -------------------------------------------------------------------------
+# Spark 4 transformWithState — the successor stateful API (typed state
+# variables, timers, TTL) for applyInPandasWithState-style operators.
+# ENVIRONMENT GATE: its Python driver worker speaks protobuf to the JVM;
+# this container ships no `protobuf` package and installs are not
+# allowed, so the operator raises a documented error here and runs
+# wherever protobuf exists (tests/test_export_tws.py skips accordingly —
+# same honest-boundary treatment as the entropy-coded media formats in
+# functions/media_codecs.py).
+# -------------------------------------------------------------------------
+
+
+def tws_available() -> bool:
+    """True iff the transformWithState Python worker can start (needs the
+    `protobuf` package for its control-plane channel)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on transformWithStateInPandas — the same
+    semantics as ``running_totals_stateful`` (its cross-API parity twin)
+    expressed with a typed ValueState instead of the GroupState tuple.
+    Requires the RocksDB state-store provider (set by the caller/drain)
+    and a protobuf-capable Python env (see ``tws_available``)."""
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires the `protobuf` package "
+            "for its Python worker control channel; not available in "
+            "this environment (see tws_available())."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._st = handle.getValueState("tot", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self):
+            pass
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _Totals(), outputStructType=_RUNNING_SCHEMA, outputMode="Update", timeMode="None"
+    )
