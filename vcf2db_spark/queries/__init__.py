@@ -15,6 +15,7 @@ from vcf2db_spark.queries import (  # noqa: F401
     tpch,
     training,
     vectors,
+    warehouse,
     windows,
 )
 from vcf2db_spark.registry import ORACLES, QUERIES  # noqa: F401
@@ -50,6 +51,7 @@ _PRIORITY_R03 = [
     "quant_int8", "pq_error", "cluster_kmeans", "profile_columns",
     "shuffle_export", "seq_pack", "mix_weights", "stream_upsert",
     "qualify_topn", "win_percentiles", "unpivot_melt",
+    "merge_upsert", "scd2_dim",
 ]
 
 
