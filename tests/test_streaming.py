@@ -243,11 +243,16 @@ def test_upsert_drain_batch_equivalence(spark, tmp_path):
             for r in df.select("user_id", "ts", "event_type", "value").collect()
         )
 
-    multi = upsert_latest_drain(
-        spark, stage_events_dir_multi(sf, n_files=3), str(tmp_path / "w3")
+    # consume each drain's result BEFORE starting the next one: a new
+    # drain releases the previous drain's state directory (the documented
+    # lifecycle — at most one live final version, tmpfs never accumulates)
+    multi = canon(
+        upsert_latest_drain(
+            spark, stage_events_dir_multi(sf, n_files=3), str(tmp_path / "w3")
+        )
     )
-    single = upsert_latest_drain(
-        spark, stage_events_dir(sf), str(tmp_path / "w1")
+    single = canon(
+        upsert_latest_drain(spark, stage_events_dir(sf), str(tmp_path / "w1"))
     )
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -257,4 +262,4 @@ def test_upsert_drain_batch_equivalence(spark, tmp_path):
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )
-    assert canon(multi) == canon(single) == canon(batch)
+    assert multi == single == canon(batch)

@@ -324,10 +324,21 @@ def duplicate_clusters(
     graph state.
     """
     spark = pairs.sparkSession
+    # Restrict pairs to edges whose BOTH endpoints are in `nodes` — the
+    # iterative path does this implicitly (labels exist only for nodes,
+    # so an edge touching a foreign id propagates nothing), and without
+    # the same restriction the union-find path would bridge two clusters
+    # through an absent node, making the answer depend on which path the
+    # size dispatch picked.
+    ids = nodes.select(F.col(id_col).alias("_nid"))
+    pairs = pairs.join(
+        ids, F.col(a_col) == F.col("_nid"), "leftsemi"
+    ).join(ids, F.col(b_col) == F.col("_nid"), "leftsemi")
     # ONE probing job decides the path AND (when small) delivers the
-    # edges: collect at most threshold+1 pairs — 16 bytes each, bounded
-    # driver memory by construction.
-    probe = pairs.select(a_col, b_col).limit(small_threshold + 1).collect()
+    # edges. Arrow transfer (toPandas) keeps the probe at two int64
+    # columns — ~16 bytes/pair + one pandas frame — instead of
+    # collect()'s per-Row Python objects (~10× that).
+    probe = pairs.select(a_col, b_col).limit(small_threshold + 1).toPandas()
     if len(probe) <= small_threshold:
         return _cc_unionfind(probe, nodes, id_col, a_col, b_col)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -345,7 +356,7 @@ def duplicate_clusters(
 
 
 def _cc_unionfind(
-    probe: list,
+    probe,  # pandas DataFrame with columns [a_col, b_col]
     nodes: DataFrame,
     id_col: str,
     a_col: str,
@@ -366,8 +377,8 @@ def _cc_unionfind(
             parent[x], x = r, parent[x]
         return r
 
-    for row in probe:
-        xa, xb = find(row[a_col]), find(row[b_col])
+    for ra, rb in zip(probe[a_col].tolist(), probe[b_col].tolist()):
+        xa, xb = find(ra), find(rb)
         if xa != xb:
             lo, hi = (xa, xb) if xa < xb else (xb, xa)
             parent[hi] = lo  # min id becomes the representative

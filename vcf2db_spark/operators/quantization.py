@@ -51,7 +51,15 @@ def int8_quant_stats(
     Plan shape: narrow projection, zero shuffles, whole-stage codegen —
     no explode, no Python. At 100 TB this is a map-only pass.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # Drop NULL elements before any arithmetic: the oracle's unnest rows
+    # for NULL elements vanish from its MAX/COUNT aggregates, while a
+    # NULL inside the Spark fold would poison the whole fixed-point
+    # accumulator — compacting first keeps both engines on the same
+    # element multiset (and the same mean denominator).
+    v = F.filter(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        lambda x: x.isNotNull(),
+    )
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
     # round-trip error per element; scale > 0 guaranteed by the filter
     dq = F.transform(
@@ -99,10 +107,24 @@ def _subspace_kmeans(
     X: np.ndarray, k: int, iters: int
 ) -> np.ndarray:
     """Deterministic Lloyd k-means for one subspace on the driver-side
-    training sample. Init = first k distinct rows in input order (the
-    sample is already hash-ordered, i.e. a seeded shuffle). Ties in
+    training sample. Init = the first k DISTINCT rows in input order
+    (the sample is already hash-ordered, i.e. a seeded shuffle) —
+    duplicate sample vectors would otherwise seed duplicate centroids
+    and waste codewords; if the subspace has fewer than k distinct rows
+    the tail repeats the last seed (k_effective = #distinct). Ties in
     assignment break to the lowest centroid index (np.argmin)."""
-    C = X[:k].copy()
+    seen: set = set()
+    seed = []
+    for row in X:
+        key = row.tobytes()
+        if key not in seen:
+            seen.add(key)
+            seed.append(row)
+            if len(seed) == k:
+                break
+    while len(seed) < k:
+        seed.append(seed[-1])
+    C = np.array(seed, dtype="float64")
     for _ in range(iters):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d, axis=1)
@@ -123,16 +145,15 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Train PQ codebooks on the ``sample`` vectors with smallest
-    murmur3(id) — a deterministic sample-without-rand, same device as
-    ivf_assign (operators/similarity.py:121). Returns an (m, k, dim/m)
-    ndarray. Driver memory is O(sample·dim + m·k·dim/m); the corpus is
-    never collected."""
+    murmur3(id) — a deterministic sample-without-rand, the SAME shared
+    helper ivf_assign seeds from
+    (operators/similarity.py::hash_ordered_sample). Returns an
+    (m, k, dim/m) ndarray. Driver memory is O(sample·dim + m·k·dim/m);
+    the corpus is never collected."""
+    from vcf2db_spark.operators.similarity import hash_ordered_sample
+
     rows = (
-        emb.select(id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(sample)
-        .select(vec_col)
-        .collect()
+        hash_ordered_sample(emb, sample, id_col, vec_col).select(vec_col).collect()
     )
     X = np.array([r[vec_col] for r in rows], dtype="float64")
     dim = X.shape[1]

@@ -118,6 +118,20 @@ def lsh_topk(
     )
 
 
+def hash_ordered_sample(
+    emb: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The shared deterministic sample-without-rand device: the ``n``
+    rows with smallest murmur3(id) (hash order is a seeded shuffle of the
+    id space). Used by IVF centroid seeding and PQ codebook training so
+    both tiers sample identically."""
+    return (
+        emb.select(id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h"))
+        .orderBy("_h", id_col)
+        .limit(n)
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_lists: int = 16,
@@ -138,11 +152,7 @@ def ivf_assign(
     (mean cosine to assigned centroid) is monotonically non-decreasing,
     which tests/test_sinks_scale.py asserts. Refined lists are tighter →
     higher recall at the same nprobe."""
-    ranked = (
-        emb.select(id_col, vec_col, F.hash(F.col(id_col).cast("string")).alias("_h"))
-        .orderBy("_h", id_col)
-        .limit(n_lists)
-    )
+    ranked = hash_ordered_sample(emb, n_lists, id_col, vec_col)
     centroids = [
         (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in ranked.collect()
     ]

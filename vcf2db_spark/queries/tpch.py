@@ -205,8 +205,8 @@ def tpch_q4(spark, sf_dir):
     WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       AND c_custkey = o_custkey
       AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY 1, 2, 3
@@ -219,7 +219,7 @@ def tpch_q7(spark, sf_dir):
     customer shrink to broadcastable subsets and the only large shuffle
     is lineitem ⋈ orders on the order key."""
     n = table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
+        F.col("n_name").isin("NATION_3", "NATION_8")
     )
     s = (
         table(spark, sf_dir, "supplier")
@@ -241,8 +241,8 @@ def tpch_q7(spark, sf_dir):
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
@@ -427,7 +427,7 @@ def tpch_q10(spark, sf_dir):
                   ps.supplycost * ps.availqty AS val
            FROM ps, supplier, nation
            WHERE ps.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-             AND n_name = 'NATION_7')
+             AND n_name = 'NATION_12')
     SELECT partkey, {OSUM6('val')} AS value
     FROM de
     GROUP BY partkey
@@ -435,13 +435,13 @@ def tpch_q10(spark, sf_dir):
     """,
 )
 def tpch_q11(spark, sf_dir):
-    """Q11 important stock for NATION_7 suppliers. The global-total
+    """Q11 important stock for NATION_12 suppliers. The global-total
     scalar subquery becomes a 1-row broadcast cross join; both the
     per-part values and the threshold are fixed-point, so the HAVING
     comparison is deterministic across engines. Shuffles: the ps proxy
     group-by and the per-part aggregate — both map-side combinable."""
     ps = _ps(spark, sf_dir)
-    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
     s = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

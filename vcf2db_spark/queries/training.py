@@ -23,19 +23,36 @@ from pyspark.sql import Window, functions as F
 from vcf2db_spark.io import table
 from vcf2db_spark.registry import dq
 
-# Knuth multiplicative hash constant (2^32 / phi); doc_id ≤ ~2^40 at any
-# realistic corpus size keeps the product inside BIGINT.
+# Knuth multiplicative hash constant (2^32 / phi). The product is
+# computed in SPLIT modular form — (id%2^32) decomposed into 16-bit
+# halves, each multiplied and reduced mod 2^32 separately — because the
+# naive `id * 2654435761` overflows BIGINT (and raises under ANSI mode)
+# for id > 2^63/K ≈ 3.4e9, squarely inside the multi-billion-row corpora
+# the export tier targets. The split form is ≡ (K·id) mod 2^32 for every
+# id (modular arithmetic identity), never exceeds ~2^49 in any
+# intermediate, and is expressed with the same integer ops in both
+# engines so hash values stay bitwise identical.
 _KNUTH = 2654435761
 _MOD = 4294967296
 N_SHARDS = 8
 SEQ_LEN = 2048
 
 
+def knuth_hash_sql(col: str, idiv: str) -> str:
+    """(K·col) mod 2^32, overflow-safe; ``idiv`` is the engine's integer
+    division operator ('DIV' for Spark SQL, '//' for DuckDB)."""
+    e = f"(({col}) % {_MOD})"
+    return (
+        f"((({e} {idiv} 65536) * {_KNUTH} % {_MOD}) * 65536"
+        f" + ({e} % 65536) * {_KNUTH}) % {_MOD}"
+    )
+
+
 @dq(
     "shuffle_export",
     oracle=f"""
     WITH h AS (SELECT doc_id,
-                      (doc_id * {_KNUTH}) % {_MOD} AS hkey
+                      {knuth_hash_sql('doc_id', '//')} AS hkey
                FROM documents)
     SELECT doc_id, hkey % {N_SHARDS} AS shard,
            ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHARDS}
@@ -51,7 +68,7 @@ def shuffle_export(spark, sf_dir):
     window sorts independently — the exact layout a distributed
     shard-writer needs, with zero single-partition stages."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    h = d.withColumn("hkey", (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_MOD))
+    h = d.withColumn("hkey", F.expr(knuth_hash_sql("doc_id", "DIV")))
     w = Window.partitionBy(F.col("hkey") % N_SHARDS).orderBy("hkey", "doc_id")
     return h.select(
         "doc_id",
@@ -94,12 +111,16 @@ def seq_pack(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return t.select(
+    # seq_id via SQL `DIV` (exact BIGINT division, matching the oracle's
+    # `//`) — F.floor(start / N) would route through an IEEE double and
+    # lose integer exactness once a source's running token count passes
+    # 2^53, silently disagreeing with the modulo column.
+    return t.withColumn("_start", start).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(start / SEQ_LEN).alias("seq_id"),
-        (start % SEQ_LEN).alias("seq_offset"),
+        F.expr(f"_start DIV {SEQ_LEN}").alias("seq_id"),
+        (F.col("_start") % SEQ_LEN).alias("seq_offset"),
     )
 
 

@@ -27,16 +27,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vcf2db_spark.queries.training import _KNUTH, _MOD
+from vcf2db_spark.queries.training import knuth_hash_sql
 
 MANIFEST = "_manifest.json"
 
 
 def with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     """Deterministic pseudo-random shard id (no rand(), reproducible
-    across runs/engines — plain BIGINT arithmetic)."""
+    across runs/engines — overflow-safe split-modular Knuth hash, the
+    same device as the ``shuffle_export`` declared query)."""
     return df.withColumn(
-        "shard", ((F.col(id_col) * F.lit(_KNUTH)) % F.lit(_MOD)) % F.lit(n_shards)
+        "shard", F.expr(knuth_hash_sql(id_col, "DIV")) % F.lit(n_shards)
     )
 
 

@@ -412,6 +412,19 @@ def stage_events_dir_multi(sf_dir: str, n_files: int = 4) -> str:
     return d
 
 
+# Work dirs of the most recent drain: the returned DataFrame lazily
+# reads the final state version, so the dir must outlive the call; each
+# NEW drain (and an explicit release) deletes the previous one — at most
+# one final-version dir is ever live, nothing accumulates across a
+# bench/driver sweep (tmpfs is RAM).
+_ACTIVE_UPSERT_DIRS: list[str] = []
+
+
+def _release_upsert_dirs() -> None:
+    while _ACTIVE_UPSERT_DIRS:
+        shutil.rmtree(_ACTIVE_UPSERT_DIRS.pop(), ignore_errors=True)
+
+
 def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> DataFrame:
     """Drain the events stream through a foreachBatch keyed upsert and
     return the FINAL state: the (ts, event_id)-latest row per user_id.
@@ -421,14 +434,25 @@ def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> 
     state version by the same argmax — associative and tie-free (event_id
     is unique), so the result is independent of batch boundaries. That
     independence is what the DuckDB oracle checks: incremental CDC apply
-    must equal the one-shot batch window."""
+    must equal the one-shot batch window.
+
+    Lifecycle: the returned DataFrame lazily reads the final state
+    version on disk; a SUBSEQUENT drain (any caller, same process)
+    releases the previous drain's directory — consume (collect/write)
+    each result before starting the next drain, exactly like the
+    curate-cache contract (curate.py::release_curate_cache)."""
     from pyspark.sql import Window
 
     # ephemeral drain: versioned state + checkpoint on tmpfs when
     # available (same rationale as run_to_memory — WAL/commit fsyncs are
-    # pure fixed cost locally; production points both at object storage)
+    # pure fixed cost locally; production points both at object storage).
+    # The tmpfs path keys on a hash of the caller's FULL path (+pid), so
+    # two callers with distinct work dirs but equal basenames — or two
+    # processes — can never clobber each other's live state.
     if os.path.isdir("/dev/shm"):
-        work_dir = os.path.join("/dev/shm", os.path.basename(work_dir))
+        tag = hashlib.md5(os.path.abspath(work_dir).encode()).hexdigest()[:12]
+        work_dir = os.path.join("/dev/shm", f"vcf2db_upsert_{os.getpid()}_{tag}")
+    _release_upsert_dirs()
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(work_dir, exist_ok=True)
     versions: list[str] = []
@@ -450,6 +474,10 @@ def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> 
         out = os.path.join(work_dir, f"state_v{batch_id}")
         new.write.mode("overwrite").parquet(out)
         versions.append(out)
+        if len(versions) > 1:
+            # the previous version is fully consumed by the write above;
+            # only the newest version may be referenced after the drain
+            shutil.rmtree(versions[-2], ignore_errors=True)
 
     s = read_events_stream(spark, source_dir, max_files_per_trigger=1)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -465,6 +493,11 @@ def upsert_latest_drain(spark: SparkSession, source_dir: str, work_dir: str) -> 
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the stream is finished: its checkpoint/WAL is dead weight now; the
+    # final state version must survive until the NEXT drain (the caller's
+    # DataFrame reads it lazily)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _ACTIVE_UPSERT_DIRS.append(work_dir)
     if not versions:  # empty source
         return spark.createDataFrame([], EVENTS_SCHEMA)
     return spark.read.parquet(versions[-1])
