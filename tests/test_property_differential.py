@@ -209,3 +209,100 @@ def _temporal_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", SEEDS[:10])
 def test_temporal_template(seed, spark, oracle_con):
     _run_both(spark, oracle_con, _temporal_query(seed))
+
+
+def _star_having_query(seed: int) -> str:
+    """3-table star + conditional counts + HAVING (the TPC-H tier's
+    randomized cousin; all aggregates integer-exact)."""
+    rng = random.Random(seed + 40_000)
+    thr = rng.randint(2, 30)
+    seg = rng.choice(["'BUILDING'", "'AUTOMOBILE'", "'MACHINERY'", "'FURNITURE'", "'HOUSEHOLD'"])
+    prio = rng.choice(["'1-URGENT'", "'2-HIGH'", "'5-LOW'"])
+    return (
+        "SELECT c_mktsegment, COUNT(*) AS n,"
+        f" COUNT(CASE WHEN o_orderpriority = {prio} THEN 1 END) AS n_prio,"
+        " MIN(l_orderkey) AS min_k, MAX(l_suppkey) AS max_s"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        f" WHERE {_where(rng)} OR c_mktsegment = {seg}"
+        f" GROUP BY c_mktsegment HAVING COUNT(*) > {thr}"
+        " ORDER BY c_mktsegment"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_star_having_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _star_having_query(seed))
+
+
+def _distribution_window_query(seed: int) -> str:
+    """PERCENT_RANK / CUME_DIST / NTILE with unique tie-breaks — the
+    win_percentiles family randomized. Rank ratios are integer divisions,
+    identical in both engines; ROUND(.,6) is belt-and-braces."""
+    rng = random.Random(seed + 50_000)
+    part = rng.choice(["o_orderstatus", "o_orderpriority"])
+    metric = rng.choice(["o_totalprice", "o_custkey"])
+    n = rng.randint(2, 10)
+    return (
+        f"SELECT o_orderkey,"
+        f" ROUND(PERCENT_RANK() OVER (PARTITION BY {part}"
+        f"   ORDER BY {metric}, o_orderkey), 6) AS pr,"
+        f" ROUND(CUME_DIST() OVER (PARTITION BY {part}"
+        f"   ORDER BY {metric}, o_orderkey), 6) AS cd,"
+        f" NTILE({n}) OVER (PARTITION BY {part}"
+        f"   ORDER BY {metric}, o_orderkey) AS tile"
+        f" FROM orders WHERE o_orderkey % {rng.randint(2, 5)} = 0"
+        f" ORDER BY o_orderkey"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:10])
+def test_distribution_window_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _distribution_window_query(seed))
+
+
+def _unpivot_query(seed: int) -> str:
+    """Standard-SQL UNPIVOT parses in BOTH engines (Spark ≥3.4, DuckDB)."""
+    rng = random.Random(seed + 60_000)
+    mod = rng.randint(3, 9)
+    return (
+        "SELECT measure, COUNT(*) AS n, MIN(l_orderkey) AS min_k,"
+        " SUM(CAST(val AS BIGINT)) AS sum_v FROM ("
+        "  SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS m_qty,"
+        "         l_linenumber AS m_line, l_suppkey AS m_supp"
+        f"  FROM lineitem WHERE l_orderkey % {mod} = 0)"
+        " UNPIVOT (val FOR measure IN (m_qty, m_line, m_supp))"
+        " GROUP BY measure ORDER BY measure"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_unpivot_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _unpivot_query(seed))
+
+
+def _knuth_hash_query(seed: int) -> str:
+    """Regression guard for the overflow-safe split-modular Knuth hash
+    (queries/training.py): evaluate the formula over synthetic ids far
+    beyond the naive-multiply overflow point (id·K > 2^63) and aggregate
+    shard counts. Integer division spelled as exact double arithmetic
+    ((e - e%65536)/65536 with e < 2^32) so ONE SQL string parses in both
+    engines."""
+    rng = random.Random(seed + 70_000)
+    n_shards = rng.choice([4, 8, 16, 32])
+    stride = rng.choice([10**9, 10**12, 10**14])  # ids up to ~10^17
+    K, MOD = 2654435761, 4294967296
+    e = f"((o_orderkey * {stride}) % {MOD})"
+    hi = f"CAST(({e} - {e} % 65536) / 65536 AS BIGINT)"
+    h = f"((({hi} * {K} % {MOD}) * 65536 + ({e} % 65536) * {K}) % {MOD})"
+    return (
+        f"SELECT {h} % {n_shards} AS shard, COUNT(*) AS n,"
+        f" MIN(o_orderkey) AS min_id"
+        f" FROM orders WHERE o_orderkey % {rng.randint(2, 4)} = 0"
+        f" GROUP BY 1 ORDER BY 1"
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_knuth_hash_template(seed, spark, oracle_con):
+    _run_both(spark, oracle_con, _knuth_hash_query(seed))
