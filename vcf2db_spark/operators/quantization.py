@@ -61,14 +61,19 @@ def int8_quant_stats(
         lambda x: x.isNotNull(),
     )
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    # round-trip error per element; scale > 0 guaranteed by the filter
-    dq = F.transform(
+    # round-trip error per element, fused into ONE transform (no
+    # intermediate dequantized array to materialize — these HOFs are
+    # interpreted, so every avoided array pass is real time);
+    # scale > 0 guaranteed by the filter
+    err = F.transform(
         v,
-        lambda x: F.round(x / F.col("_scale") * F.lit(127.0))
-        / F.lit(127.0)
-        * F.col("_scale"),
+        lambda x: F.abs(
+            x
+            - F.round(x / F.col("_scale") * F.lit(127.0))
+            / F.lit(127.0)
+            * F.col("_scale")
+        ),
     )
-    err = F.zip_with(v, F.col("_dq"), lambda a, b: F.abs(a - b))
     units = F.aggregate(
         F.col("_err"),
         F.lit(0).cast("long"),
@@ -87,7 +92,6 @@ def int8_quant_stats(
     return (
         emb.filter(F.exists(F.col(vec_col), lambda x: x != F.lit(0.0)))
         .select(id_col, F.col(vec_col), scale.alias("_scale"))
-        .withColumn("_dq", dq)
         .withColumn("_err", err)
         .select(
             id_col,
