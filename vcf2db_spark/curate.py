@@ -71,8 +71,20 @@ def curate_documents(
     estimated Jaccard; within each candidate pair the larger id drops).
 
     Deterministic end to end: fixed hash seeds, id-based tie-breaks.
-    ``report=True`` additionally computes per-stage counts (one extra
-    action per stage over the cached intermediate)."""
+    ``report=True`` additionally reports per-stage counts via
+    ``DataFrame.observe`` — the metrics ride the plan and are all
+    collected by the ONE action that materializes the curated result
+    (previously: one extra count() action per stage)."""
+    from pyspark.sql import Observation
+
+    obs_in = obs_q = obs_ex = None
+    if report:
+        obs_in, obs_q, obs_ex = (
+            Observation("curate_input"),
+            Observation("curate_quality"),
+            Observation("curate_exact"),
+        )
+        docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     # NOTE: swapping lang_id for the exploded lang_id_table join here
     # measured net-NEUTRAL-to-worse (the doc-id join re-shapes the cached
     # stage); the expression form stays. The table form wins when lang is
@@ -87,6 +99,8 @@ def curate_documents(
     kept = scored.filter(F.col("quality") >= min_quality)
     if languages is not None:
         kept = kept.filter(F.col("lang_pred").isin(*languages))
+    if report:
+        kept = kept.observe(obs_q, F.count(F.lit(1)).alias("n"))
 
     # exact dedup: keep the smallest id per fingerprint. A window filter
     # (min over the fingerprint partition) does it in ONE hash exchange of
@@ -105,6 +119,8 @@ def curate_documents(
     # runs once (at 100 TB this is the stage boundary you'd materialize
     # to storage anyway). Previous calls' caches are released first so
     # repeated invocations hold at most one cached stage.
+    if report:
+        exact = exact.observe(obs_ex, F.count(F.lit(1)).alias("n"))
     release_curate_cache()
     exact = exact.persist()
 
@@ -118,16 +134,19 @@ def curate_documents(
     if not report:
         _ACTIVE_PERSISTS.append(exact)
         return curated
-    kept = kept.cache()
+    # ONE action: materializing the curated count executes the whole
+    # pipeline exactly once (exact's persist de-dups the two consumers of
+    # the scored subtree), and every stage observation fills as its plan
+    # node streams through — no per-stage re-execution.
+    n_curated = curated.count()
     out = CurationReport(
-        n_input=docs.count(),
-        n_after_quality=kept.count(),
-        n_after_exact=exact.count(),
-        n_after_neardup=curated.count(),
+        n_input=int(obs_in.get["n"]),
+        n_after_quality=int(obs_q.get["n"]),
+        n_after_exact=int(obs_ex.get["n"]),
+        n_after_neardup=n_curated,
         curated=curated,
     )
-    # every count above materialized; the caches have served their purpose
-    # and a re-execution of ``curated`` simply recomputes the plan
-    kept.unpersist()
+    # the count above materialized everything; the cache has served its
+    # purpose and a re-execution of ``curated`` simply recomputes the plan
     exact.unpersist()
     return out
