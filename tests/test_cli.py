@@ -174,3 +174,36 @@ def test_cli_annotate_subcommand(spark, tmp_path, capsys):
     assert got[299] == (False, 0, None, None)        # chr1:299 outside
     assert got[149] == (True, 1, ["regionB"], 7.0)   # chr2:149 in regionB
     assert got[249] == (False, 0, None, None)        # chr2:249 outside
+
+
+def test_cli_curate_and_export_subcommands(spark, tmp_path, capsys):
+    """curate → export round-trip through the CLI: per-stage report JSON,
+    then a verified shard manifest over the curated output."""
+    import json
+
+    from vcf2db_spark.__main__ import main
+    from vcf2db_spark.sinks.export import read_training_shards
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    curated_dir = str(tmp_path / "curated")
+    rc = main(
+        ["curate", docs, curated_dir, "--min-quality", "0.3", "--report"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_input"] == 500
+    assert (
+        rep["n_input"]
+        >= rep["n_after_quality"]
+        >= rep["n_after_exact"]
+        >= rep["n_after_neardup"]
+        > 0
+    )
+
+    shard_dir = str(tmp_path / "shards")
+    rc = main(["export", curated_dir, shard_dir, "--shards", "4"])
+    assert rc == 0
+    manifest = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert manifest["total_rows"] == rep["n_after_neardup"]
+    back = read_training_shards(spark, shard_dir)  # verify=True
+    assert back.count() == manifest["total_rows"]

@@ -280,6 +280,84 @@ def annotate_main(argv: list[str]) -> int:
     return 0
 
 
+def curate_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark curate docs.parquet out_dir [--min-quality]
+    [--lsh-threshold] [--languages en,de] [--report]` — the composed
+    corpus-curation pipeline (curate.py) as a CLI stage: quality/language
+    filter -> exact dedup -> MinHash-LSH near-dedup -> parquet."""
+    ap = argparse.ArgumentParser(
+        prog="python -m vcf2db_spark curate",
+        description="Curate a document table for training and write the survivors.",
+    )
+    ap.add_argument("docs", help="input parquet with doc_id/text columns")
+    ap.add_argument("out", help="output parquet directory for curated docs")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--lsh-threshold", type=float, default=0.8)
+    ap.add_argument("--languages", default=None, help="comma-separated lang allowlist")
+    ap.add_argument("--report", action="store_true", help="print per-stage JSON counts")
+    args = ap.parse_args(argv)
+
+    import json as _json
+
+    from vcf2db_spark.curate import curate_documents
+    from vcf2db_spark.session import get_spark
+
+    spark = get_spark("vcf2db-curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.docs)
+    langs = tuple(args.languages.split(",")) if args.languages else None
+    res = curate_documents(
+        docs,
+        min_quality=args.min_quality,
+        languages=langs,
+        lsh_threshold=args.lsh_threshold,
+        report=args.report,
+    )
+    curated = res.curated if args.report else res
+    curated.write.mode("overwrite").parquet(args.out)
+    if args.report:
+        print(
+            _json.dumps(
+                {
+                    "n_input": res.n_input,
+                    "n_after_quality": res.n_after_quality,
+                    "n_after_exact": res.n_after_exact,
+                    "n_after_neardup": res.n_after_neardup,
+                }
+            )
+        )
+    return 0
+
+
+def export_main(argv: list[str]) -> int:
+    """`python -m vcf2db_spark export curated.parquet out_dir [--shards 8]
+    [--id-col doc_id]` — hash-sharded training export with an integrity
+    manifest (sinks/export.py); prints the manifest JSON."""
+    ap = argparse.ArgumentParser(
+        prog="python -m vcf2db_spark export",
+        description="Write hash-sharded training shards + integrity manifest.",
+    )
+    ap.add_argument("docs", help="input parquet")
+    ap.add_argument("out", help="output shard directory")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--id-col", default="doc_id")
+    args = ap.parse_args(argv)
+
+    import json as _json
+
+    from vcf2db_spark.session import get_spark
+    from vcf2db_spark.sinks.export import write_training_shards
+
+    spark = get_spark("vcf2db-export")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.docs)
+    manifest = write_training_shards(
+        df, args.out, n_shards=args.shards, id_col=args.id_col
+    )
+    print(_json.dumps(manifest))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     import sys as _sys
 
@@ -292,6 +370,10 @@ def main(argv: list[str] | None = None) -> int:
         return inheritance_main(argv[1:])
     if argv and argv[0] == "annotate":
         return annotate_main(argv[1:])
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
+    if argv and argv[0] == "export":
+        return export_main(argv[1:])
     args = build_parser().parse_args(argv)
 
     from pyspark.sql import functions as F
