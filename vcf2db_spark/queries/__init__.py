@@ -51,7 +51,7 @@ _PRIORITY_R03 = [
     "quant_int8", "pq_error", "cluster_kmeans", "profile_columns",
     "shuffle_export", "seq_pack", "mix_weights", "stream_upsert",
     "qualify_topn", "win_percentiles", "unpivot_melt",
-    "merge_upsert", "scd2_dim",
+    "merge_upsert", "scd2_dim", "variant_extract",
 ]
 
 

@@ -896,3 +896,43 @@ def unpivot_melt(spark, sf_dir):
         "measure",
         "val",
     )
+
+
+# --------------------------------------------------------------------------
+# B25+ — Spark 4 VARIANT type (open semi-structured data): parse_json →
+# binary variant encoding, typed variant_get extraction. The oracle runs
+# DuckDB's JSON functions over the same strings — identical values, so
+# the comparison proves the VARIANT path end to end.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           COUNT(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+                      THEN 1 END) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_extract(spark, sf_dir):
+    """Semi-structured access through the VARIANT type (Spark 4):
+    ``parse_json`` shreds the string ONCE into the binary variant
+    encoding, then every ``variant_get`` is a cheap typed path read — vs
+    ``get_json_object`` (DQ json_extract) which re-parses the string per
+    extraction. Missing paths yield NULL in both engines."""
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("_v"))
+    k = F.variant_get("_v", "$.k", "bigint")
+    missing = F.variant_get("_v", "$.absent", "string")
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
+    )
