@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
 
 # --------------------------------------------------------------------------
@@ -204,7 +204,7 @@ def max_strlen(spark, sf_dir):
     """,
 )
 def posexplode_long(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     long = e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     v = F.col("val").cast("double")
     return long.groupBy("pos").agg(

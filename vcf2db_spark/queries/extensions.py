@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
 
 # --------------------------------------------------------------------------
@@ -57,7 +57,7 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_shingle(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     sig = F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
     return (
         d.select("doc_id", sig.alias("sig"))
@@ -102,7 +102,7 @@ def sim_topk(spark, sf_dir):
     # corpus is never shuffled (narrow map + TakeOrderedAndProject).
     from vcf2db_spark.operators.similarity import dot as hof_dot
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
     corpus = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
     emb = F.col("embedding")
@@ -135,7 +135,7 @@ def sim_topk(spark, sf_dir):
     """,
 )
 def vec_centroid(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     long = e.select("label", F.posexplode("embedding").alias("pos", "val")).select(
         "label", "pos", F.col("val").cast("double").alias("val")
     )
@@ -170,7 +170,7 @@ FROM tf JOIN df USING (term) CROSS JOIN n
 
 @dq("text_tfidf", oracle=_TFIDF_ORACLE)
 def text_tfidf(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     n_docs = d.count()  # tiny scalar; at scale: computed once per corpus snapshot
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

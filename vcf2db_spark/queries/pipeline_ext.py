@@ -18,7 +18,7 @@ from vcf2db_spark.functions.text import (
     quality_score,
     with_text_stats,
 )
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
@@ -181,7 +181,7 @@ def neardup_cosine(spark, sf_dir):
     """,
 )
 def text_quality(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     return with_text_stats(d).select(
         "doc_id",
         "lang",
@@ -209,7 +209,7 @@ def text_quality(spark, sf_dir):
     """,
 )
 def token_count(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.col("text"), r"\s+")
     return d.select(
         "doc_id",
@@ -239,7 +239,7 @@ def token_count(spark, sf_dir):
     """,
 )
 def doc_fingerprint_q(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     return (
         d.select("doc_id", doc_fingerprint("text").alias("fp"))
         .groupBy("fp")
@@ -268,14 +268,14 @@ def dedup_simhash(spark, sf_dir):
 
 @dq("ann_lsh")
 def ann_lsh(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return lsh_topk(e.filter(F.col("vec_id") != 0), [float(x) for x in q], k=5)
 
 
 @dq("ann_ivf")
 def ann_ivf(spark, sf_dir):
-    e = table(spark, sf_dir, "embeddings")
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     q = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ivf_topk(e.filter(F.col("vec_id") != 0), [float(x) for x in q], k=5)
 
@@ -287,7 +287,7 @@ def lang_id_q(spark, sf_dir):
     # whole-table pass (equivalence asserted in tests/test_extensions.py)
     from vcf2db_spark.functions.text import lang_id_table
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     return (
         lang_id_table(d, "text", "doc_id")
         .groupBy("detected_lang")
@@ -421,7 +421,7 @@ def text_repetition(spark, sf_dir):
     CodegenFallback expression, interpreted per element."""
     from vcf2db_spark.functions.text import explode_token_ngram_hashes, ws_tokens
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     toks = ws_tokens(F.trim(F.col("text")))
     base = d.filter(F.size(toks) >= 2).select(
         "doc_id",
@@ -470,7 +470,7 @@ def text_scrub(spark, sf_dir):
     rewrite is byte-identical across engines."""
     from vcf2db_spark.functions.text import scrub_text
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     s = scrub_text("text", patterns=((r"value( part)?", "<PII>"),))
     return d.select("doc_id", s.alias("s")).select(
         "doc_id",
@@ -515,7 +515,7 @@ def contam_ngram(spark, sf_dir):
     see that function's plan-shape note."""
     from vcf2db_spark.functions.text import explode_token_ngram_hashes
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     g = explode_token_ngram_hashes(d, "text", 8)
     bench = F.broadcast(
         g.filter(F.col("doc_id") < 50).select("gh").distinct()
@@ -558,7 +558,7 @@ def vocab_topk(spark, sf_dir):
     sort."""
     from vcf2db_spark.functions.text import ws_tokens
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
     return (
         tok.groupBy("token")
@@ -611,7 +611,7 @@ def dedup_window(spark, sf_dir):
     count_distinct expand; measured 5.2 s → see BASELINE.md at sf1)."""
     from vcf2db_spark.functions.text import explode_token_ngram_hashes
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     g = explode_token_ngram_hashes(d, "text", 16)
     gd = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("_c"))
     multi = (
@@ -661,7 +661,7 @@ def oov_rate(spark, sf_dir):
     doc_id afterwards)."""
     from vcf2db_spark.functions.text import ws_tokens
 
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     tok = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
     vocab = (
         tok.groupBy("token")

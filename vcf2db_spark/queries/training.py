@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.registry import dq
 
 # Knuth multiplicative hash constant (2^32 / phi). The product is
@@ -101,7 +101,7 @@ def seq_pack(spark, sf_dir):
     start // SEQ_LEN and seq_offset = start % SEQ_LEN. Integer cumulative
     sums — exact in both engines. The window is partitioned by source
     (per-shard packing), not global."""
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     t = d.select(
         "doc_id", "source", F.size(F.split("text", r"\s+")).alias("n_tokens")
     )
@@ -145,7 +145,7 @@ def mix_weights(spark, sf_dir):
     totals; the single double division is identical IEEE in both
     engines. The corpus-wide total is a 1-row broadcast — the same
     scalar-subquery shape as tpch_q11."""
-    d = table(spark, sf_dir, "documents")
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
     g = (
         d.select("source", "lang", F.size(F.split("text", r"\s+")).alias("nt"))
         .groupBy("source", "lang")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.operators.quantization import (
     int8_quant_stats,
     pq_encode_stats,
@@ -49,7 +49,7 @@ def quant_int8(spark, sf_dir):
     oracle's unnest+group-by shape exists only because SQL lacks array
     folds); MAX is order-free and the mean is fixed-point, so the two
     radically different plans hash identically."""
-    return int8_quant_stats(table(spark, sf_dir, "embeddings"))
+    return int8_quant_stats(table_wide(spark, sf_dir, "embeddings", "vec_id"))
 
 
 # --------------------------------------------------------------------------
@@ -65,6 +65,9 @@ def pq_error(spark, sf_dir):
     bounded), encoding is one Arrow-batched numpy argmin per subspace.
     Output: label, n, mean reconstruction cosine, mean L2 error —
     scalars only."""
+    # NOTE: plain table() here, not table_wide(): pq_train / the stats
+    # join fan this scan into several driver actions, and a widening
+    # exchange would be re-paid per action (measured 0.7 -> 2.2 s at sf1).
     emb = table(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, k=16, iters=2, sample=1024)
     stats = pq_encode_stats(emb, books)
@@ -92,6 +95,8 @@ def cluster_kmeans(spark, sf_dir):
     operator that builds the ANN index's lists). Output: one row per
     cluster with its size and mean cosine to the final centroid (the
     clustering objective tests assert is monotone under refinement)."""
+    # plain table(): ivf_assign's Lloyd iterations are separate driver
+    # actions, each of which would re-pay a widening exchange (see pq_error)
     emb = table(spark, sf_dir, "embeddings")
     assigned, centroids = ivf_assign(emb, n_lists=8, refine_iters=2)
     # mean cosine to own centroid, via a broadcast centroid dim + JVM fold

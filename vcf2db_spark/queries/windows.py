@@ -13,7 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from vcf2db_spark.io import table
+from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
 
 # --------------------------------------------------------------------------
@@ -335,7 +335,7 @@ def array_funcs(spark, sf_dir):
     """,
 )
 def json_extract(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    e = table_wide(spark, sf_dir, "events", "user_id")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("sum_k"), F.count("*").alias("n")
@@ -389,7 +389,7 @@ def join_range(spark, sf_dir):
     next, since a 60 s band spans at most two buckets) keeps the join
     hash-partitioned AND shrinks candidates to pairs within ~2 minutes of
     each other; the exact band predicate then filters residue."""
-    e = table(spark, sf_dir, "events")
+    e = table_wide(spark, sf_dir, "events", "user_id")
     bucket = (F.unix_timestamp("ts") / 60).cast("bigint")
     a = e.select(
         "user_id",
@@ -705,7 +705,7 @@ def annotate_overlap(spark, sf_dir):
     """,
 )
 def map_funcs(spark, sf_dir):
-    e = table(spark, sf_dir, "events")
+    e = table_wide(spark, sf_dir, "events", "user_id")
     m = F.from_json("props", "map<string,bigint>")
     return e.filter(F.col("props").isNotNull()).select(
         "event_id",
