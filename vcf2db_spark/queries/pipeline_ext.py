@@ -316,7 +316,9 @@ def curate_docs(spark, sf_dir):
 
     # bounded input (harness convention): LSH banding over the full sf0.1
     # corpus is the scale path's job, not the per-round compare's
-    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5_000)
+    docs = table_wide(spark, sf_dir, "documents", "doc_id").filter(
+        F.col("doc_id") < 5_000
+    )
     out = curate_documents(docs, min_quality=0.0, lsh_threshold=0.9)
     return (
         out.groupBy("lang_pred", "source")
