@@ -1,0 +1,61 @@
+"""PageRank operator tests: hand-derivable graphs + invariants the
+unrolled-SQL oracle can't see (parameter variation, normalization)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vcf2db_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src: bigint, dst: bigint")
+    return df
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_symmetric_pair(spark):
+    # two nodes, one undirected edge: fully symmetric, rank stays 1.0
+    # at every iteration (each node forwards its whole rank to the other:
+    # 0.15 + 0.85 * 1.0 = 1.0).
+    r = _ranks(pagerank(_edges(spark, [(1, 2), (2, 1)]), iters=3))
+    assert r == {1: 1.0, 2: 1.0}
+
+
+def test_triangle_uniform(spark):
+    # complete 3-cycle both directions: each node has degree 2 and receives
+    # two half-ranks; uniform fixpoint rank 1.0 throughout.
+    pairs = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    r = _ranks(pagerank(_edges(spark, pairs), iters=2))
+    assert r == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_star_hand_computed(spark):
+    # undirected star 0–{1,2,3}: after one iteration the hub holds
+    # 0.15 + 0.85 * (3 leaves × rank 1.0 / degree 1) = 2.70 and each leaf
+    # 0.15 + 0.85 * (1.0 / 3) ≈ 0.433333.
+    pairs = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    r = _ranks(pagerank(_edges(spark, pairs), iters=1))
+    assert r[0] == pytest.approx(2.7, abs=1e-6)
+    for leaf in (1, 2, 3):
+        assert r[leaf] == pytest.approx(0.433333, abs=1e-6)
+
+
+def test_rank_mass_conserved(spark):
+    # with no dangling nodes the total rank mass is invariant:
+    # Σ r' = Σ (0.15 + 0.85 · Σ_in r/d) = 0.15·n + 0.85·Σ r = n when
+    # starting from Σ r = n (up to the 1e-6 unit rounding per node).
+    pairs = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)] + [(1, 2), (2, 1)]
+    df = pagerank(_edges(spark, pairs), iters=3)
+    total = sum(_ranks(df).values())
+    assert total == pytest.approx(4.0, abs=1e-4)
+
+
+def test_damping_zero_is_uniform(spark):
+    # damping 0 ⇒ every node's rank collapses to the base term.
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    r = _ranks(pagerank(_edges(spark, pairs), iters=2, damping=0.0))
+    assert set(r.values()) == {1.0}

@@ -1,0 +1,72 @@
+"""Iterative graph operators over edge-list DataFrames.
+
+PageRank here is the Pregel-on-DataFrames shape: the graph lives as a
+distributed (src, dst) edge list with the out-degree attached once, and
+every iteration is one keyed join (ranks onto edge sources) plus one
+aggregation (contributions onto destinations). Nothing materializes on
+the driver — rank state is a node-keyed DataFrame end to end, so the
+same loop runs on a 100 TB edge list with the joins hash-partitioned by
+node id (AQE splits skewed hubs). Iterations are FIXED-count (the
+cross-engine determinism contract needs a closed-form oracle; see
+queries/graph.py), which also bounds plan depth — a convergence-driven
+variant would checkpoint every ~5 rounds to cut lineage, like
+operators/dedup.duplicate_clusters does.
+
+Determinism: rank state lives in INTEGER micro-units (1e-6) end to end —
+per-edge contributions and per-iteration updates round to integers only
+(ties-away integer ROUND is bit-identical across Spark and DuckDB; a
+ROUND(double, 6) per iteration is NOT — it hits the HALF_UP-vs-float
+boundary the registry.davg docstring describes, observed as 1e-6 flips
+on ~1% of nodes at sf0.01), so shuffle order cannot perturb the value
+against the unrolled SQL twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a DIRECTED edge list.
+
+    Every node is expected to have at least one out-edge (feed an
+    undirected graph as both edge directions — the trade-graph query does
+    this); dangling-node mass redistribution is deliberately out of scope
+    for the deterministic twin. Returns (node BIGINT, rank DOUBLE), rank
+    maintained in integer 1e-6 units per iteration.
+    """
+    dir_edges = edges.select(
+        F.col(src).cast("bigint").alias("_src"), F.col(dst).cast("bigint").alias("_dst")
+    )
+    deg = dir_edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
+    # degree rides along with the edge so the loop body is a single join
+    withdeg = dir_edges.join(deg, "_src")
+    ranks = deg.select(
+        F.col("_src").alias("node"), F.lit(1_000_000).cast("long").alias("_u")
+    )
+    base_units = (1.0 - damping) * 1_000_000.0
+    for _ in range(iters):
+        contrib = withdeg.join(ranks, withdeg._src == ranks.node).select(
+            F.col("_dst"),
+            F.round(F.col("_u").cast("double") / F.col("_d")).cast("long").alias("_cu"),
+        )
+        ranks = (
+            contrib.groupBy("_dst")
+            .agg(
+                F.round(
+                    F.lit(base_units) + F.lit(damping) * F.sum("_cu").cast("double")
+                )
+                .cast("long")
+                .alias("_u")
+            )
+            .select(F.col("_dst").alias("node"), "_u")
+        )
+    return ranks.select(
+        "node", (F.col("_u").cast("double") / F.lit(1_000_000.0)).alias("rank")
+    )

@@ -9,6 +9,7 @@ queries without a driver row yet register first (VERDICT.md r1 item 2).
 from vcf2db_spark.queries import (  # noqa: F401
     etl,
     extensions,
+    graph,
     pipeline_ext,
     relational,
     streaming_dq,
@@ -43,6 +44,7 @@ _RECORDED_R01 = [
 # (freshest records) last. New queries must be listed here to enter the
 # driver's 50-row window.
 _PRIORITY_R03 = [
+    "pagerank", "incr_agg_maintain", "orc_roundtrip",
     "agg_collect", "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
     "dedup_clusters",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",

@@ -1,0 +1,87 @@
+"""Graph-analytics query tier: PageRank over the customer–supplier trade
+graph (SURVEY.md §2 C-tier extension alongside dedup_clusters' connected
+components).
+
+The graph: an undirected bipartite trade graph — customer c and supplier
+s are linked iff some order of c contains a line supplied by s (distinct
+pairs from orders⋈lineitem; supplier node ids offset by 10M to keep the
+two key spaces disjoint). PageRank then ranks "centrality in the trade
+network" — the same shape as ranking near-duplicate document clusters or
+citation graphs in a training-data pipeline.
+
+Oracle: the iterative operator is hash-checked against a closed-form
+UNROLLED twin — three CTE levels, one per iteration, each applying the
+identical fixed-point contribution sum and 6-decimal re-round. An
+iterative distributed loop equaling a straight-line SQL derivation is the
+strongest correctness signal the harness can express for fixed-iteration
+algorithms (same pattern as dedup_clusters' recursive-CTE closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.operators.graph import pagerank
+from vcf2db_spark.registry import dq
+
+_SUPP_OFFSET = 10_000_000
+
+_ITER = """
+    r{n} AS (
+      SELECT ed.dst AS node,
+             CAST(ROUND(150000.0 + 0.85 * CAST(SUM(
+               CAST(ROUND(CAST(r{p}.u AS DOUBLE) / ed.d) AS BIGINT)
+             ) AS DOUBLE)) AS BIGINT) AS u
+      FROM ed JOIN r{p} ON r{p}.node = ed.src
+      GROUP BY ed.dst
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    iters = ",".join(_ITER.format(n=i, p=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS a, l_suppkey + {_SUPP_OFFSET} AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM dir GROUP BY src),
+    ed AS (SELECT dir.src, dir.dst, deg.d FROM dir JOIN deg ON dir.src = deg.src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS u FROM deg),
+    {iters}
+    SELECT CAST(node AS BIGINT) AS node_id,
+           CAST(u AS DOUBLE) / 1000000.0 AS rank
+    FROM r3
+    """
+
+
+@dq("pagerank", oracle=_pagerank_oracle())
+def pagerank_trade(spark, sf_dir):
+    """3-iteration PageRank over the undirected customer–supplier trade
+    graph. Spark side: operators/graph.pagerank — per iteration one keyed
+    join + one aggregation, rank state stays distributed (no driver
+    materialization, no collect), degrees attached to edges once. The
+    edge build is a real fact join (orders⋈lineitem) collapsed to
+    distinct pairs BEFORE the loop, so the iterations run over the
+    deduplicated graph, not the raw fact table."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("a"),
+            (F.col("l_suppkey").cast("bigint") + F.lit(_SUPP_OFFSET)).alias("b"),
+        )
+        .distinct()
+    )
+    dir_edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(dir_edges, iters=3).select(
+        F.col("node").alias("node_id"), "rank"
+    )

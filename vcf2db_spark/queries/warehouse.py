@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from vcf2db_spark.io import table
-from vcf2db_spark.registry import dq
+from vcf2db_spark.registry import OSUM6, dq
 
 # --------------------------------------------------------------------------
 # batch MERGE INTO (upsert): customers refreshed from recent orders, plus
@@ -113,4 +113,100 @@ def scd2_dim(spark, sf_dir):
         F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         F.round("o_totalprice", 6).alias("attr_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# incremental materialized-aggregate maintenance: merge a delta batch's
+# partial aggregates into a base aggregate WITHOUT recomputing the base —
+# proven equal to the full recompute (the oracle) bitwise.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "incr_agg_maintain",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {OSUM6('o_totalprice')} AS total_spend,
+           CASE WHEN MIN(o_orderdate) >= TIMESTAMP '1998-01-01' THEN 'new'
+                WHEN MAX(o_orderdate) >= TIMESTAMP '1998-01-01' THEN 'updated'
+                ELSE 'unchanged' END AS upd_state
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def incr_agg_maintain(spark, sf_dir):
+    """Incremental view maintenance for a per-customer spend aggregate:
+    the pre-cutoff BASE aggregate and the post-cutoff DELTA aggregate are
+    combined by one key-sized full-outer merge (counts add; sums add in
+    RAW fixed-point units, so base+delta is bit-identical to the full
+    recompute — adding two independently-downscaled doubles would differ
+    in the last ulp). At 100 TB the base side is the stored materialized
+    view and only the delta partition is scanned; the merge cost is
+    key-cardinality, not fact-cardinality. `upd_state` is the maintenance
+    audit: whether the key was created, touched, or untouched by the
+    delta — derived from join-side nullability here, from the orderdate
+    extrema in the recompute oracle."""
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    units = F.sum(F.round(F.col("o_totalprice") * 1_000_000.0).cast("long"))
+    base = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_bn"), units.alias("_bu"))
+    )
+    delta = (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_dn"), units.alias("_du"))
+    )
+    merged = base.join(delta, "o_custkey", "full_outer")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce("_bn", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias("n_orders"),
+        (
+            (F.coalesce("_bu", F.lit(0)) + F.coalesce("_du", F.lit(0))).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("total_spend"),
+        F.when(F.col("_bn").isNull(), "new")
+        .when(F.col("_dn").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("upd_state"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC round-trip: write → read-back → aggregate, hash-checked against the
+# same aggregate computed straight from parquet (lossless-format proof).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "orc_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 2000 GROUP BY source
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """Columnar-format interchange: a documents slice is written to ORC
+    (Spark's built-in writer — snappy, column stats), read back, and
+    aggregated. The oracle computes the identical aggregate from the
+    PARQUET originals, so a hash match proves the ORC round-trip is
+    byte-lossless for string/int columns. The write itself is the
+    distributed part (one file per input partition, no coalesce-to-1
+    bottleneck); the read-back scan prunes to the two referenced
+    columns like any columnar scan."""
+    import hashlib
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/vcf2db_orc_rt_{tag}"
+    d.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
