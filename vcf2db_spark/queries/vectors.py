@@ -122,3 +122,68 @@ def cluster_kmeans(spark, sf_dir):
             davg("_cos").alias("mean_cos_to_centroid"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow — the zero-copy Arrow-native batch map (one tier below
+# pandas_udf: no pandas conversion at all). Python emits INTEGERS ONLY
+# (fixed-point sum-of-squares units), so the cross-engine float boundary
+# lives entirely in the JVM/DuckDB r6(sqrt(...)) pair — the same
+# convention every other oracle-backed float query uses.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "arrow_normalize",
+    oracle="""
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+           ROUND(SQRT(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           * 1000000.0) AS BIGINT))) AS DOUBLE)
+                 / 1000000.0), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_normalize(spark, sf_dir):
+    """Per-vector L2 norm through ``mapInArrow``: each Arrow batch's list
+    column is flattened to one numpy view (offsets + values — no per-row
+    Python, no pandas), squares are accumulated per segment with
+    ``np.add.reduceat`` in exact 1e-6 integer units (floor(x+0.5) ==
+    ROUND-half-away for the non-negative squares), and the batch goes
+    back as (vec_id, n_dims, units) integers. The final sqrt + round
+    happens JVM-side. This is the lowest-overhead Python hook Spark has —
+    the shape to reach for when even Arrow→pandas conversion is the
+    bottleneck at scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = table_wide(spark, sf_dir, "embeddings", "vec_id")
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            arr = batch.column("embedding")
+            if isinstance(arr, pa.ChunkedArray):  # defensive; batches are flat
+                arr = arr.combine_chunks()
+            offsets = np.asarray(arr.offsets)
+            vals = np.asarray(arr.values, dtype=np.float64)
+            units = np.floor(vals * vals * 1_000_000.0 + 0.5).astype(np.int64)
+            # reduceat over [offsets[i], offsets[i+1]) segments
+            sums = np.add.reduceat(units, offsets[:-1]) if len(vals) else np.empty(0, np.int64)
+            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            sums = np.where(lens == 0, 0, sums)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(lens, pa.int64()), pa.array(sums, pa.int64())],
+                names=["vec_id", "n_dims", "_units"],
+            )
+
+    mapped = emb.select("vec_id", "embedding").mapInArrow(
+        norms, "vec_id bigint, n_dims bigint, _units bigint"
+    )
+    return mapped.select(
+        "vec_id",
+        "n_dims",
+        F.round(F.sqrt(F.col("_units").cast("double") / F.lit(1_000_000.0)), 6).alias(
+            "l2_norm"
+        ),
+    )

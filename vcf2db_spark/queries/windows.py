@@ -936,3 +936,72 @@ def variant_extract(spark, sf_dir):
         F.min(k).cast("bigint").alias("min_k"),
         F.count(F.when(missing.isNull(), 1)).alias("n_missing"),
     )
+
+
+# --------------------------------------------------------------------------
+# B29+ — cogrouped applyInPandas: the two-sided Pandas escape hatch
+# (df1.groupBy.cogroup(df2.groupBy).applyInPandas). The canonical use is a
+# per-key temporal merge where both sides must be visible at once — here,
+# each purchase counts the same user's clicks in the preceding 60 s via a
+# vectorized searchsorted over the click timeline. Oracle: the equivalent
+# banded LEFT JOIN + COUNT. Timestamps travel as epoch-microsecond longs
+# so the Python side does integer arithmetic only.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "cogroup_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, CAST(COUNT(c.uts) AS BIGINT) AS n_recent_clicks
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS uts
+          FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, epoch_us(ts) AS uts
+               FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.uts > p.uts - 60000000 AND c.uts <= p.uts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def cogroup_asof(spark, sf_dir):
+    """Per-user purchase×click temporal merge via FlatMapCoGroupsInPandas:
+    both sides shuffle once on user_id, each group lands in ONE Arrow
+    batch pair, and the 60 s look-back is two numpy searchsorted calls —
+    O(p log c) per user instead of the banded join's candidate blow-up.
+    At 100 TB this is the shape for per-key merges whose logic doesn't
+    decompose into join+agg (session stitching, trajectory alignment);
+    here the logic DOES decompose, which is what makes it oracle-able."""
+    import numpy as np
+    import pandas as pd
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("uts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("uts")
+    )
+
+    def count_recent(pdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "n_recent_clicks": pd.Series(dtype="int64")}
+            )
+        clicks = np.sort(cdf["uts"].to_numpy(np.int64))
+        uts = pdf["uts"].to_numpy(np.int64)
+        hi = np.searchsorted(clicks, uts, side="right")
+        lo = np.searchsorted(clicks, uts - 60_000_000, side="right")
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"].to_numpy(np.int64),
+             "user_id": pdf["user_id"].to_numpy(np.int64),
+             "n_recent_clicks": (hi - lo).astype("int64")}
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            count_recent, "event_id bigint, user_id bigint, n_recent_clicks bigint"
+        )
+    )
