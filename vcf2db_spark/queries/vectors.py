@@ -165,12 +165,16 @@ def arrow_normalize(spark, sf_dir):
             arr = batch.column("embedding")
             if isinstance(arr, pa.ChunkedArray):  # defensive; batches are flat
                 arr = arr.combine_chunks()
-            offsets = np.asarray(arr.offsets)
-            vals = np.asarray(arr.values, dtype=np.float64)
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
+            # a SLICED ListArray keeps the full values buffer with offsets
+            # pointing into the middle; rebase both so reduceat's implicit
+            # "last segment runs to end of array" matches the last list
+            vals = np.asarray(arr.values, dtype=np.float64)[offsets[0] : offsets[-1]]
+            offsets = offsets - offsets[0]
             units = np.floor(vals * vals * 1_000_000.0 + 0.5).astype(np.int64)
             # reduceat over [offsets[i], offsets[i+1]) segments
             sums = np.add.reduceat(units, offsets[:-1]) if len(vals) else np.empty(0, np.int64)
-            lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+            lens = offsets[1:] - offsets[:-1]
             sums = np.where(lens == 0, 0, sums)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(lens, pa.int64()), pa.array(sums, pa.int64())],
