@@ -339,3 +339,26 @@ def test_duplicate_clusters_paths_agree(spark):
     iterative = duplicate_clusters(pairs, nodes, small_threshold=0)
     assert canon(small) == canon(iterative)
     assert dict(canon(small))[10] == 1  # chain fully collapsed to min id
+
+
+def test_sketch_distinct_error_bound(spark):
+    """HLL sketch estimates (lgK=14) stay within 2% of exact per group,
+    and the union-of-group-sketches global estimate matches a directly
+    built global sketch exactly (mergeability — the property that makes
+    sketches the scale path)."""
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.queries import QUERIES
+
+    out = {r["l_returnflag"]: r["est_distinct"]
+           for r in QUERIES["sketch_distinct"](spark, SF).collect()}
+    li = table(spark, SF, "lineitem")
+    exact = {r["l_returnflag"]: r["n"]
+             for r in li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    exact["ALL"] = li.select("l_partkey").distinct().count()
+    for k, exp in exact.items():
+        assert abs(out[k] - exp) <= max(1, 0.02 * exp), (k, out[k], exp)
+    direct = (li.agg(F.hll_sketch_agg("l_partkey", F.lit(14)).alias("s"))
+              .select(F.hll_sketch_estimate("s").alias("e")).collect()[0]["e"])
+    assert out["ALL"] == direct

@@ -352,6 +352,31 @@ def approx_agg(spark, sf_dir):
     )
 
 
+@dq("sketch_distinct")
+def sketch_distinct(spark, sf_dir):
+    """B28+ MERGEABLE sketches (Apache DataSketches HLL, built into Spark
+    as hll_sketch_agg/hll_union_agg): per-group sketch partials union to
+    a global estimate WITHOUT re-scanning — the 100 TB pattern for
+    distinct counts maintained across partitions/days (store the binary
+    sketch per partition, union on read; an exact countDistinct would
+    re-shuffle the raw keys every time). Rows-only by contract (the
+    estimate is algorithm-specific, DuckDB's approx_count_distinct is a
+    different HLL); the ≤2% relative-error bound vs the exact count and
+    union-vs-direct consistency are pinned in tests/test_extensions.py."""
+    li = table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("_sk")
+    )
+    est = per_flag.select(
+        "l_returnflag", F.hll_sketch_estimate("_sk").alias("est_distinct")
+    )
+    merged = per_flag.agg(F.hll_union_agg("_sk").alias("_sku")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("_sku").alias("est_distinct"),
+    )
+    return est.unionAll(merged)
+
+
 # --------------------------------------------------------------------------
 # C5 — document chunking, repetition signals, PII scrubbing, and benchmark
 # decontamination (the remaining training-corpus passes; all exact

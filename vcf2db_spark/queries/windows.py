@@ -954,9 +954,9 @@ def variant_extract(spark, sf_dir):
     oracle="""
     SELECT p.event_id, p.user_id, CAST(COUNT(c.uts) AS BIGINT) AS n_recent_clicks
     FROM (SELECT event_id, user_id, epoch_us(ts) AS uts
-          FROM events WHERE event_type = 'purchase') p
+          FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0) p
     LEFT JOIN (SELECT user_id, epoch_us(ts) AS uts
-               FROM events WHERE event_type = 'click') c
+               FROM events WHERE event_type = 'click' AND user_id % 5 = 0) c
       ON c.user_id = p.user_id
      AND c.uts > p.uts - 60000000 AND c.uts <= p.uts
     GROUP BY p.event_id, p.user_id
@@ -973,7 +973,11 @@ def cogroup_asof(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    e = table_wide(spark, sf_dir, "events", "user_id")
+    # bounded input (harness convention): one-in-five users — the pandas
+    # group-call count is what the per-round compare would otherwise pay
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("user_id") % 5 == 0
+    )
     p = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("uts")
     )
