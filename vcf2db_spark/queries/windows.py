@@ -1009,3 +1009,65 @@ def cogroup_asof(spark, sf_dir):
             count_recent, "event_id bigint, user_id bigint, n_recent_clicks bigint"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series resample + gap-fill (the hypertable idiom): per-user HOURLY
+# grid over each user's observed span, mean-free per-bucket reduction
+# (MAX — order-free), then last-observation-carried-forward across empty
+# buckets. Spark: sequence()+explode builds the grid DISTRIBUTED (no
+# driver range loop), the LOCF is one ignorenulls window — both engines
+# express it, so the whole shape is oracle-backed.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "resample_locf",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value
+      FROM events
+    ),
+    pm AS (SELECT user_id, hr, MAX(value) AS v FROM e GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM pm GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hr FROM b),
+    j AS (SELECT g.user_id, g.hr, pm.v
+          FROM g LEFT JOIN pm ON pm.user_id = g.user_id AND pm.hr = g.hr)
+    SELECT user_id, hr,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS val_filled,
+           CAST(v IS NULL AS INT) AS is_gap
+    FROM j
+    """,
+)
+def resample_locf(spark, sf_dir):
+    """Gap-filled hourly resample: per (user, hour) the bucket reduces by
+    MAX (order-free — deterministic under any shuffle), missing buckets
+    materialize from a per-user sequence() explode (grid generation stays
+    on the executors; spans are data-derived, never collected), and LOCF
+    is `last(v, ignorenulls=True)` over the user timeline. The grid join
+    and the window share the user_id hash partitioning. Hour indexes use
+    integer DIV (double division loses exactness past 2^53 — the
+    shuffle_export lesson)."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    hr = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 3600000000")
+    pm = (
+        e.select("user_id", hr.alias("hr"), "value")
+        .groupBy("user_id", "hr")
+        .agg(F.max("value").alias("v"))
+    )
+    b = pm.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = b.select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    j = grid.join(pm, ["user_id", "hr"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hr",
+        F.round(F.last("v", ignorenulls=True).over(w), 6).alias("val_filled"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )
