@@ -210,3 +210,90 @@ def orc_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# data-quality constraint audit (deequ-style): uniqueness, referential
+# integrity, null-rate, and range checks in one declared pass — the
+# pre-load validation a warehouse runs before publishing a build.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "constraint_audit",
+    oracle="""
+    SELECT 'orders_pk_unique' AS chk,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_price_nonnull',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_bounds',
+           CAST(COUNT(*) FILTER (WHERE ts < TIMESTAMP '2020-01-01'
+                                    OR ts > TIMESTAMP '2030-01-01') AS BIGINT)
+    FROM events
+    """,
+)
+def constraint_audit(spark, sf_dir):
+    """Constraint audit over the warehouse tables: PK uniqueness (count
+    minus distinct — one aggregate, no self-join), FK orphan detection
+    (LEFT JOIN null-probe; broadcast dim at this dim/fact ratio, shuffle
+    join at scale via AQE), and row-level range/null checks that fold
+    into conditional counts on the scans. Five independent small
+    aggregates union to a (check, n_violations) report — each is
+    one-pass over its table, and a production run would share scans via
+    multi-constraint batching per table (here orders hosts two checks,
+    lineitem two)."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+
+    def one(chk, df):
+        return df.select(F.lit(chk).alias("chk"), F.col("n").cast("bigint").alias("n_violations"))
+
+    pk = one(
+        "orders_pk_unique",
+        o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")),
+    )
+    fk = one(
+        "orders_fk_customer",
+        o.join(c, o.o_custkey == c.c_custkey, "left_outer").agg(
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n")
+        ),
+    )
+    rng = one(
+        "lineitem_qty_range",
+        li.agg(
+            F.count(
+                F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            ).alias("n")
+        ),
+    )
+    nn = one(
+        "lineitem_price_nonnull",
+        li.agg(F.count(F.when(F.col("l_extendedprice").isNull(), 1)).alias("n")),
+    )
+    ts = one(
+        "events_ts_bounds",
+        e.agg(
+            F.count(
+                F.when(
+                    (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                    | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")),
+                    1,
+                )
+            ).alias("n")
+        ),
+    )
+    return pk.unionAll(fk).unionAll(rng).unionAll(nn).unionAll(ts)
