@@ -80,6 +80,33 @@ HEADLINERS = {
         "Sequence packing. Expect one exchange on source, running-sum "
         "Window per source partition, integer arithmetic only."
     ),
+    "tpch_q21": (
+        "Q21 rewritten: per-order unique-late-supplier aggregation "
+        "instead of semi+anti fact self-joins. Expect ONE lineitem⋈orders "
+        "join, a two-level aggregate ((orderkey,suppkey) pairs then "
+        "orderkey), broadcast EU-supplier dim, TakeOrderedAndProject — "
+        "and NO second/third lineitem scan."
+    ),
+    "tpch_q13": (
+        "Q13 aggregate-before-join: orders collapse to per-customer "
+        "counts BEFORE the left-outer join. Expect the orders-side "
+        "exchange to carry (custkey,count) pairs, not raw orders; "
+        "coalesce(cnt,0) supplies the zero-order customers."
+    ),
+    "pagerank": (
+        "Fixed-iteration PageRank. Expect the edge-build subtree (fact "
+        "join + distinct + union) repeated per iteration in the STATIC "
+        "plan but deduplicated by AQE stage reuse at runtime (persist "
+        "measured neutral); each iteration is one join + one partial-agg "
+        "exchange keyed on node id; no collect, no driver loop state."
+    ),
+    "resample_locf": (
+        "Hourly resample + LOCF. Expect sequence()+explode grid built "
+        "executor-side from the per-user bounds aggregate, grid⋈buckets "
+        "join and the carry-forward Window SHARING the user_id hash "
+        "partitioning (one exchange family), ignorenulls last() — no "
+        "driver-side range generation."
+    ),
 }
 
 
