@@ -45,7 +45,7 @@ _RECORDED_R01 = [
 # driver's 50-row window.
 _PRIORITY_R03 = [
     "pagerank", "incr_agg_maintain", "orc_roundtrip", "cogroup_asof",
-    "arrow_normalize", "sketch_distinct", "resample_locf", "constraint_audit",
+    "arrow_normalize", "sketch_distinct", "resample_locf", "constraint_audit", "xml_extract", "search_bm25",
     "agg_collect", "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
     "dedup_clusters",
     "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",

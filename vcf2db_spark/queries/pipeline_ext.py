@@ -25,7 +25,7 @@ from vcf2db_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from vcf2db_spark.operators.similarity import ivf_topk, lsh_topk
-from vcf2db_spark.registry import dq, r6
+from vcf2db_spark.registry import OSUM6, dq, dsum6, r6
 
 # --------------------------------------------------------------------------
 # C2 exact twin — token-set Jaccard near-dup pairs (bounded input; the
@@ -861,3 +861,88 @@ def semdedup(spark, sf_dir):
     # Project survivors to scalar columns: the query proves survivorship,
     # not the vectors, and the driver canonicalizer can't hash array cells.
     return kept.select("vec_id", "label")
+
+
+# --------------------------------------------------------------------------
+# C5+ — BM25 ranked retrieval: the IR scoring pass a corpus engine runs on
+# top of its inverted index (Lucene-formula idf, k1=1.2 b=0.75). Fully
+# oracle-backed: every factor is integer-derived (tf, df, doclen, N,
+# total_tokens) except ln() and the final ratio — contributions sum
+# fixed-point per doc and ranking uses the ROUNDED score (+ doc_id
+# tiebreak), so ulp-level libm differences cannot flip an order.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "window", "scan")
+
+
+@dq(
+    "search_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(dl) AS BIGINT) AS total_toks FROM lens),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+           WHERE tok IN ('join', 'window', 'scan') GROUP BY doc_id, tok),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (corpus.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl
+                                 / (CAST(corpus.total_toks AS DOUBLE) / corpus.n_docs)))
+               AS c
+      FROM tf JOIN dfs ON tf.tok = dfs.tok
+              JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN corpus
+    )
+    SELECT doc_id, {OSUM6('c')} AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25(spark, sf_dir):
+    """BM25 top-20 for the query ('join','window','scan'): tokenize once,
+    per-(doc,term) tf + per-term df + corpus scalars (N, avg doclen — a
+    two-value aggregate broadcast by crossJoin, the tpch_q11 scalar
+    pattern), contributions summed fixed-point per doc. The tf table IS
+    the inverted-index slice for the query terms — at 100 TB the terms
+    filter pushes into the token stream before any shuffle, so the join
+    graph only ever moves postings for the queried terms."""
+    from vcf2db_spark.functions.text import ws_tokens
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    toks = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("tok"))
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    contrib = (
+        tf.join(F.broadcast(dfs), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(dsum6("c").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

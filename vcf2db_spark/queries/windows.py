@@ -1071,3 +1071,45 @@ def resample_locf(spark, sf_dir):
         F.round(F.last("v", ignorenulls=True).over(w), 6).alias("val_filled"),
         F.col("v").isNull().cast("int").alias("is_gap"),
     )
+
+
+# --------------------------------------------------------------------------
+# B25+ — XML extraction (from_xml, Spark 4): the third semi-structured
+# codec next to JSON (json_extract/map_funcs) and VARIANT
+# (variant_extract). The XML is formatted from typed columns and parsed
+# back in the same plan, so the oracle can state the expected values
+# directly — the round trip proves attribute ("_"-prefixed) and element
+# extraction against a ground truth neither engine's XML code produced.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "xml_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 97 AS BIGINT) AS code,
+           upper(event_type) AS tag,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_same_tag
+    FROM events WHERE event_id < 1000
+    """,
+)
+def xml_extract(spark, sf_dir):
+    """format_string → XML text → from_xml struct (attribute `code`,
+    element `tag`) → typed columns, plus a per-tag window over the
+    PARSED value proving the extraction feeds ordinary relational ops.
+    from_xml is JVM-side (StaxXmlParser) — no Python in the plan."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    xml = F.format_string(
+        '<rec code="%d"><tag>%s</tag></rec>',
+        F.col("event_id") % 97,
+        F.upper("event_type"),
+    )
+    parsed = e.select(
+        "event_id", F.from_xml(xml, "_code BIGINT, tag STRING").alias("_p")
+    ).select(
+        "event_id",
+        F.col("_p._code").alias("code"),
+        F.col("_p.tag").alias("tag"),
+    )
+    w = Window.partitionBy("tag")
+    return parsed.withColumn("n_same_tag", F.count(F.lit(1)).over(w).cast("bigint"))
