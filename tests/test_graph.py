@@ -59,3 +59,31 @@ def test_damping_zero_is_uniform(spark):
     pairs = [(0, 1), (1, 0), (1, 2), (2, 1)]
     r = _ranks(pagerank(_edges(spark, pairs), iters=2, damping=0.0))
     assert set(r.values()) == {1.0}
+
+
+def test_arrow_normalize_handles_trailing_empty_list(spark):
+    # regression: a batch whose LAST row has an empty embedding used to
+    # crash np.add.reduceat (start index == len(values)); empty lists
+    # anywhere must yield n_dims=0 and a 0.0 norm instead
+    import vcf2db_spark.queries.vectors  # noqa: F401  (registers the DQ)
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [(1, [3.0, 4.0]), (2, []), (3, [1.0]), (4, [])]
+    df = spark.createDataFrame(rows, "vec_id: bigint, embedding: array<float>")
+    df.createOrReplaceTempView("_t")
+    # drive the same mapInArrow body through a crafted frame
+    from pyspark.sql import functions as F
+
+    import vcf2db_spark.queries.vectors as qv
+
+    orig = qv.table_wide  # patch the module-local name the query bound at import
+    try:
+        qv.table_wide = lambda *a, **k: df
+        out = {r["vec_id"]: (r["n_dims"], r["l2_norm"])
+               for r in QUERIES["arrow_normalize"](spark, "unused").collect()}
+    finally:
+        qv.table_wide = orig
+    assert out[1] == (2, 5.0)
+    assert out[2] == (0, 0.0)
+    assert out[3] == (1, 1.0)
+    assert out[4] == (0, 0.0)

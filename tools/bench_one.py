@@ -41,11 +41,16 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    import os
+
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
+        # same tolerance as tools/check.py: a partial sf dir skips the
+        # missing views instead of erroring at oracle time
+        if os.path.exists(f"{args.sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+            )
 
     out = {}
     for name in args.names:

@@ -50,7 +50,12 @@ def pagerank(
     ranks = deg.select(
         F.col("_src").alias("node"), F.lit(1_000_000).cast("long").alias("_u")
     )
-    base_units = (1.0 - damping) * 1_000_000.0
+    # NOT (1.0 - damping) * 1e6: for damping=0.85 that evaluates to
+    # 150000.00000000003 (0.15 is inexact in binary), one ulp above the
+    # oracle twin's literal 150000.0 — enough to flip a ROUND(.5)
+    # midpoint. The subtraction form is exact for any damping that is
+    # exact in units (850000.0 is).
+    base_units = 1_000_000.0 - damping * 1_000_000.0
     for _ in range(iters):
         contrib = withdeg.join(ranks, withdeg._src == ranks.node).select(
             F.col("_dst"),

@@ -649,9 +649,11 @@ def tpch_q15(spark, sf_dir):
 def tpch_q16(spark, sf_dir):
     """Q16 parts/supplier relationship ("complaint" suppliers proxied by
     negative account balance). NOT IN over a non-null key compiles to an
-    anti join against the tiny excluded set (broadcast); the distinct
-    pair projection partial-aggregates before the count-distinct
-    expand."""
+    anti join against the tiny excluded set (broadcast). Both broadcast
+    filters run map-side BEFORE the single distinct on the final
+    grouping key + supplier, so the one shuffle carries pre-filtered,
+    pre-deduped (brand,type,size,suppkey) tuples and the count needs no
+    count-distinct expand."""
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )

@@ -172,9 +172,16 @@ def arrow_normalize(spark, sf_dir):
             vals = np.asarray(arr.values, dtype=np.float64)[offsets[0] : offsets[-1]]
             offsets = offsets - offsets[0]
             units = np.floor(vals * vals * 1_000_000.0 + 0.5).astype(np.int64)
-            # reduceat over [offsets[i], offsets[i+1]) segments
-            sums = np.add.reduceat(units, offsets[:-1]) if len(vals) else np.empty(0, np.int64)
             lens = offsets[1:] - offsets[:-1]
+            # reduceat over [offsets[i], offsets[i+1]) segments. A start
+            # index == len(units) (empty list at the END of the batch)
+            # would raise; clamp starts and zero empty segments after —
+            # only empty segments ever get clamped, so no real sum is
+            # disturbed. An all-empty batch skips reduceat entirely.
+            if len(units):
+                sums = np.add.reduceat(units, np.minimum(offsets[:-1], len(units) - 1))
+            else:
+                sums = np.zeros(len(lens), np.int64)
             sums = np.where(lens == 0, 0, sums)
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(lens, pa.int64()), pa.array(sums, pa.int64())],

@@ -181,6 +181,8 @@ def incr_agg_maintain(spark, sf_dir):
 # same aggregate computed straight from parquet (lossless-format proof).
 # --------------------------------------------------------------------------
 
+_ORC_RT_DIRS: list[str] = []
+
 
 @dq(
     "orc_roundtrip",
@@ -200,11 +202,23 @@ def orc_roundtrip(spark, sf_dir):
     bottleneck); the read-back scan prunes to the two referenced
     columns like any columnar scan."""
     import hashlib
+    import os
 
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    # pid in the path: two processes on the same sf_dir (driver sweep +
+    # a local check) must not overwrite each other's directory mid-scan.
+    # The previous call's dir is released on the NEXT call (the returned
+    # DataFrame reads the files lazily — same lifecycle contract as
+    # streaming/pipelines._ACTIVE_UPSERT_DIRS).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"/tmp/vcf2db_orc_rt_{tag}"
+    path = f"/tmp/vcf2db_orc_rt_{os.getpid()}_{tag}"
+    while _ORC_RT_DIRS and _ORC_RT_DIRS[-1] != path:
+        import shutil
+
+        shutil.rmtree(_ORC_RT_DIRS.pop(), ignore_errors=True)
     d.write.format("orc").mode("overwrite").save(path)
+    if path not in _ORC_RT_DIRS:
+        _ORC_RT_DIRS.append(path)
     back = spark.read.orc(path)
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1089,7 +1089,7 @@ def resample_locf(spark, sf_dir):
     SELECT event_id,
            CAST(event_id % 97 AS BIGINT) AS code,
            upper(event_type) AS tag,
-           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_same_tag
+           CAST(COUNT(*) OVER (PARTITION BY upper(event_type)) AS BIGINT) AS n_same_tag
     FROM events WHERE event_id < 1000
     """,
 )
@@ -1097,7 +1097,10 @@ def xml_extract(spark, sf_dir):
     """format_string → XML text → from_xml struct (attribute `code`,
     element `tag`) → typed columns, plus a per-tag window over the
     PARSED value proving the extraction feeds ordinary relational ops.
-    from_xml is JVM-side (StaxXmlParser) — no Python in the plan."""
+    from_xml is JVM-side (StaxXmlParser) — no Python in the plan.
+    (Contract: event_type values are XML-safe words — format_string does
+    not escape metacharacters; an '&'-bearing value would null out the
+    parse. Fine for the fixture; a general XML encoder would escape.)"""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
     xml = F.format_string(
         '<rec code="%d"><tag>%s</tag></rec>',
