@@ -416,3 +416,22 @@ def test_knn_recall_query_floor(spark):
     assert got[1] <= got[2] <= got[3]
     assert got[2] >= 0.6, got
     assert got[3] >= 0.9, got
+
+
+def test_compact_files_reduces_file_count(spark):
+    """compact_files' DQ proves losslessness via the oracle; this proves
+    the maintenance effect itself — the compacted directory holds fewer
+    files than the fragmented one (bin-packed toward the 32 MB target)."""
+    import os
+
+    from vcf2db_spark.queries import QUERIES
+    from vcf2db_spark.queries.warehouse import _COMPACT_DIRS
+
+    QUERIES["compact_files"](spark, SF).collect()
+    base = _COMPACT_DIRS[-1]
+    nfiles = lambda d: len(  # noqa: E731
+        [f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")]
+    )
+    assert nfiles("frag") == 64
+    assert nfiles("comp") < 64
+    assert nfiles("comp") >= 1

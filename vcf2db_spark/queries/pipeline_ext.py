@@ -946,3 +946,71 @@ def search_bm25(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# C2+ — edit-distance-1 fuzzy matching via DELETION-NEIGHBORHOOD blocking
+# (FastSS/SymSpell): candidate pairs come from an equi-join on single-
+# deletion variants — never an all-pairs levenshtein — and the exact
+# edit-distance filter only runs on the candidates. Both engines have
+# native levenshtein, so the whole operator is oracle-backed.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "dedup_fuzzy",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT c_name AS tok FROM customer WHERE c_custkey < 200
+    ),
+    vars AS (
+      SELECT tok, unnest(list_append(
+        list_transform(range(len(tok)),
+                       i -> substr(tok, 1, i) || substr(tok, i + 2)), tok)) AS v
+      FROM vocab
+    ),
+    cand AS (
+      SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.tok < b.tok
+    )
+    SELECT tok_a, tok_b,
+           CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def dedup_fuzzy(spark, sf_dir):
+    """Spelling-variant pairs at edit distance ≤1 over a bounded name
+    vocabulary. Deletion-neighborhood blocking: each string expands to
+    its |s|+1 single-deletion variants (plus itself), candidates are the
+    equi-join on the variant key (Σ|bucket|² bound — the same shape as
+    the MinHash band join), and exact levenshtein() confirms. The
+    neighborhood join over-generates (e.g. transpositions share variants
+    at distance 2), which is WHY the exact filter must follow — blocking
+    is recall-complete for ed≤1, the verifier supplies precision. At
+    100 TB the variant explode is narrow and the join is hash-
+    partitioned by variant; no all-pairs product exists anywhere."""
+    vocab = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_name").alias("tok"))
+        .distinct()
+    )
+    vars_ = vocab.select(
+        "tok",
+        F.explode(
+            F.expr(
+                "array_append(transform(sequence(0, length(tok) - 1),"
+                " i -> concat(substring(tok, 1, i), substring(tok, i + 2))), tok)"
+            )
+        ).alias("v"),
+    )
+    a = vars_.select(F.col("tok").alias("tok_a"), "v")
+    b = vars_.select(F.col("tok").alias("tok_b"), "v")
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+    )
+    dist = F.levenshtein("tok_a", "tok_b")
+    return cand.filter(dist <= 1).select("tok_a", "tok_b", dist.alias("dist"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from vcf2db_spark.io import table
-from vcf2db_spark.registry import OSUM6, dq
+from vcf2db_spark.registry import OSUM6, dq, dsum6
 
 # --------------------------------------------------------------------------
 # batch MERGE INTO (upsert): customers refreshed from recent orders, plus
@@ -315,3 +315,116 @@ def constraint_audit(spark, sf_dir):
         ),
     )
     return pk.unionAll(fk).unionAll(rng).unionAll(nn).unionAll(ts)
+
+
+# --------------------------------------------------------------------------
+# small-file compaction (the OPTIMIZE shape): fragmented table → bin-packed
+# target-size files, proven lossless against the originals.
+# --------------------------------------------------------------------------
+
+_COMPACT_DIRS: list[str] = []
+
+
+@dq(
+    "compact_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+)
+def compact_files(spark, sf_dir):
+    """Table-maintenance compaction: the documents table is first written
+    FRAGMENTED (64 small files — the streaming-ingest pathology), then
+    compacted to ceil(bytes / 32 MB) files via coalesce (bin-packs many
+    input files per output task WITHOUT a shuffle — exactly what a
+    transactional format's OPTIMIZE does minus the log), and the
+    compacted copy is aggregated. The oracle computes the identical
+    aggregate from the original parquet, so a hash match proves the
+    fragment→compact round trip lost nothing. File-count reduction is
+    asserted in tests/test_sinks_scale.py."""
+    import hashlib
+    import math
+    import os
+    import shutil
+
+    d = table(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/vcf2db_compact_{os.getpid()}_{tag}"
+    while _COMPACT_DIRS and _COMPACT_DIRS[-1] != base:
+        shutil.rmtree(_COMPACT_DIRS.pop(), ignore_errors=True)
+    frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    nbytes = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(nbytes / (32 << 20)))
+    spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(comp)
+    if base not in _COMPACT_DIRS:
+        _COMPACT_DIRS.append(base)
+    back = spark.read.parquet(comp)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# bucketed co-located join: both sides pre-bucketed on their join keys, the
+# join plans with NO exchange on either side (driver-visible twin of
+# tests/test_sinks_scale.py::test_bucketed_join_elides_shuffle).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "bucketed_join",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {OSUM6('l_extendedprice')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey % 11 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_join(spark, sf_dir):
+    """Bucketing as the amortized-shuffle strategy: both relations are
+    written as managed bucketed tables (8 hash buckets on each side's
+    join key), and the subsequent join is co-located — Catalyst sees
+    matching HashClusteredDistributions and plans it with NO exchange on
+    EITHER side. Pay one write-time shuffle, amortize it over every
+    repeated join on that key — at 100 TB this is the variants⋈impacts
+    layout decision. The oracle recomputes from raw parquet; the hash
+    match proves bucketed storage is semantics-neutral. Table names are
+    pid-scoped (concurrent sessions must not clobber each other's
+    warehouse entries)."""
+    import os
+
+    from vcf2db_spark.sinks.writers import write_bucketed
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 11 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "leftsemi",
+    )
+    to_, tl = f"bj_orders_{os.getpid()}", f"bj_lineitem_{os.getpid()}"
+    write_bucketed(o, to_, ("o_orderkey",), n_buckets=8)
+    write_bucketed(li, tl, ("l_orderkey",), n_buckets=8)
+    bo, bl = spark.table(to_), spark.table(tl)
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum6("l_extendedprice").alias("revenue"),
+        )
+    )
