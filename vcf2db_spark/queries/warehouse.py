@@ -331,7 +331,7 @@ _COMPACT_DIRS: list[str] = []
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM documents
+    FROM documents WHERE doc_id < 2000
     """,
 )
 def compact_files(spark, sf_dir):
@@ -349,7 +349,9 @@ def compact_files(spark, sf_dir):
     import os
     import shutil
 
-    d = table(spark, sf_dir, "documents")
+    # bounded slice (harness convention): the small-file pathology and
+    # the bin-pack live at file granularity, not row count
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/vcf2db_compact_{os.getpid()}_{tag}"
     while _COMPACT_DIRS and _COMPACT_DIRS[-1] != base:
