@@ -7,6 +7,7 @@ queries without a driver row yet register first (VERDICT.md r1 item 2).
 """
 
 from vcf2db_spark.queries import (  # noqa: F401
+    analytics,
     etl,
     extensions,
     graph,

@@ -1,0 +1,157 @@
+"""Statistical-analytics query tier (round-4 window): per-entity trend
+fitting and robust outlier detection — the monitoring passes a training-
+data pipeline runs over its telemetry/metadata tables.
+
+Determinism strategy shared by both queries: every aggregate input is an
+INTEGER (seconds-from-entity-start, 1e-6 value units), the sums are exact
+BIGINT, and the only floating-point ops are final arithmetic over those
+identical integers plus one ROUND(…, 6) — the same convention as the
+registry's fixed-point sums, extended to second-order moments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table, table_wide
+from vcf2db_spark.registry import dq
+
+# --------------------------------------------------------------------------
+# per-group ordinary least squares: value ~ time, one closed-form fit per
+# user from five exact integer sums (no iteration, no matrix library)
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "grouped_ols",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+             CAST(ROUND(value * 1000000.0) AS BIGINT) AS yu
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(yu) AS BIGINT) AS sy,
+             CAST(SUM(x * yu) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 / 1000000.0 * 3600.0, 6) AS slope_per_hour,
+           ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / n / 1000000.0, 6) AS intercept
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def grouped_ols(spark, sf_dir):
+    """Per-user linear trend of `value` over time, closed-form OLS from
+    five exact integer sums (n, Σx, Σy, Σxy, Σx²): x is whole SECONDS
+    from the user's own first event (bounds Σxy below the BIGINT range —
+    raw epoch micros would overflow the cross-moment), y is 1e-6 fixed-
+    point units. The slope/intercept doubles derive from identical
+    integers in both engines, so ROUND(…,6) cannot diverge. Shape: one
+    window for the per-user origin (same user_id partitioning the
+    aggregate reuses) + one partial-agged exchange — no per-group
+    matrices, no Python. Degenerate single-instant users (zero time
+    variance) are excluded by the determinant filter."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 1000000")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        (sec - F.min(sec).over(w)).alias("x"),
+        F.round(F.col("value") * 1_000_000.0).cast("long").alias("yu"),
+    )
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope_u = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / det
+    return s.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        "user_id",
+        "n",
+        F.round(slope_u / 1_000_000.0 * 3600.0, 6).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy").cast("double") - slope_u * F.col("sx")) / F.col("n") / 1_000_000.0,
+            6,
+        ).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# robust outliers: median absolute deviation per event_type (median via
+# the exact interpolated percentile both engines share — agg_percentile
+# proved the parity), flag |x - med| > 3 * MAD
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.med,
+             ABS(e.value - med.med) AS adev
+      FROM events e JOIN med ON e.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type,
+           ROUND(dev.value, 6) AS value,
+           ROUND(dev.med, 6) AS med,
+           ROUND(mad.mad, 6) AS mad
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE dev.adev > 3 * mad.mad
+    """,
+)
+def anomaly_mad(spark, sf_dir):
+    """Median-absolute-deviation outliers per event_type: two grouped
+    exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    parity proven by agg_percentile) with the tiny per-type stats
+    broadcast back onto the stream — the robust z-score screen that
+    survives the heavy-tailed metrics a mean/stddev screen dies on.
+    The 3×MAD comparison runs on raw doubles derived identically in
+    both engines; only the REPORT columns round."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
