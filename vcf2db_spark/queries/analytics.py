@@ -155,3 +155,145 @@ def anomaly_mad(spark, sf_dir):
             F.round("mad", 6).alias("mad"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# gaps-and-islands: run-length encoding of each user's event-type stream
+# (the rn - rn_per_type grouping trick). All integers + strings — exact.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "runs_encode",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS uts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           CAST(MIN(uts) AS BIGINT) AS start_us,
+           CAST(MAX(uts) AS BIGINT) AS end_us
+    FROM o GROUP BY user_id, event_type, rn - rnt
+    HAVING COUNT(*) >= 3
+    """,
+)
+def runs_encode(spark, sf_dir):
+    """Run-length encoding of consecutive same-type events per user —
+    the gaps-and-islands idiom: two ROW_NUMBERs over the same (ts,
+    event_id)-total order differ by a constant within a run, so
+    (rn − rn_per_type) is the island key and one aggregate collapses
+    each run. Both windows and the aggregate share the user_id hash
+    partitioning (one exchange family). Runs shorter than 3 are
+    dropped to keep the report the interesting tail. Everything is
+    integer/string — no float boundary at all."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    uts = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        uts.alias("uts"),
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("_isl"),
+    )
+    return (
+        o.groupBy("user_id", "event_type", "_isl")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("uts").alias("start_us"),
+            F.max("uts").alias("end_us"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("_isl")
+    )
+
+
+# --------------------------------------------------------------------------
+# interval union/coverage: merge overlapping per-event windows and report
+# each user's merged-interval count + total covered time. The island
+# boundary is "start > running max of prior ends" — integer micros only.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+             event_id
+      FROM events
+    ),
+    b AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM b
+    ),
+    m AS (
+      SELECT user_id, grp, MIN(s) AS ms, MAX(e) AS me
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_us
+    FROM m GROUP BY user_id
+    """,
+)
+def interval_merge(spark, sf_dir):
+    """Interval union: each event opens a 5-minute window; overlapping
+    windows merge and the report is per-user merged-interval count +
+    total covered microseconds. The island boundary test compares each
+    start to the RUNNING MAX of all prior ends (rows unbounded-preceding
+    to 1-preceding) — the standard coverage idiom that stays one
+    window-partition pass; a lag(end) comparison would under-merge when
+    an early long interval swallows later short ones. Integer micros
+    end to end. The genomic twin of this op is exon→gene footprint
+    computation (operators/intervals.py serves the join side)."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    uts = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    iv = e.select(
+        "user_id", uts.alias("s"), (uts + 300_000_000).alias("e"), "event_id"
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    b = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = b.withColumn("grp", F.sum("new_island").over(w_run))
+    m = g.groupBy("user_id", "grp").agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+    )
