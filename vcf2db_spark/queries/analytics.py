@@ -297,3 +297,92 @@ def interval_merge(spark, sf_dir):
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# distribution drift: two-sample Kolmogorov-Smirnov statistic per
+# event_type between the first and second half of the observation window
+# — the data-drift monitor a training pipeline runs on every new batch.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "drift_ks",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS in_a
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT event_type, value,
+             CAST(SUM(in_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cb
+      FROM s GROUP BY event_type, value
+    ),
+    t AS (SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb
+          FROM c GROUP BY event_type),
+    k AS (
+      SELECT c.event_type,
+             SUM(ca) OVER (PARTITION BY c.event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (PARTITION BY c.event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+             t.na, t.nb
+      FROM c JOIN t ON c.event_type = t.event_type
+    )
+    SELECT event_type,
+           CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / na
+                         - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks_stat
+    FROM k GROUP BY event_type
+    """,
+)
+def drift_ks(spark, sf_dir):
+    """Two-sample KS drift statistic per event_type (first vs second half
+    of the month): counts collapse per distinct value first (the cum
+    windows then run over value-distinct rows — ties between the two
+    samples are handled by construction), cumulative counts are exact
+    BIGINT window sums, and the empirical-CDF gap divides identical
+    integers in both engines before one final ROUND. MAX(|·|) is
+    order-free. At 100 TB the per-value pre-aggregation is what keeps
+    the window input at distinct-value cardinality instead of row
+    count — the same partial-agg-before-window shape as dedup_window."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    in_a = (F.col("ts") < F.lit("2024-01-15").cast("timestamp")).cast("int")
+    c = (
+        e.select("event_type", "value", in_a.alias("in_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("in_a").alias("ca"),
+            F.sum(1 - F.col("in_a")).alias("cb"),
+        )
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        "na",
+        "nb",
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("na")
+        - F.col("cum_b").cast("double") / F.col("nb")
+    )
+    return k.groupBy("event_type").agg(
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+    )
