@@ -386,3 +386,104 @@ def drift_ks(spark, sf_dir):
         F.max("nb").cast("bigint").alias("n_b"),
         F.round(F.max(gap), 6).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# ordered funnel: signup → view → click → purchase, each stage's first
+# event strictly after the previous stage's. Four chained min-aggregates —
+# all timestamps, all exact.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           WHERE e.event_type = 'view' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+           JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS stage_idx, 'signup' AS stage,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL SELECT 2, 'view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT 3, 'click', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    UNION ALL SELECT 4, 'purchase', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+    """,
+)
+def funnel_stages(spark, sf_dir):
+    """Ordered conversion funnel: stage k counts users whose first
+    stage-k event is STRICTLY after their first stage-(k-1) event — the
+    chained-min shape (each stage is one filtered aggregate + one keyed
+    join against the previous stage's user set, which shrinks
+    monotonically, so the joins get cheaper down the funnel). Counts are
+    exact integers; timestamps never leave the JVM."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+
+    def stage(ev_type, prev):
+        s = e.filter(F.col("event_type") == ev_type)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    s1 = stage("signup", None)
+    s2 = stage("view", s1)
+    s3 = stage("click", s2)
+    s4 = stage("purchase", s3)
+    rows = None
+    for idx, (name, df) in enumerate(
+        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], start=1
+    ):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+# --------------------------------------------------------------------------
+# cohort retention: users grouped by first-activity week; cell (cohort,
+# offset) counts cohort members active offset weeks later. Integer weeks.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "retention_cohort",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id),
+    act AS (SELECT DISTINCT w.user_id, first.cohort_wk,
+                   w.wk - first.cohort_wk AS offset_wk
+            FROM w JOIN first ON w.user_id = first.user_id)
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(offset_wk AS BIGINT) AS offset_wk,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort_wk, offset_wk
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    """Cohort retention matrix: cohort = the user's first active epoch-
+    week (integer DIV of epoch micros — no calendar/timezone semantics
+    to diverge on), cell value = distinct cohort members active at each
+    week offset. The distinct collapses (user, week) activity before the
+    matrix aggregate — the same pre-shrink-then-aggregate shape as
+    drift_ks; everything is BIGINT."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    wk = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 604800000000")
+    w = e.select("user_id", wk.alias("wk"))
+    first = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        w.join(first, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    return act.groupBy("cohort_wk", "offset_wk").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
