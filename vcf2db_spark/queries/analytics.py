@@ -48,7 +48,7 @@ from vcf2db_spark.registry import dq
                   - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
                  / n / 1000000.0, 6) AS intercept
-    FROM s WHERE n * sxx - sx * sx > 0
+    FROM s WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
     """,
 )
 def grouped_ols(spark, sf_dir):
@@ -61,7 +61,11 @@ def grouped_ols(spark, sf_dir):
     window for the per-user origin (same user_id partitioning the
     aggregate reuses) + one partial-agged exchange — no per-group
     matrices, no Python. Degenerate single-instant users (zero time
-    variance) are excluded by the determinant filter."""
+    variance) are excluded by the determinant filter (computed in
+    double space — the BIGINT products overflow near ~2000 events per
+    entity-month; the exact-integer guarantee covers the five SUMS,
+    whose own bound is ~1e5 events/entity-month before Σx² overflows —
+    beyond that, rebase x to minutes)."""
     e = table_wide(spark, sf_dir, "events", "user_id")
     sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 1000000")
     from pyspark.sql import Window
@@ -82,9 +86,10 @@ def grouped_ols(spark, sf_dir):
     nd = F.col("n").cast("double")
     det = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     slope_u = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / det
-    return s.filter(
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
-    ).select(
+    # determinant test in DOUBLE: the BIGINT products n*sxx and sx*sx
+    # overflow around ~2000 events/entity-month (sx ~ 2.6e9 squared);
+    # the double forms lose only ulps, harmless for a >0 test
+    return s.filter(det > 0).select(
         "user_id",
         "n",
         F.round(slope_u / 1_000_000.0 * 3600.0, 6).alias("slope_per_hour"),
@@ -100,6 +105,8 @@ def grouped_ols(spark, sf_dir):
 # the exact interpolated percentile both engines share — agg_percentile
 # proved the parity), flag |x - med| > 3 * MAD
 # --------------------------------------------------------------------------
+
+_MAD_CACHE: list = []
 
 
 @dq(
@@ -133,14 +140,23 @@ def anomaly_mad(spark, sf_dir):
     broadcast back onto the stream — the robust z-score screen that
     survives the heavy-tailed metrics a mean/stddev screen dies on.
     The 3×MAD comparison runs on raw doubles derived identically in
-    both engines; only the REPORT columns round."""
+    both engines; only the REPORT columns round. `dev` feeds both the
+    MAD aggregate and the final filter, so it is persisted (release-on-
+    next-call, the curate.py lifecycle) — without it the events scan and
+    the median percentile both run twice in the one action."""
     e = table_wide(spark, sf_dir, "events", "user_id")
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
+    while _MAD_CACHE:
+        try:
+            _MAD_CACHE.pop().unpersist()
+        except Exception:
+            pass
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
-    )
+    ).persist()
+    _MAD_CACHE.append(dev)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
@@ -231,7 +247,7 @@ def runs_encode(spark, sf_dir):
       FROM events
     ),
     b AS (
-      SELECT user_id, s, e,
+      SELECT user_id, s, e, event_id,
              CASE WHEN s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   OR MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
@@ -241,7 +257,7 @@ def runs_encode(spark, sf_dir):
     ),
     g AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM b
     ),
@@ -282,13 +298,17 @@ def interval_merge(spark, sf_dir):
         "user_id",
         "s",
         "e",
+        "event_id",
         F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
         .otherwise(0)
         .alias("new_island"),
     )
+    # event_id tie-break: two events at the same (user, ts) must take a
+    # deterministic order through the running sum, or the second row's
+    # island assignment is engine-dependent (registry tie convention)
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     g = b.withColumn("grp", F.sum("new_island").over(w_run))
@@ -418,32 +438,46 @@ def drift_ks(spark, sf_dir):
 )
 def funnel_stages(spark, sf_dir):
     """Ordered conversion funnel: stage k counts users whose first
-    stage-k event is STRICTLY after their first stage-(k-1) event — the
-    chained-min shape (each stage is one filtered aggregate + one keyed
-    join against the previous stage's user set, which shrinks
-    monotonically, so the joins get cheaper down the funnel). Counts are
-    exact integers; timestamps never leave the JVM."""
+    stage-k event is STRICTLY after their first stage-(k-1) event.
+    SINGLE-PASS shape: one groupBy collects each user's per-stage
+    timestamp array (bounded by events-per-user), then the four chained
+    mins are pure array HOFs over that one row — array_min of the
+    filter(x > t_prev) survivors. The naive chained-join form scans the
+    fact 1+2+3+4 times in one action (each union branch recomputes its
+    whole upstream lineage); this shape scans it ONCE and shuffles once.
+    Counts are exact integers; timestamps never leave the JVM."""
     e = table_wide(spark, sf_dir, "events", "user_id")
+    stages = ["signup", "view", "click", "purchase"]
 
-    def stage(ev_type, prev):
-        s = e.filter(F.col("event_type") == ev_type)
-        if prev is not None:
-            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t")).drop("t")
-        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+    def arr(t):
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+        ).alias(f"_a_{t}")
 
-    s1 = stage("signup", None)
-    s2 = stage("view", s1)
-    s3 = stage("click", s2)
-    s4 = stage("purchase", s3)
-    rows = None
-    for idx, (name, df) in enumerate(
-        [("signup", s1), ("view", s2), ("click", s3), ("purchase", s4)], start=1
-    ):
-        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+    g = (
+        e.filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id")
+        .agg(*[arr(t) for t in stages])
+    )
+    g = g.withColumn("t1", F.array_min("_a_signup"))
+    g = g.withColumn(
+        "t2", F.array_min(F.filter("_a_view", lambda x: x > F.col("t1")))
+    )
+    g = g.withColumn(
+        "t3", F.array_min(F.filter("_a_click", lambda x: x > F.col("t2")))
+    )
+    g = g.withColumn(
+        "t4", F.array_min(F.filter("_a_purchase", lambda x: x > F.col("t3")))
+    )
+    cnt = g.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in (1, 2, 3, 4)]
+    )
+    return cnt.select(
+        F.expr(
+            "stack(4, 1, 'signup', n1, 2, 'view', n2, 3, 'click', n3,"
+            " 4, 'purchase', n4) AS (stage_idx, stage, n_users)"
         )
-        rows = row if rows is None else rows.unionAll(row)
-    return rows
+    )
 
 
 # --------------------------------------------------------------------------

@@ -364,7 +364,16 @@ def compact_files(spark, sf_dir):
         if f.endswith(".parquet")
     )
     n_out = max(1, math.ceil(nbytes / (32 << 20)))
-    spark.read.parquet(frag).coalesce(n_out).write.mode("overwrite").parquet(comp)
+    frag_df = spark.read.parquet(frag)
+    # coalesce can only MERGE read partitions; when the scan bin-packs
+    # the fragments into fewer partitions than the 32 MB target wants
+    # (maxPartitionBytes ≫ target), fall through to a repartition so the
+    # target actually holds — the shuffle-path OPTIMIZE
+    read_parts = frag_df.rdd.getNumPartitions()
+    packed = (
+        frag_df.coalesce(n_out) if read_parts >= n_out else frag_df.repartition(n_out)
+    )
+    packed.write.mode("overwrite").parquet(comp)
     if base not in _COMPACT_DIRS:
         _COMPACT_DIRS.append(base)
     back = spark.read.parquet(comp)
