@@ -87,3 +87,35 @@ def test_arrow_normalize_handles_trailing_empty_list(spark):
     assert out[2] == (0, 0.0)
     assert out[3] == (1, 1.0)
     assert out[4] == (0, 0.0)
+
+
+def test_interval_merge_duplicate_timestamps(spark):
+    """Regression for the running-sum tie-break: two events at the SAME
+    (user, ts) where one opens a new island must merge deterministically
+    (event_id order). Hand-computed: user 1 has events at t=0s and both
+    duplicates at t=400s (gap > 300s window): intervals [0,300), [400,700)
+    ×2 → 2 merged islands, covered = 300s + 300s = 600s."""
+    import vcf2db_spark.queries.analytics as qa
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.queries import QUERIES
+
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [
+        (1, 10, base),
+        (1, 11, base + 400_000_000),
+        (1, 12, base + 400_000_000),  # exact duplicate ts, higher event_id
+    ]
+    df = spark.createDataFrame(rows, "user_id: bigint, event_id: bigint, uts: bigint").select(
+        "user_id", "event_id", F.expr("timestamp_micros(uts)").cast("timestamp_ntz").alias("ts")
+    )
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = QUERIES["interval_merge"](spark, "unused").collect()
+    finally:
+        qa.table_wide = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_intervals"] == 2
+    assert r["covered_us"] == 600_000_000
