@@ -119,3 +119,72 @@ def test_interval_merge_duplicate_timestamps(spark):
     r = out[0]
     assert r["n_intervals"] == 2
     assert r["covered_us"] == 600_000_000
+
+
+def _events_df(spark, rows):
+    """rows: (user_id, event_id, offset_seconds, event_type, value)."""
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000_000_000
+    df = spark.createDataFrame(
+        [(u, e, base + s * 1_000_000, t, v) for u, e, s, t, v in rows],
+        "user_id: bigint, event_id: bigint, uts: bigint, event_type: string, value: double",
+    )
+    return df.select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("timestamp_micros(uts)").cast("timestamp_ntz").alias("ts"),
+    )
+
+
+def test_funnel_strictly_after_semantics(spark):
+    """A stage event BEFORE the previous stage's first event must not
+    count: user 1 completes signup→view→click in order; user 2's view
+    precedes their signup (drops at stage 2); nobody purchases."""
+    import vcf2db_spark.queries.windows as qw
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [
+        (1, 1, 0, "signup", 1.0), (1, 2, 10, "view", 1.0), (1, 3, 20, "click", 1.0),
+        (2, 4, 100, "view", 1.0), (2, 5, 200, "signup", 1.0),
+    ]
+    df = _events_df(spark, rows)
+    import vcf2db_spark.queries.analytics as qa
+
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = {r["stage"]: r["n_users"]
+               for r in QUERIES["funnel_stages"](spark, "unused").collect()}
+    finally:
+        qa.table_wide = orig
+    assert out == {"signup": 2, "view": 1, "click": 1, "purchase": 0}
+
+
+def test_drift_ks_hand_computed(spark):
+    """KS statistic against a by-hand CDF: sample A = {1,2}, B = {2,3}
+    (one event_type; the 2024-01-15 cutoff splits the halves). CDFs at
+    sorted values [1,2,3]: A = .5,1,1 and B = 0,.5,1 → max gap 0.5."""
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    day = 86_400
+    rows = [
+        (1, 1, 0, "click", 1.0), (1, 2, 10, "click", 2.0),
+        (1, 3, 70 * day, "click", 2.0), (1, 4, 70 * day + 10, "click", 3.0),
+        # one-sided segment: entirely pre-cutoff — must be EXCLUDED, not
+        # divide-by-zero (the ANSI crash this test originally caught)
+        (1, 5, 0, "error", 9.0),
+    ]
+    # base epoch 1_700_000_000 = 2023-11-14; +0s is before the 2024-01-15
+    # cutoff, +70d (2024-01-23) is after — the in_a flag splits 2/2
+    df = _events_df(spark, rows)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = QUERIES["drift_ks"](spark, "unused").collect()
+    finally:
+        qa.table_wide = orig
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["ks_stat"] == 0.5

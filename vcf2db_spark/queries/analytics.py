@@ -350,6 +350,7 @@ def interval_merge(spark, sf_dir):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
              t.na, t.nb
       FROM c JOIN t ON c.event_type = t.event_type
+      WHERE t.na > 0 AND t.nb > 0
     )
     SELECT event_type,
            CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
@@ -390,6 +391,11 @@ def drift_ks(spark, sf_dir):
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # a segment living entirely in one half has an empty opposing
+    # sample: the KS statistic is undefined there, and under ANSI the
+    # division would abort the whole query — exclude such segments in
+    # BOTH engines
+    t = t.filter((F.col("na") > 0) & (F.col("nb") > 0))
     k = c.join(F.broadcast(t), "event_type").select(
         "event_type",
         F.sum("ca").over(w).alias("cum_a"),
