@@ -188,3 +188,29 @@ def test_drift_ks_hand_computed(spark):
     r = out[0]
     assert (r["n_a"], r["n_b"]) == (2, 2)
     assert r["ks_stat"] == 0.5
+
+
+def test_grouped_ols_hand_computed(spark):
+    """Exact line y = 1 + x/3600 (1 unit/hour): three points at 0, 1h, 2h
+    must recover slope_per_hour=1, intercept=1 exactly; a single-instant
+    user (zero time variance) must be excluded by the determinant test."""
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [
+        (1, 1, 0, "view", 1.0),
+        (1, 2, 3600, "view", 2.0),
+        (1, 3, 7200, "view", 3.0),
+        (2, 4, 50, "view", 7.0),  # one instant -> no fit
+    ]
+    df = _events_df(spark, rows)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = {r["user_id"]: r for r in QUERIES["grouped_ols"](spark, "unused").collect()}
+    finally:
+        qa.table_wide = orig
+    assert set(out) == {1}
+    assert out[1]["n"] == 3
+    assert out[1]["slope_per_hour"] == 1.0
+    assert out[1]["intercept"] == 1.0
