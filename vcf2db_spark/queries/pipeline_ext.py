@@ -25,7 +25,7 @@ from vcf2db_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from vcf2db_spark.operators.similarity import ivf_topk, lsh_topk
-from vcf2db_spark.registry import OSUM6, dq, dsum6, r6
+from vcf2db_spark.registry import OAVG, OSUM6, davg, dq, dsum6, r6
 
 # --------------------------------------------------------------------------
 # C2 exact twin — token-set Jaccard near-dup pairs (bounded input; the
@@ -1014,3 +1014,86 @@ def dedup_fuzzy(spark, sf_dir):
     )
     dist = F.levenshtein("tok_a", "tok_b")
     return cand.filter(dist <= 1).select("tok_a", "tok_b", dist.alias("dist"))
+
+
+# --------------------------------------------------------------------------
+# C5+ — bigram language-model perplexity scoring (the CCNet-style corpus
+# quality filter): train add-k-smoothed bigram probabilities on the corpus
+# itself, score each doc's average negative log-likelihood. Counts are
+# integers, ln() runs on identical doubles both engines (the search_bm25
+# precedent), and the per-doc mean uses the fixed-point davg convention.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "perplexity_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM t)
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM bg GROUP BY w1, w2),
+    cu AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM bg GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+          FROM (SELECT unnest(l) AS tok FROM t)),
+    nll AS (
+      SELECT bg.doc_id,
+             -ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS x
+      FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+              JOIN cu ON bg.w1 = cu.w1
+              CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {OAVG('x')} AS avg_nll
+    FROM nll GROUP BY doc_id
+    """,
+)
+def perplexity_lm(spark, sf_dir):
+    """Per-doc average negative log-likelihood under a corpus-trained
+    add-0.5-smoothed bigram model — the perplexity screen corpus
+    curation uses to drop gibberish/boilerplate. One bigram stream
+    feeds the model counts AND the scoring join (train == score corpus
+    here; production scores new batches against stored counts, which is
+    the incr_agg_maintain merge). Shuffles: bigram/context count
+    aggregates + the scoring joins, all keyed on the gram strings;
+    vocab size rides a 1-row crossJoin broadcast. At 100 TB the counts
+    table is the persisted artifact and only the batch side re-scans."""
+    from vcf2db_spark.functions.text import ws_tokens
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    toks = d.select("doc_id", ws_tokens(F.trim(F.col("text"))).alias("l"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(l) - 2),"
+                " i -> struct(l[i] AS w1, l[i + 1] AS w2))"
+            )
+        ).alias("_p"),
+    ).select("doc_id", "_p.w1", "_p.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = toks.select(F.explode("l").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    nll = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("cb") + 0.5) / (F.col("cu") + 0.5 * F.col("v"))
+                )
+            ).alias("x"),
+        )
+    )
+    return nll.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), davg("x").alias("avg_nll")
+    )
