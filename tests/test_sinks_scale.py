@@ -435,3 +435,24 @@ def test_compact_files_reduces_file_count(spark):
     assert nfiles("frag") == 64
     assert nfiles("comp") < 64
     assert nfiles("comp") >= 1
+
+
+def test_bucketed_join_query_plan_reads_buckets_no_shuffle(spark):
+    """The bucketed_join DQ must read BUCKETED scans and plan the join
+    with no SHUFFLE exchange beneath it. At compare scale the optimizer
+    may legitimately pick a BroadcastHashJoin over the tiny orders side
+    (a BroadcastExchange is not a shuffle); the forced big-big SMJ case
+    with zero exchanges is proven by test_bucketed_join_elides_shuffle
+    above with broadcast disabled."""
+    from vcf2db_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2, plan
+    join_pos = max(
+        plan.find("SortMergeJoin"),
+        plan.find("ShuffledHashJoin"),
+        plan.find("BroadcastHashJoin"),
+    )
+    assert join_pos != -1, plan
+    assert "Exchange hashpartitioning" not in plan[join_pos:], plan[join_pos:]
