@@ -413,8 +413,22 @@ def bucketed_join(spark, sf_dir):
     pid-scoped (concurrent sessions must not clobber each other's
     warehouse entries)."""
     import os
+    import re
+    import shutil
 
     from vcf2db_spark.sinks.writers import write_bucketed
+
+    # reap bucket-table directories left by DEAD processes (the catalog
+    # is per-session, so a stale pid's dir is orphan files; a LIVE
+    # concurrent process still has /proc/<pid> and is left alone)
+    wh = os.path.join(os.getcwd(), "spark-warehouse")
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            m = re.fullmatch(r"bj_(?:orders|lineitem)_(\d+)", d)
+            if m and int(m.group(1)) != os.getpid() and not os.path.isdir(
+                f"/proc/{m.group(1)}"
+            ):
+                shutil.rmtree(os.path.join(wh, d), ignore_errors=True)
 
     o = (
         table(spark, sf_dir, "orders")
