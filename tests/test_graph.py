@@ -214,3 +214,58 @@ def test_grouped_ols_hand_computed(spark):
     assert out[1]["n"] == 3
     assert out[1]["slope_per_hour"] == 1.0
     assert out[1]["intercept"] == 1.0
+
+
+def test_retention_cohort_hand_computed(spark):
+    """User A active in weeks 0 and 2 (one cohort cell each), user B in
+    week 0 only; both share cohort week. Matrix: offset 0 → 2 users,
+    offset 2 → 1 user."""
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    wk = 604_800
+    rows = [
+        (1, 1, 0, "view", 1.0), (1, 2, 2 * wk, "view", 1.0),
+        (1, 3, 2 * wk + 60, "view", 1.0),  # same week, must not double-count
+        (2, 4, 100, "view", 1.0),
+    ]
+    df = _events_df(spark, rows)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = {(r["cohort_wk"] - min(x["cohort_wk"] for x in
+                QUERIES["retention_cohort"](spark, "unused").collect()),
+                r["offset_wk"]): r["n_active"]
+               for r in QUERIES["retention_cohort"](spark, "unused").collect()}
+    finally:
+        qa.table_wide = orig
+    assert out == {(0, 0): 2, (0, 2): 1}
+
+
+def test_search_bm25_formula_hand_computed(spark):
+    """Two-doc corpus, query terms from the registered _BM25_TERMS:
+    doc 1 = 'join join filler', doc 2 = 'filler filler filler'. Only
+    doc 1 matches; its score is idf(join) * tf(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    with tf=2, dl=3, avgdl=3, df=1, N=2 — computed independently here
+    in Python and compared to the engine output at 6 decimals."""
+    import math
+
+    import vcf2db_spark.queries.pipeline_ext as qp
+    from pyspark.sql import functions as F
+    from vcf2db_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "join join filler"), (2, "filler filler filler")],
+        "doc_id: bigint, text: string",
+    )
+    orig = qp.table_wide
+    try:
+        qp.table_wide = lambda *a, **k: docs
+        out = QUERIES["search_bm25"](spark, "unused").collect()
+    finally:
+        qp.table_wide = orig
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
+    # engine sums in 1e-6 fixed point before the final value
+    assert abs(out[0]["score"] - round(expected, 6)) <= 1e-6
