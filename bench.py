@@ -113,8 +113,41 @@ def main() -> None:
         "passes": N_PASSES,
         "per_query": per_query,
     }
-    print(json.dumps(out))
-    spark.stop()
+    # Full record to a stable file (BENCH_r01..r03 show the driver keeps only
+    # the last 2000 chars of stdout — a 156-query JSON line cannot fit, which
+    # is why three rounds recorded "parsed": null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    spark.stop()  # before the final print: no JVM shutdown logs may trail it
+
+    # Compact FINAL stdout line, hard-capped under the driver's 2000-char
+    # tail window: headline totals + as many per-query medians (largest
+    # spark_s first — the ones worth reading) as fit the budget.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "oracle_backed_total": oracle_total,
+        "duckdb_oracle_total": duck_total,
+        "oracle_ratio": out["oracle_ratio"],
+        "job_floor_sec": floor,
+        "n_queries": len(timings),
+        "passes": N_PASSES,
+        "detail_file": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    budget = 1900 - len(json.dumps(compact))
+    for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        cost = len(name) + len(json.dumps(sec)) + 6  # '"n": v, ' incl. quotes
+        if cost > budget:
+            break
+        compact["queries"][name] = sec
+        budget -= cost
+    line = json.dumps(compact)
+    assert len(line) < 1950, f"final bench line too long: {len(line)}"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

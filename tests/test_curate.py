@@ -73,12 +73,12 @@ def test_curate_cache_released_across_calls(spark, sf_dir):
     base = n_cached()  # other suites may hold their own caches
     a = C.curate_documents(docs)
     a.count()
-    assert len(C._ACTIVE_PERSISTS) == 1
+    assert len(C._CURATE_LC._held) == 1
     b = C.curate_documents(docs)
     b.count()
-    assert len(C._ACTIVE_PERSISTS) == 1  # previous cache was released
+    assert len(C._CURATE_LC._held) == 1  # previous cache was released
     C.release_curate_cache()
-    assert not C._ACTIVE_PERSISTS
+    assert not C._CURATE_LC._held
     assert n_cached() <= base
 
     # report path: all counts materialized inside the call → nothing stays

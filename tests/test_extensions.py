@@ -362,3 +362,32 @@ def test_sketch_distinct_error_bound(spark):
     direct = (li.agg(F.hll_sketch_agg("l_partkey", F.lit(14)).alias("s"))
               .select(F.hll_sketch_estimate("s").alias("e")).collect()[0]["e"])
     assert out["ALL"] == direct
+
+
+def test_sketch_quantile_error_bound(spark):
+    """Histogram-sketch quantiles (256 bins over [0,51]) must land within
+    one value step + one bin width of the exact interpolated percentile:
+    the sketch guarantees the estimate lies in the bin covering rank p·n,
+    while percentile() targets rank (n-1)p — over integer-valued
+    l_quantity those ranks can straddle one discrete step (1.0), plus the
+    in-bin interpolation slack (51/256). Also proves mergeability: the
+    ALL row equals the same read-out over the summed per-group bins."""
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.queries import QUERIES
+
+    width = 51.0 / 256
+    out = {r["l_returnflag"]: (r["est_p50"], r["est_p90"])
+           for r in QUERIES["sketch_quantile"](spark, SF).collect()}
+    li = table(spark, SF, "lineitem")
+    exact = {r["l_returnflag"]: (r["p50"], r["p90"])
+             for r in li.groupBy("l_returnflag").agg(
+                 F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+                 F.percentile("l_quantity", F.lit(0.9)).alias("p90")).collect()}
+    row = li.agg(F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+                 F.percentile("l_quantity", F.lit(0.9)).alias("p90")).collect()[0]
+    exact["ALL"] = (row["p50"], row["p90"])
+    assert set(out) == set(exact)
+    for k, (e50, e90) in exact.items():
+        assert abs(out[k][0] - e50) <= 1.0 + width, (k, out[k][0], e50)
+        assert abs(out[k][1] - e90) <= 1.0 + width, (k, out[k][1], e90)

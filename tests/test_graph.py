@@ -269,3 +269,86 @@ def test_search_bm25_formula_hand_computed(spark):
     expected = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3.0))
     # engine sums in 1e-6 fixed point before the final value
     assert abs(out[0]["score"] - round(expected, 6)) <= 1e-6
+
+
+def test_pagerank_source_only_node_persists(spark):
+    """A node with out-edges but no in-edges (3→2 below) receives no
+    contributions, but must stay at the base term and KEEP CONTRIBUTING
+    in later iterations (ADVICE r3: it used to drop out of the rank
+    state after iteration 1, silently zeroing its out-flow). Hand
+    computation, iteration 2: node 2 = 0.15 + 0.85·(r1(1) + r1(3))
+    = 0.15 + 0.85·(1.0 + 0.15) = 1.1275 — the old behaviour gave 1.0."""
+    r = _ranks(pagerank(_edges(spark, [(1, 2), (2, 1), (3, 2)]), iters=2))
+    assert r[3] == pytest.approx(0.15, abs=1e-6)
+    assert r[2] == pytest.approx(1.1275, abs=1e-6)
+    assert r[1] == pytest.approx(0.15 + 0.85 * 1.85, abs=1e-6)
+
+
+def test_grouped_ols_span_rebase_hand_computed(spark):
+    """Beyond the 3e6 s span threshold x rebases to minutes; an exact
+    line y = 1 + x_minutes over points at 0 / 1000 h / 2000 h must
+    recover slope_per_hour = 60 and intercept = 1 exactly (the rescale
+    3600/unit_s must compose with the minute grid)."""
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [
+        (1, 1, 0, "view", 1.0),
+        (1, 2, 3_600_000, "view", 60_001.0),
+        (1, 3, 7_200_000, "view", 120_001.0),
+    ]
+    df = _events_df(spark, rows)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = QUERIES["grouped_ols"](spark, "unused").collect()
+    finally:
+        qa.table_wide = orig
+    assert len(out) == 1
+    assert out[0]["slope_per_hour"] == 60.0
+    assert out[0]["intercept"] == 1.0
+
+
+def test_grouped_ols_cliff_no_overflow_and_oracle_lockstep(spark, tmp_path):
+    """Property test AT the Σx² cliff (VERDICT r3 item 9): 1M events for
+    one entity spread over a 6e6 s span — in raw seconds Σx² ≈ 1.2e19
+    OVERFLOWS BIGINT (ANSI abort); the per-entity minute rebase keeps
+    every sum exact, the query must RUN, match the DuckDB oracle
+    bitwise on the same parquet, and recover the planted trend."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    import vcf2db_spark.queries.analytics as qa
+    from tools.check import compare
+    from vcf2db_spark.queries import ORACLES, QUERIES
+
+    n, span = 1_000_000, 6_000_000
+    base = 1_700_000_000_000_000
+    path = str(tmp_path / "events.parquet")
+    # y = 2 + 1e-6·x_sec (slope 0.0036/h) — y stays O(1) so the y-side
+    # fixed-point sums respect their own documented ±9.2e12-unit bound
+    # (registry.py); the cliff under test is the x²/x·y moments
+    (spark.range(n).select(
+        F.lit(1).cast("bigint").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.lit("view").alias("event_type"),
+        (F.lit(2.0) + 0.000001 * (F.col("id") * span / n)).alias("value"),
+        F.expr(f"timestamp_micros({base} + CAST(id * {span} / {n} AS BIGINT)"
+               " * 1000000)").cast("timestamp_ntz").alias("ts"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        sdf = QUERIES["grouped_ols"](spark, "unused").toPandas()
+    finally:
+        qa.table_wide = orig
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    odf = con.execute(ORACLES["grouped_ols"]).fetchdf()
+    ok, msg = compare(sdf, odf)
+    assert ok, msg
+    assert len(sdf) == 1
+    assert abs(sdf["slope_per_hour"].iloc[0] - 0.0036) < 0.0001

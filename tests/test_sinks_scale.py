@@ -425,10 +425,10 @@ def test_compact_files_reduces_file_count(spark):
     import os
 
     from vcf2db_spark.queries import QUERIES
-    from vcf2db_spark.queries.warehouse import _COMPACT_DIRS
+    from vcf2db_spark.queries.warehouse import _COMPACT_LC
 
     QUERIES["compact_files"](spark, SF).collect()
-    base = _COMPACT_DIRS[-1]
+    base = _COMPACT_LC.dirs[-1]
     nfiles = lambda d: len(  # noqa: E731
         [f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")]
     )

@@ -263,3 +263,68 @@ def test_upsert_drain_batch_equivalence(spark, tmp_path):
         .filter(F.col("_rn") == 1)
     )
     assert multi == single == canon(batch)
+
+
+def test_upsert_bucketed_state_rewrites_only_changed_buckets(spark, tmp_path):
+    """Scale-safe state (VERDICT r3 item 5): batch cost must track the
+    CHANGED key set, not total state size. Source file 1 carries users
+    in every bucket; file 2 touches exactly one user. The second batch's
+    state version dir must then contain ONLY that user's bucket (the
+    other 15 buckets keep their v0 files), and the merged final state
+    must still equal the one-shot argmax."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vcf2db_spark.streaming.pipelines import (
+        UPSERT_STATE_BUCKETS,
+        _UPSERT_LC,
+        upsert_latest_drain,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base_us = 1_700_000_000_000_000
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 1_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    # file 1: 64 users → every bucket populated; file 2: user 5 only
+    f1 = [(i, i, i) for i in range(64)]
+    f2 = [(1000, 999, 5)]
+    pq.write_table(tbl(f1), os.path.join(src, "part-000.parquet"))
+    pq.write_table(tbl(f2), os.path.join(src, "part-001.parquet"))
+    # distinct mtimes so maxFilesPerTrigger=1 orders the batches
+    os.utime(os.path.join(src, "part-000.parquet"), (1, 1))
+    os.utime(os.path.join(src, "part-001.parquet"), (2, 2))
+
+    final = upsert_latest_drain(spark, src, str(tmp_path / "w"))
+    got = {r["user_id"]: r["value"] for r in final.collect()}
+    assert len(got) == 64
+    assert got[5] == 1000.0  # the late event won
+    assert got[6] == 6.0
+
+    # structural proof: v1's dir holds exactly one bucket subdir
+    work = _UPSERT_LC.dirs[-1]
+    v_dirs = sorted(d for d in os.listdir(work) if d.startswith("state_v"))
+    assert len(v_dirs) == 2, v_dirs
+    v0 = [d for d in os.listdir(os.path.join(work, v_dirs[0])) if d.startswith("_b=")]
+    v1 = [d for d in os.listdir(os.path.join(work, v_dirs[1])) if d.startswith("_b=")]
+    # bucket 5's v0 dir was deleted when v1 replaced it
+    assert len(v0) == UPSERT_STATE_BUCKETS - 1
+    assert v1 == [f"_b={5 % UPSERT_STATE_BUCKETS}"]
+    # and v0 lost exactly the bucket v1 replaced
+    assert f"_b={5 % UPSERT_STATE_BUCKETS}" not in v0

@@ -30,17 +30,14 @@ from vcf2db_spark.operators.dedup import minhash_lsh_candidates
 # sweep — must not accumulate cached stages in executor memory: each call
 # releases the previous call's cache, and ``release_curate_cache()`` lets
 # a caller drop the last one explicitly.
-_ACTIVE_PERSISTS: list[DataFrame] = []
+from vcf2db_spark.lifecycle import Lifecycle
+
+_CURATE_LC = Lifecycle()
 
 
 def release_curate_cache() -> None:
     """Unpersist intermediates cached by earlier ``curate_documents`` calls."""
-    while _ACTIVE_PERSISTS:
-        df = _ACTIVE_PERSISTS.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped
+    _CURATE_LC.release()
 
 
 @dataclass
@@ -132,7 +129,7 @@ def curate_documents(
     curated = exact.join(drops, id_col, "left_anti")
 
     if not report:
-        _ACTIVE_PERSISTS.append(exact)
+        _CURATE_LC.hold_df(exact)
         return curated
     # ONE action: materializing the curated count executes the whole
     # pipeline exactly once (exact's persist de-dups the two consumers of

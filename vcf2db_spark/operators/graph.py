@@ -35,20 +35,35 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list.
 
-    Every node is expected to have at least one out-edge (feed an
-    undirected graph as both edge directions — the trade-graph query does
-    this); dangling-node mass redistribution is deliberately out of scope
-    for the deterministic twin. Returns (node BIGINT, rank DOUBLE), rank
-    maintained in integer 1e-6 units per iteration.
+    The node set is the nodes WITH out-edges (feed an undirected graph as
+    both edge directions — the trade-graph query does this); dangling
+    nodes (no out-edge) and their mass redistribution are deliberately
+    out of scope for the deterministic twin. A node with out-edges but no
+    IN-edges receives no contributions — it is kept alive with the base
+    term every iteration (left join onto the node set), so its outgoing
+    contributions persist across iterations on general directed graphs.
+    Returns (node BIGINT, rank DOUBLE), rank maintained in integer 1e-6
+    units per iteration.
     """
     dir_edges = edges.select(
         F.col(src).cast("bigint").alias("_src"), F.col(dst).cast("bigint").alias("_dst")
     )
     deg = dir_edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
-    # degree rides along with the edge so the loop body is a single join
-    withdeg = dir_edges.join(deg, "_src")
-    ranks = deg.select(
-        F.col("_src").alias("node"), F.lit(1_000_000).cast("long").alias("_u")
+    # Degree rides along with the edge so the loop body is a single join.
+    # The static edge relation is hash-partitioned on its join key ONCE,
+    # outside the loop: the rank state arrives at each iteration already
+    # hash-partitioned on the node id (the previous aggregation keyed it;
+    # alias-preserving Project keeps the partitioning), so hoisting this
+    # exchange leaves ONE shuffle per iteration (the contribution
+    # aggregation), not two — the same relation was re-exchanged every
+    # round before.
+    shuffle_n = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    withdeg = dir_edges.join(deg, "_src").repartition(shuffle_n, "_src")
+    nodes = deg.select(F.col("_src").alias("node"))
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("_u")
     )
     # NOT (1.0 - damping) * 1e6: for damping=0.85 that evaluates to
     # 150000.00000000003 (0.15 is inexact in binary), one ulp above the
@@ -61,7 +76,7 @@ def pagerank(
             F.col("_dst"),
             F.round(F.col("_u").cast("double") / F.col("_d")).cast("long").alias("_cu"),
         )
-        ranks = (
+        agg = (
             contrib.groupBy("_dst")
             .agg(
                 F.round(
@@ -71,6 +86,15 @@ def pagerank(
                 .alias("_u")
             )
             .select(F.col("_dst").alias("node"), "_u")
+        )
+        # source-only nodes got no contributions: keep them at the base
+        # term so they still emit next round (both sides hash-partitioned
+        # on node — no exchange under this join)
+        ranks = nodes.join(agg, "node", "left").select(
+            "node",
+            F.coalesce(
+                F.col("_u"), F.round(F.lit(base_units)).cast("long")
+            ).alias("_u"),
         )
     return ranks.select(
         "node", (F.col("_u").cast("double") / F.lit(1_000_000.0)).alias("rank")

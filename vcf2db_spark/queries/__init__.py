@@ -39,6 +39,23 @@ _RECORDED_R01 = [
 ]
 
 
+# Names recorded in CORRECTNESS_r03.json: the first 49 of _PRIORITY_R03
+# plus rename_project (the first r1 name after them filled slot 50).
+_RECORDED_R03_EXTRA = ["rename_project"]
+
+# Round-4 priority (VERDICT r3 item 1): the 11 queries registered past the
+# r3 cap — green locally at every sf but with NO driver record yet — go
+# first so the union reaches 156/156, followed by queries ADDED in r4.
+# After this block: r1-recorded names (oldest records, refresh), then the
+# r2 set, then the r3-recorded set (freshest) last.
+_PRIORITY_R04 = [
+    "dedup_fuzzy", "compact_files", "bucketed_join", "grouped_ols",
+    "anomaly_mad", "runs_encode", "interval_merge", "drift_ks",
+    "funnel_stages", "retention_cohort", "perplexity_lm",
+    # added in round 4:
+    "domain_cap", "sketch_quantile", "split_leakage",
+]
+
 # Round-3 priority: the two queries whose r2 rows ERRED (now fixed — the
 # driver must re-record them) and queries ADDED this round first, then the
 # r1-recorded set (oldest records, refresh), then the r2-recorded set
@@ -60,11 +77,14 @@ _PRIORITY_R03 = [
 
 
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R03)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R04)}
+    recorded_r03 = _PRIORITY_R03[:49] + _RECORDED_R03_EXTRA
+    for i, name in enumerate(recorded_r03):
+        order.setdefault(name, (3, i))  # freshest records → back of the line
     for i, name in enumerate(_RECORDED_R01):
-        order.setdefault(name, (1, i))
+        order.setdefault(name, (1, i))  # oldest driver records → refresh next
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
-    # everything else was recorded green in r2 → last, registration order
+    # everything else was recorded green in r2 → between, registration order
     reordered = sorted(
         QUERIES.items(),
         key=lambda kv: order.get(kv[0], (2, reg_idx[kv[0]])),

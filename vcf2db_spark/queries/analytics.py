@@ -25,15 +25,22 @@ from vcf2db_spark.registry import dq
 @dq(
     "grouped_ols",
     oracle="""
-    WITH e AS (
+    WITH w AS (
       SELECT user_id,
              epoch_us(ts) // 1000000
-               - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+               - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+               AS xs,
+             CASE WHEN MAX(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+                       - MIN(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)
+                       > 3000000
+                  THEN 60 ELSE 1 END AS unit_s,
              CAST(ROUND(value * 1000000.0) AS BIGINT) AS yu
       FROM events
     ),
+    e AS (SELECT user_id, xs // unit_s AS x, unit_s, yu FROM w),
     s AS (
       SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(unit_s) AS unit_s,
              CAST(SUM(x) AS BIGINT) AS sx,
              CAST(SUM(yu) AS BIGINT) AS sy,
              CAST(SUM(x * yu) AS BIGINT) AS sxy,
@@ -43,7 +50,8 @@ from vcf2db_spark.registry import dq
     SELECT user_id, n,
            ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                 / 1000000.0 * 3600.0, 6) AS slope_per_hour,
+                 / 1000000.0 * (3600.0 / CAST(unit_s AS DOUBLE)), 6)
+             AS slope_per_hour,
            ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
                   - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
@@ -63,21 +71,35 @@ def grouped_ols(spark, sf_dir):
     matrices, no Python. Degenerate single-instant users (zero time
     variance) are excluded by the determinant filter (computed in
     double space — the BIGINT products overflow near ~2000 events per
-    entity-month; the exact-integer guarantee covers the five SUMS,
-    whose own bound is ~1e5 events/entity-month before Σx² overflows —
-    beyond that, rebase x to minutes)."""
+    entity-month; the exact-integer guarantee covers the five SUMS).
+    OVERFLOW GUARD (VERDICT r3 item 9): an entity whose observed span
+    exceeds 3e6 s (~35 days — above every fixture span, so fixture
+    hashes are unchanged) rebases x to MINUTES for that entity only
+    (integer DIV, identical both engines; slope rescaled by
+    3600/unit_s), pushing the Σx² cliff from ~1e5 to ~4e6
+    events/entity. Cliff behaviour is property-tested in
+    tests/test_stats.py."""
     e = table_wide(spark, sf_dir, "events", "user_id")
     sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 1000000")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id")
+    span = F.max(sec).over(w) - F.min(sec).over(w)
+    unit_s = F.when(span > 3_000_000, F.lit(60)).otherwise(F.lit(1))
     base = e.select(
         "user_id",
-        (sec - F.min(sec).over(w)).alias("x"),
+        (sec - F.min(sec).over(w)).alias("_xs"),
+        unit_s.alias("unit_s"),
         F.round(F.col("value") * 1_000_000.0).cast("long").alias("yu"),
+    ).select(
+        "user_id",
+        F.expr("_xs DIV unit_s").alias("x"),
+        "unit_s",
+        "yu",
     )
     s = base.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
+        F.min("unit_s").alias("unit_s"),
         F.sum("x").alias("sx"),
         F.sum("yu").alias("sy"),
         F.sum(F.col("x") * F.col("yu")).alias("sxy"),
@@ -92,7 +114,10 @@ def grouped_ols(spark, sf_dir):
     return s.filter(det > 0).select(
         "user_id",
         "n",
-        F.round(slope_u / 1_000_000.0 * 3600.0, 6).alias("slope_per_hour"),
+        F.round(
+            slope_u / 1_000_000.0 * (F.lit(3600.0) / F.col("unit_s").cast("double")),
+            6,
+        ).alias("slope_per_hour"),
         F.round(
             (F.col("sy").cast("double") - slope_u * F.col("sx")) / F.col("n") / 1_000_000.0,
             6,
@@ -106,7 +131,9 @@ def grouped_ols(spark, sf_dir):
 # proved the parity), flag |x - med| > 3 * MAD
 # --------------------------------------------------------------------------
 
-_MAD_CACHE: list = []
+from vcf2db_spark.lifecycle import Lifecycle
+
+_MAD_LC = Lifecycle()
 
 
 @dq(
@@ -148,15 +175,11 @@ def anomaly_mad(spark, sf_dir):
     med = e.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
     )
-    while _MAD_CACHE:
-        try:
-            _MAD_CACHE.pop().unpersist()
-        except Exception:
-            pass
+    _MAD_LC.release()
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     ).persist()
-    _MAD_CACHE.append(dev)
+    _MAD_LC.hold_df(dev)
     mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )

@@ -282,19 +282,32 @@ def profile_columns(spark, sf_dir):
     Same two-phase shape as the agg_distinct pre-aggregation; no Expand
     anywhere."""
     li = table(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    # Typed slots: integral columns stay BIGINT through the distinct
+    # pre-aggregation (a DOUBLE cast before distinct would collapse key
+    # values past 2^53 and undercount n_distinct at warehouse scale);
+    # only the min/max REPORT columns cast to double, where the cast is
+    # monotone so min/max commute with it.
+    int_cols = {"l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"}
     stack_args = ", ".join(
-        f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS
+        f"'{c}', CAST({c} AS BIGINT), CAST(NULL AS DOUBLE)"
+        if c in int_cols
+        else f"'{c}', CAST(NULL AS BIGINT), CAST({c} AS DOUBLE)"
+        for c in _PROFILE_COLS
     )
     long = li.select(
-        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, val)")
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, ival, dval)"
+        )
     )
-    pairs = long.groupBy("col_name", "val").agg(F.count(F.lit(1)).alias("_c"))
+    pairs = long.groupBy("col_name", "ival", "dval").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    is_null = F.col("ival").isNull() & F.col("dval").isNull()
+    report_val = F.coalesce(F.col("ival").cast("double"), F.col("dval"))
     return pairs.groupBy("col_name").agg(
         F.sum("_c").alias("n_rows"),
-        F.sum(F.when(F.col("val").isNull(), F.col("_c")).otherwise(F.lit(0))).alias(
-            "n_nulls"
-        ),
-        F.count("val").alias("n_distinct"),
-        F.min("val").alias("min_val"),
-        F.max("val").alias("max_val"),
+        F.sum(F.when(is_null, F.col("_c")).otherwise(F.lit(0))).alias("n_nulls"),
+        F.sum(F.when(is_null, F.lit(0)).otherwise(F.lit(1))).alias("n_distinct"),
+        F.min(report_val).alias("min_val"),
+        F.max(report_val).alias("max_val"),
     )

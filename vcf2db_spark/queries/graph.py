@@ -27,14 +27,22 @@ from vcf2db_spark.registry import dq
 
 _SUPP_OFFSET = 10_000_000
 
+# Each level LEFT-joins the contribution aggregate back onto the full
+# node set (r0): a node with out-edges but no in-edges receives nothing
+# and stays at the base term — mirroring operators/graph.pagerank's
+# source-node persistence. On the undirected trade graph every node has
+# in-edges, so the COALESCE default never fires at fixture scale.
 _ITER = """
     r{n} AS (
-      SELECT ed.dst AS node,
-             CAST(ROUND(150000.0 + 0.85 * CAST(SUM(
-               CAST(ROUND(CAST(r{p}.u AS DOUBLE) / ed.d) AS BIGINT)
-             ) AS DOUBLE)) AS BIGINT) AS u
-      FROM ed JOIN r{p} ON r{p}.node = ed.src
-      GROUP BY ed.dst
+      SELECT r0.node, COALESCE(a{n}.u, CAST(ROUND(150000.0) AS BIGINT)) AS u
+      FROM r0 LEFT JOIN (
+        SELECT ed.dst AS node,
+               CAST(ROUND(150000.0 + 0.85 * CAST(SUM(
+                 CAST(ROUND(CAST(r{p}.u AS DOUBLE) / ed.d) AS BIGINT)
+               ) AS DOUBLE)) AS BIGINT) AS u
+        FROM ed JOIN r{p} ON r{p}.node = ed.src
+        GROUP BY ed.dst
+      ) a{n} ON a{n}.node = r0.node
     )"""
 
 

@@ -352,6 +352,119 @@ def approx_agg(spark, sf_dir):
     )
 
 
+@dq(
+    "domain_cap",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, quality, rk FROM r WHERE rk <= 10
+    """,
+)
+def domain_cap(spark, sf_dir):
+    """Per-domain quota sampling (the CommonCrawl-style curation cap):
+    keep at most K=10 quality-ranked documents per source (binds at every fixture scale: 20 sources x 25 docs) so no single
+    domain dominates the training mix — QUALIFY shape, deterministic
+    tie-break on doc_id. Quality here is token count (any scalar score
+    works — the cap logic is the operator). One exchange on the domain
+    key, per-domain sort, no global sort. A pathologically hot domain
+    (one source >> an executor) would route through the two-phase
+    range-partitioned ranking rewrite in operators/ranking.py — the
+    win_ntile_dense device — before the cap filter; at fixture scale
+    the plain window IS the right plan."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.functions.text import ws_tokens
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    q = d.select(
+        "doc_id",
+        "source",
+        F.size(ws_tokens(F.trim(F.col("text")))).cast("bigint").alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return q.select(
+        "doc_id", "source", "quality", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 10)
+
+
+@dq("sketch_quantile")
+def sketch_quantile(spark, sf_dir):
+    """B28+ MERGEABLE quantile sketch beside the HLL row: a fixed-width
+    histogram sketch (256 bins over the column's value domain) built
+    per group, then UNIONED into a global sketch by plain count
+    addition — the store-the-sketch pattern for quantiles (per-day
+    histogram partials merge on read; an exact percentile re-shuffles
+    raw values every time). Quantile read-out interpolates inside the
+    covering bin, so |est − true| ≤ bin width by construction — that
+    bound vs the exact `agg_percentile` twin is pinned in
+    tests/test_extensions.py. Rows-only by contract (the estimate is
+    bin-layout-specific); everything is JVM expressions — the sketch is
+    a groupBy over (group, bin), never a UDF."""
+    lo, hi, nbins = 0.0, 51.0, 256
+    width = (hi - lo) / nbins
+    li = table(spark, sf_dir, "lineitem")
+    binned = li.select(
+        "l_returnflag",
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col("l_quantity") - lo) / width).cast("int"),
+        ).alias("_bin"),
+    )
+    hist = binned.groupBy("l_returnflag", "_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    merged = hist.groupBy("_bin").agg(F.sum("_c").alias("_c")).select(
+        F.lit("ALL").alias("l_returnflag"), "_bin", "_c"
+    )
+    both = hist.unionAll(merged)
+
+    def _q(p: float, name: str):
+        # rank of the target quantile within the group, then the first
+        # bin whose cumulative count covers it; linear interpolation
+        # inside that bin (deterministic: integer cumulative counts)
+        from pyspark.sql import Window
+
+        wcum = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("l_returnflag")
+        cum = F.sum("_c").over(wcum)
+        tot = F.sum("_c").over(wall)
+        target = p * tot
+        covered = cum >= target
+        frac = (target - (cum - F.col("_c"))) / F.col("_c")
+        est = lo + (F.col("_bin") + frac) * width
+        return (
+            both.select(
+                "l_returnflag",
+                "_bin",
+                "_c",
+                F.when(covered, est).alias("_est"),
+            )
+            .filter(F.col("_est").isNotNull())
+            .groupBy("l_returnflag")
+            # FIRST covering bin (not min est: later bins interpolate
+            # with frac ≤ 0 and can undercut it) — min_by on bin index
+            .agg(F.round(F.min_by("_est", "_bin"), 6).alias(name))
+        )
+
+    p50 = _q(0.5, "est_p50")
+    p90 = _q(0.9, "est_p90")
+    return p50.join(p90, "l_returnflag")
+
+
 @dq("sketch_distinct")
 def sketch_distinct(spark, sf_dir):
     """B28+ MERGEABLE sketches (Apache DataSketches HLL, built into Spark
@@ -1067,7 +1180,11 @@ def perplexity_lm(spark, sf_dir):
 
     d = table_wide(spark, sf_dir, "documents", "doc_id")
     toks = d.select("doc_id", ws_tokens(F.trim(F.col("text"))).alias("l"))
-    bg = toks.select(
+    # size < 2 guard: sequence(0, -1) is the DESCENDING [0, -1] in Spark —
+    # out-of-bounds l[1]/l[-1] (ANSI error or phantom NULL bigrams). The
+    # oracle's range(1, len(l)) is simply empty for 1-token docs, so only
+    # the bigram stream is filtered; the vocab count v still sees all docs.
+    bg = toks.filter(F.size("l") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(

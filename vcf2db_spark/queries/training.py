@@ -125,6 +125,90 @@ def seq_pack(spark, sf_dir):
 
 
 @dq(
+    "split_leakage",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(MIN(doc_id) AS BIGINT) AS gid
+      FROM documents GROUP BY source
+    ),
+    a AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS nt,
+             CASE WHEN ({knuth_hash_sql('g.gid', '//')}) % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents d JOIN g ON d.source = g.source
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_groups FROM (
+        SELECT source FROM a GROUP BY source
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    ),
+    s AS (
+      SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM a GROUP BY split
+    ),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM s)
+    SELECT s.split, s.n_groups, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens AS DOUBLE) / t.tot AS token_share,
+           leak.leak_groups
+    FROM s, t, leak
+    """,
+)
+def split_leakage(spark, sf_dir):
+    """Group-aware train/val split with a leakage audit — the standard
+    pre-training split-correctness check. The GROUP (here: source; in
+    production, author/site/user) is assigned wholesale to one split by
+    Knuth-hashing a canonical group id (its MIN doc_id — stable, both
+    engines compute it identically), so correlated documents can never
+    straddle the boundary. The audit does NOT trust the construction:
+    ``leak_groups`` recounts, from the assignment relation itself, the
+    groups observed in more than one split (must be 0). Per-split token
+    shares are exact integer totals with one final IEEE division.
+    Shuffles: the group-id aggregate and the per-split rollup; the group
+    table and the two scalar relations ride broadcasts."""
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    g = d.groupBy("source").agg(F.min("doc_id").cast("bigint").alias("gid"))
+    a = d.join(F.broadcast(g), "source").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("nt"),
+        F.when(
+            F.expr(knuth_hash_sql("gid", "DIV")) % 100 < 90, F.lit("train")
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+    leak = (
+        a.groupBy("source")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leak_groups"))
+    )
+    s = a.groupBy("split").agg(
+        F.countDistinct("source").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    t = s.agg(F.sum("n_tokens").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_groups",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("tot")).alias("token_share"),
+            "leak_groups",
+        )
+    )
+
+
+@dq(
     "mix_weights",
     oracle="""
     WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,

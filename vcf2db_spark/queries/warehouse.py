@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
+from vcf2db_spark.lifecycle import Lifecycle
 from vcf2db_spark.io import table
 from vcf2db_spark.registry import OSUM6, dq, dsum6
 
@@ -181,7 +182,7 @@ def incr_agg_maintain(spark, sf_dir):
 # same aggregate computed straight from parquet (lossless-format proof).
 # --------------------------------------------------------------------------
 
-_ORC_RT_DIRS: list[str] = []
+_ORC_RT_LC = Lifecycle()
 
 
 @dq(
@@ -212,13 +213,9 @@ def orc_roundtrip(spark, sf_dir):
     # streaming/pipelines._ACTIVE_UPSERT_DIRS).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/vcf2db_orc_rt_{os.getpid()}_{tag}"
-    while _ORC_RT_DIRS and _ORC_RT_DIRS[-1] != path:
-        import shutil
-
-        shutil.rmtree(_ORC_RT_DIRS.pop(), ignore_errors=True)
+    _ORC_RT_LC.release()
     d.write.format("orc").mode("overwrite").save(path)
-    if path not in _ORC_RT_DIRS:
-        _ORC_RT_DIRS.append(path)
+    _ORC_RT_LC.hold_dir(path)
     back = spark.read.orc(path)
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -322,7 +319,7 @@ def constraint_audit(spark, sf_dir):
 # target-size files, proven lossless against the originals.
 # --------------------------------------------------------------------------
 
-_COMPACT_DIRS: list[str] = []
+_COMPACT_LC = Lifecycle()
 
 
 @dq(
@@ -354,8 +351,7 @@ def compact_files(spark, sf_dir):
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/vcf2db_compact_{os.getpid()}_{tag}"
-    while _COMPACT_DIRS and _COMPACT_DIRS[-1] != base:
-        shutil.rmtree(_COMPACT_DIRS.pop(), ignore_errors=True)
+    _COMPACT_LC.release()
     frag, comp = os.path.join(base, "frag"), os.path.join(base, "comp")
     d.repartition(64).write.mode("overwrite").parquet(frag)
     nbytes = sum(
@@ -374,8 +370,7 @@ def compact_files(spark, sf_dir):
         frag_df.coalesce(n_out) if read_parts >= n_out else frag_df.repartition(n_out)
     )
     packed.write.mode("overwrite").parquet(comp)
-    if base not in _COMPACT_DIRS:
-        _COMPACT_DIRS.append(base)
+    _COMPACT_LC.hold_dir(base)
     back = spark.read.parquet(comp)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

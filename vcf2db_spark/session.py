@@ -68,13 +68,27 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
     # only — a cluster deployment keeps compression for the wire and real
     # local dirs for spill durability; both are per-deployment conf, not
     # plan shape, so nothing here changes what runs at 100 TB.
-    if os.path.isdir("/dev/shm"):
+    # Gate on actual free space: /dev/shm exists on every Linux host, but
+    # containers commonly cap it at 64 MB — redirecting shuffle there would
+    # ENOSPC on the first real spill. Require a healthy margin (8 GiB free)
+    # before opting in; SPARK_GRAFT_TMPFS=0 disables it outright.
+    if os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0" and _tmpfs_free_bytes(
+        "/dev/shm"
+    ) >= 8 << 30:
         builder = (
             builder.config("spark.shuffle.compress", "false")
             .config("spark.shuffle.spill.compress", "false")
             .config("spark.local.dir", "/dev/shm/spark-tmp")
         )
     return builder.getOrCreate()
+
+
+def _tmpfs_free_bytes(path: str) -> int:
+    try:
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize
+    except OSError:
+        return 0
 
 
 def pin_session_conf(spark: SparkSession) -> None:
