@@ -759,8 +759,18 @@ def tpch_q3(spark, sf_dir):
 def tpch_q5(spark, sf_dir):
     """Q5 local-supplier volume: six-table star with a same-nation
     customer/supplier constraint. nation+region prune to one region
-    before touching the fact; supplier and the pruned dims broadcast;
-    the only big shuffle is orders⋈lineitem on the order key."""
+    before touching the fact; supplier and the pruned dims broadcast.
+    JOIN ORDER (r4, measured): the date-filtered orders join lineitem
+    FIRST — the fact⋈fact core on the order key — and customer joins
+    the pre-filtered intermediate after, UNHINTED: at bench scale AQE
+    broadcasts the 2-column customer projection (and the filtered
+    orders side), at 100 TB it falls back to a custkey shuffle of an
+    already date-pruned intermediate. Interleaved A/B at sf1: 1.41 s
+    (customer-first, the r3 plan) → 1.01 s. The same A/B showed a
+    pre-BUCKETED orders/lineitem layout is neutral at this scale
+    (tools/ab_bucketed.py; BASELINE.md r4 section) — bucket-scan sort
+    cost offsets the elided local shuffle; the layout pays off only
+    when the shuffle crosses a network."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -768,15 +778,17 @@ def tpch_q5(spark, sf_dir):
     s = table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    c = table(spark, sf_dir, "customer")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = table(spark, sf_dir, "lineitem")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == F.col("s_suppkey"))

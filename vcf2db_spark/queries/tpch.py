@@ -278,7 +278,10 @@ def tpch_q8(spark, sf_dir):
     sums are fixed-point (identical BIGINT unit totals in both engines),
     so the final double division is bitwise deterministic. part is
     pre-filtered and broadcast; customer prunes through nation⋈region
-    before reaching orders."""
+    and is pushed BELOW the fact join as a broadcast semi-join on
+    orders (the tpch_q2 pattern — the ASIA filter commutes with the
+    grouped sums), shrinking the shuffled orders side ~5× before
+    lineitem joins it (A/B at sf1: 1.40→1.23 s, BASELINE.md r4)."""
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n1 = table(spark, sf_dir, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -298,9 +301,14 @@ def tpch_q8(spark, sf_dir):
         .select("s_suppkey", "supp_nation")
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .select("o_orderkey", "o_orderdate")
     )
     li = table(spark, sf_dir, "lineitem")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -308,7 +316,6 @@ def tpch_q8(spark, sf_dir):
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
