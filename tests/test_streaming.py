@@ -311,7 +311,9 @@ def test_upsert_bucketed_state_rewrites_only_changed_buckets(spark, tmp_path):
     os.utime(os.path.join(src, "part-000.parquet"), (1, 1))
     os.utime(os.path.join(src, "part-001.parquet"), (2, 2))
 
-    final = upsert_latest_drain(spark, src, str(tmp_path / "w"))
+    # threshold 0 forces the changed-buckets path (the scale shape);
+    # below the threshold a full merge is cheaper and dispatches there
+    final = upsert_latest_drain(spark, src, str(tmp_path / "w"), changed_only_threshold=0)
     got = {r["user_id"]: r["value"] for r in final.collect()}
     assert len(got) == 64
     assert got[5] == 1000.0  # the late event won
