@@ -391,3 +391,47 @@ def test_sketch_quantile_error_bound(spark):
     for k, (e50, e90) in exact.items():
         assert abs(out[k][0] - e50) <= 1.0 + width, (k, out[k][0], e50)
         assert abs(out[k][1] - e90) <= 1.0 + width, (k, out[k][1], e90)
+
+
+def test_sketch_freq_cms_upper_bound(spark):
+    """Count-min property: the sketch estimate is ALWAYS >= the exact
+    count (counters only ever add collisions), and with d=3 x w=256 over
+    2k keys the top-10 overestimates stay within the expected collision
+    mass (< N/w per row, take the min of 3)."""
+    from vcf2db_spark.queries import QUERIES
+
+    rows = QUERIES["sketch_freq"](spark, SF).collect()
+    assert len(rows) == 10
+    n_total = table(spark, SF, "lineitem").count()
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r
+        assert r["est_n"] - r["exact_n"] <= n_total // 256 * 3, r
+
+
+def test_sample_bottomk_merge_property(spark):
+    """Bottom-k mergeability: bottom-k over the union of two halves ==
+    bottom-k of (bottom-k(half1) UNION bottom-k(half2)) — the property
+    that lets every executor sample independently and a k-row merge
+    produce the global uniform sample."""
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    d = table(spark, SF, "documents").select("doc_id").withColumn(
+        "hkey", F.expr(knuth_hash_sql("doc_id", "DIV"))
+    )
+    k = 50
+    h1 = d.filter(F.col("doc_id") % 2 == 0)
+    h2 = d.filter(F.col("doc_id") % 2 == 1)
+    direct = [tuple(r) for r in d.orderBy("hkey", "doc_id").limit(k).collect()]
+    merged = [
+        tuple(r)
+        for r in (
+            h1.orderBy("hkey", "doc_id").limit(k)
+            .unionAll(h2.orderBy("hkey", "doc_id").limit(k))
+            .orderBy("hkey", "doc_id")
+            .limit(k)
+            .collect()
+        )
+    ]
+    assert direct == merged

@@ -54,6 +54,7 @@ _PRIORITY_R04 = [
     "funnel_stages", "retention_cohort", "perplexity_lm",
     # added in round 4:
     "domain_cap", "sketch_quantile", "split_leakage",
+    "sketch_freq", "sample_bottomk", "drift_psi", "markov_transitions",
 ]
 
 # Round-3 priority: the two queries whose r2 rows ERRED (now fixed — the

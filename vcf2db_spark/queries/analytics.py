@@ -550,3 +550,167 @@ def retention_cohort(spark, sf_dir):
     return act.groupBy("cohort_wk", "offset_wk").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# --------------------------------------------------------------------------
+# population stability index: the industry-standard binned drift metric
+# (complement of drift_ks's exact-CDF statistic) — reference window vs
+# current window per event_type, Laplace-smoothed so empty bins are
+# defined. Every ratio derives from exact integer counts → identical
+# doubles both engines.
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+_PSI_WIDTH = 50.0  # value ∈ [0, 500) in the fixtures
+
+
+@dq(
+    "drift_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 0 ELSE 1 END AS half,
+             LEAST({_PSI_BINS - 1},
+                   CAST(FLOOR(value / {_PSI_WIDTH}) AS INT)) AS bin
+      FROM events
+    ),
+    c AS (SELECT event_type, half, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2, 3),
+    f AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(r.n, 0) AS n_ref, COALESCE(q.n, 0) AS n_cur,
+             tr.tot AS tot_ref, tq.tot AS tot_cur
+      FROM (SELECT DISTINCT event_type, bin
+            FROM (SELECT event_type, unnest(range({_PSI_BINS})) AS bin
+                  FROM (SELECT DISTINCT event_type FROM events))) g
+      LEFT JOIN c r ON r.event_type = g.event_type AND r.bin = g.bin
+                    AND r.half = 0
+      LEFT JOIN c q ON q.event_type = g.event_type AND q.bin = g.bin
+                    AND q.half = 1
+      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
+            WHERE half = 0 GROUP BY 1) tr ON tr.event_type = g.event_type
+      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
+            WHERE half = 1 GROUP BY 1) tq ON tq.event_type = g.event_type
+    )
+    SELECT event_type,
+           ROUND(SUM(
+             (CAST(n_ref + 1 AS DOUBLE) / (tot_ref + {_PSI_BINS})
+              - CAST(n_cur + 1 AS DOUBLE) / (tot_cur + {_PSI_BINS}))
+             * LN((CAST(n_ref + 1 AS DOUBLE) / (tot_ref + {_PSI_BINS}))
+                  / (CAST(n_cur + 1 AS DOUBLE) / (tot_cur + {_PSI_BINS})))
+           ), 6) AS psi
+    FROM f GROUP BY event_type
+    """,
+)
+def drift_psi(spark, sf_dir):
+    """Population stability index per event_type between the first and
+    second half of the observation window — the standard production
+    drift monitor (PSI > 0.2 = investigate). Shape: one (type, half,
+    bin) pre-aggregation (the shuffle moves bin-cardinality counts, not
+    rows), the full bin grid generated executor-side so empty bins
+    participate, Laplace +1 smoothing so the log is always defined, and
+    the final PSI is a bin-cardinality aggregate. Every p/q ratio
+    derives from exact BIGINT counts — both engines compute identical
+    doubles."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    b = e.select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), F.lit(0)
+        ).otherwise(F.lit(1)).alias("half"),
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.floor(F.col("value") / _PSI_WIDTH).cast("int"),
+        ).alias("bin"),
+    )
+    c = b.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = b.groupBy("event_type", "half").agg(F.count(F.lit(1)).alias("tot"))
+    grid = (
+        b.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(_PSI_BINS - 1))).alias("bin"),
+        )
+    )
+    ref = c.filter(F.col("half") == 0).select(
+        "event_type", "bin", F.col("n").alias("n_ref")
+    )
+    cur = c.filter(F.col("half") == 1).select(
+        "event_type", "bin", F.col("n").alias("n_cur")
+    )
+    tr = tot.filter(F.col("half") == 0).select(
+        "event_type", F.col("tot").alias("tot_ref")
+    )
+    tq = tot.filter(F.col("half") == 1).select(
+        "event_type", F.col("tot").alias("tot_cur")
+    )
+    f = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .join(F.broadcast(tr), "event_type")
+        .join(F.broadcast(tq), "event_type")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tot_ref") + _PSI_BINS)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tot_cur") + _PSI_BINS)
+    return f.groupBy("event_type").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi")
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences: the behavioral
+# fingerprint (what follows what) — lead() within user, global transition
+# counts, row-normalized probabilities. Exact integers + one division.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+          FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+    FROM c JOIN t ON t.from_type = c.from_type
+    """,
+)
+def markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    lead() inside the user partition (tie-break on event_id) pairs each
+    event with its successor, transition counts aggregate globally, and
+    probabilities row-normalize by the from-state total. One window
+    exchange on user_id + one pair-cardinality aggregate; the from-state
+    totals (≤ |event types|) ride a broadcast. The sequence-model
+    shape behind session behavioral fingerprints and churn features."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+        )
+    )

@@ -465,6 +465,101 @@ def sketch_quantile(spark, sf_dir):
     return p50.join(p90, "l_returnflag")
 
 
+_CMS_W = 256  # count-min width (buckets per hash row)
+_CMS_HASHES = [(2654435761, 104729), (2246822519, 130003), (3266489917, 49157)]
+_CMS_P = 2147483647  # 2^31-1, Mersenne prime
+
+
+def _cms_bucket_sql(i: int, col: str) -> str:
+    a, b = _CMS_HASHES[i]
+    # ((a*x + b) mod p) mod w — x ≤ 2^31 keeps a*x ≤ ~2^62, inside BIGINT
+    return f"((({col} % {_CMS_P}) * {a} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+@dq(
+    "sketch_freq",
+    oracle=f"""
+    WITH top AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY exact_n DESC, l_partkey LIMIT 10
+    ),
+    c0 AS (SELECT {_cms_bucket_sql(0, 'l_partkey')} AS b,
+                  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+    c1 AS (SELECT {_cms_bucket_sql(1, 'l_partkey')} AS b,
+                  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+    c2 AS (SELECT {_cms_bucket_sql(2, 'l_partkey')} AS b,
+                  CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1)
+    SELECT top.l_partkey, top.exact_n,
+           LEAST(c0.c, c1.c, c2.c) AS est_n
+    FROM top
+    JOIN c0 ON c0.b = {_cms_bucket_sql(0, 'top.l_partkey')}
+    JOIN c1 ON c1.b = {_cms_bucket_sql(1, 'top.l_partkey')}
+    JOIN c2 ON c2.b = {_cms_bucket_sql(2, 'top.l_partkey')}
+    """,
+)
+def sketch_freq(spark, sf_dir):
+    """Count-min frequency sketch, ORACLE-EXACT (unlike the murmur-seeded
+    tiers): d=3 explicit modular hash rows × w=256 counters, built as
+    three partial-agged groupBys (the sketch is w·d counters — mergeable
+    by addition across partitions/days, the store-the-sketch pattern for
+    heavy-hitter tracking at 100 TB where exact per-key counts would
+    re-shuffle the keyspace every window). Estimate = min over the d
+    counters (classic CMS upper-bound read-out; ≥ exact always,
+    overestimate bounded by collisions — visible in the output next to
+    the exact twin column). The three counter relations are ≤256 rows
+    each and broadcast back onto the true top-10 keys."""
+    li = table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+        .limit(10)
+    )
+    out = top
+    for i in range(3):
+        ci = li.groupBy(
+            F.expr(_cms_bucket_sql(i, "l_partkey")).alias("b")
+        ).agg(F.count(F.lit(1)).alias(f"c{i}"))
+        out = out.join(
+            F.broadcast(ci),
+            F.expr(_cms_bucket_sql(i, "l_partkey")) == F.col("b"),
+        ).drop("b")
+    return out.select(
+        "l_partkey",
+        "exact_n",
+        F.least("c0", "c1", "c2").alias("est_n"),
+    )
+
+
+from vcf2db_spark.queries.training import knuth_hash_sql  # noqa: E402
+
+
+@dq(
+    "sample_bottomk",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      {knuth_hash_sql('doc_id', '//')} AS hkey
+               FROM documents)
+    SELECT doc_id, hkey
+    FROM h ORDER BY hkey, doc_id LIMIT 100
+    """,
+)
+def sample_bottomk(spark, sf_dir):
+    """Bottom-k sketch: the k=100 documents with the SMALLEST Knuth-hash
+    values form a uniform-without-replacement sample that is MERGEABLE
+    (bottom-k of a union = bottom-k of the parts' bottom-ks — how a
+    1000-executor job draws one coherent sample with no coordination;
+    union-merge property pinned in tests/test_extensions.py). Plans as
+    TakeOrderedAndProject: per-partition top-k then a k-row driver
+    merge, never a global sort (and no window — a global row_number
+    would be the single-task stage the plan guard bans). Oracle-exact —
+    the hash is the same explicit integer arithmetic in both engines."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    h = d.withColumn("hkey", F.expr(knuth_hash_sql("doc_id", "DIV")))
+    return h.orderBy("hkey", "doc_id").limit(100)
+
+
 @dq("sketch_distinct")
 def sketch_distinct(spark, sf_dir):
     """B28+ MERGEABLE sketches (Apache DataSketches HLL, built into Spark
