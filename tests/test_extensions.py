@@ -435,3 +435,31 @@ def test_sample_bottomk_merge_property(spark):
         )
     ]
     assert direct == merged
+
+
+def test_bpe_train_matches_python_twin(spark):
+    """The distributed BPE trainer must reproduce the pure-Python
+    reference merge list EXACTLY (same pair counts, same lexicographic
+    tie-break, same left-to-right merge application) on the identical
+    word-frequency dict."""
+    from pyspark.sql import functions as F
+
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.operators.bpe import bpe_train_merges, bpe_train_py
+    from vcf2db_spark.queries import QUERIES
+
+    d = table(spark, SF, "documents").filter(F.col("doc_id") < 500)
+    words = (
+        d.select(F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    freqs = {r["w"]: r["freq"] for r in words.collect()}
+    expected = bpe_train_py(freqs, n_merges=8)
+    got = bpe_train_merges(words, n_merges=8)
+    assert got == expected
+    assert len(got) == 8
+    # and the declared query reports the same rules in rank order
+    rows = QUERIES["bpe_train"](spark, SF).collect()
+    assert [(r["left"], r["right"]) for r in sorted(rows, key=lambda r: r["rank"])] == expected

@@ -1309,3 +1309,38 @@ def perplexity_lm(spark, sf_dir):
     return nll.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"), davg("x").alias("avg_nll")
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-rule training — the tokenizer-preparation pass (see
+# operators/bpe.py for the corpus-pass/dict-iteration decomposition).
+# Iterative with a per-round scalar argmax → not one SQL expression;
+# rows-only by contract, with the pure-Python twin pinned EXACTLY in
+# tests/test_extensions.py (same tie-breaks, same left-to-right fold).
+# --------------------------------------------------------------------------
+
+
+@dq("bpe_train")
+def bpe_train(spark, sf_dir):
+    """Top-8 BPE merges learned from the (bounded) corpus: one corpus
+    pass builds the word-frequency dict, then every iteration is
+    vocab-sized — pair counts via explode + partial-agged groupBy, the
+    argmax merge rule as a 1-row collect (the same bounded driver
+    transfer as k-means centroids), and the merge applied with a JVM
+    ``aggregate`` fold. At 100 TB only the FIRST aggregation sees the
+    corpus; 50k merge rounds over the dict never rescan it."""
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.operators.bpe import bpe_train_merges
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    words = (
+        d.select(F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_train_merges(words, n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank: int, left: string, right: string",
+    )

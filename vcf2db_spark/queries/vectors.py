@@ -198,3 +198,124 @@ def arrow_normalize(spark, sf_dir):
             "l2_norm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# covariance of the leading embedding block — the DISTRIBUTED step of PCA
+# (the d×d eigendecomposition that follows is O(d³) driver-side numpy on
+# this tiny matrix; what matters at 100 TB is this one-pass moment
+# aggregation). Oracle-exact via the registry's fixed-point convention
+# extended to second moments: every Σxᵢxⱼ is an exact BIGINT in 1e-6
+# units, so both engines derive identical doubles.
+# --------------------------------------------------------------------------
+
+_COV_D = 16
+
+
+def _cov_sql_sums() -> tuple[list[str], list[str]]:
+    prods, firsts = [], []
+    for i in range(_COV_D):
+        firsts.append(
+            f"CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT)) AS BIGINT) AS s{i}"
+        )
+        for j in range(i, _COV_D):
+            prods.append(
+                f"CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE)"
+                f" * CAST(embedding[{j + 1}] AS DOUBLE)"
+                f" * 1000000.0) AS BIGINT)) AS BIGINT) AS p{i}_{j}"
+            )
+    return prods, firsts
+
+
+def _cov_oracle() -> str:
+    prods, firsts = _cov_sql_sums()
+    cells = ", ".join(
+        "{'i': %d, 'j': %d, 'cov': ROUND((CAST(p%d_%d AS DOUBLE) / 1000000.0) / n"
+        " - ((CAST(s%d AS DOUBLE) / 1000000.0) / n)"
+        " * ((CAST(s%d AS DOUBLE) / 1000000.0) / n), 6)}" % (i, j, i, j, i, j)
+        for i in range(_COV_D)
+        for j in range(i, _COV_D)
+    )
+    return f"""
+    WITH s AS (SELECT {', '.join(prods)}, {', '.join(firsts)},
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM embeddings)
+    SELECT u.i AS i, u.j AS j, u.cov AS cov
+    FROM (SELECT unnest([{cells}]) AS u FROM s)
+    """
+
+
+@dq("embed_covariance", oracle=_cov_oracle())
+def embed_covariance(spark, sf_dir):
+    """Covariance matrix of the leading {d}-dim embedding block in ONE
+    partial-aggregated pass: all {m} second moments + {d} first moments
+    are JVM sum expressions over fixed-point units (exact BIGINT — the
+    registry dsum convention extended to products), so the shuffle moves
+    one partial row per task regardless of corpus size. The d×d matrix
+    then unpivots to (i, j, cov) rows; eigendecomposition of this tiny
+    matrix is a driver-side detail, not a distributed problem. This is
+    the moment-aggregation shape every distributed PCA/whitening/feature
+    -correlation pass reduces to."""
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    # NOT one 153-column aggregate: that exceeds codegen.maxFields (100)
+    # and drops the whole stage out of codegen into interpreted eval
+    # (measured 7 s warm vs 0.6 s for this shape). Instead a HOF builds
+    # every moment cell per row — (i, j, units) for the 136 products and
+    # (i, -1, units) for the 16 first moments — one explode fans them
+    # out, and a partial-agged groupBy combines map-side to 152 rows per
+    # task before the single exchange.
+    d = _COV_D
+    cells = e.select(
+        F.explode(
+            F.expr(
+                # NB: Spark's array bracket is 0-BASED (unlike element_at
+                # and unlike DuckDB's 1-based bracket in the oracle)
+                "concat("
+                f" flatten(transform(sequence(0, {d - 1}), i ->"
+                f"   transform(sequence(i, {d - 1}), j -> struct(i, j,"
+                "      CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
+                "           * CAST(embedding[j] AS DOUBLE)"
+                "           * 1000000.0) AS BIGINT) AS u)))),"
+                f" transform(sequence(0, {d - 1}), i -> struct(i, -1 AS j,"
+                "     CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
+                "          * 1000000.0) AS BIGINT) AS u)))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.u")
+    m = cells.groupBy("i", "j").agg(
+        F.sum("u").alias("su"), F.count(F.lit(1)).alias("cnt")
+    )
+    means = m.filter(F.col("j") == -1).select(
+        F.col("i").alias("mi"),
+        F.col("su").alias("ms"),
+        F.col("cnt").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    prods = m.filter(F.col("j") >= 0)
+    return (
+        prods.join(
+            F.broadcast(means.select(F.col("mi"), F.col("ms").alias("si"), "n")),
+            prods.i == F.col("mi"),
+        )
+        .drop("mi")
+        .join(
+            F.broadcast(means.select(F.col("mi"), F.col("ms").alias("sj"))),
+            prods.j == F.col("mi"),
+        )
+        .select(
+            "i",
+            "j",
+            F.round(
+                (F.col("su").cast("double") / 1_000_000.0) / n
+                - ((F.col("si").cast("double") / 1_000_000.0) / n)
+                * ((F.col("sj").cast("double") / 1_000_000.0) / n),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+embed_covariance.__doc__ = embed_covariance.__doc__.format(
+    d=_COV_D, m=_COV_D * (_COV_D + 1) // 2
+)
