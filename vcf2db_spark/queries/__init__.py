@@ -55,7 +55,7 @@ _PRIORITY_R04 = [
     # added in round 4:
     "domain_cap", "sketch_quantile", "split_leakage",
     "sketch_freq", "sample_bottomk", "drift_psi", "markov_transitions",
-    "embed_covariance", "bpe_train",
+    "embed_covariance", "bpe_train", "recursive_cte", "join_lateral",
 ]
 
 # Round-3 priority: the two queries whose r2 rows ERRED (now fixed — the

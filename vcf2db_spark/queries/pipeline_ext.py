@@ -397,7 +397,48 @@ def domain_cap(spark, sf_dir):
     ).filter(F.col("rk") <= 10)
 
 
-@dq("sketch_quantile")
+@dq(
+    "sketch_quantile",
+    # the estimate is fully deterministic (integer bin counts + IEEE
+    # interpolation, bin width 51/256 = 0.19921875 is DYADIC so the
+    # decimal literal is bit-exact in both engines; 0.9 must be CAST to
+    # DOUBLE oracle-side or DuckDB computes it in DECIMAL space) — so
+    # unlike the murmur-seeded sketches this one is hash-compared, not
+    # rows-only
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             LEAST(255, CAST(FLOOR((l_quantity - 0.0) / 0.19921875) AS INT))
+               AS bin
+      FROM lineitem
+    ),
+    c AS (SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    u AS (
+      SELECT * FROM c
+      UNION ALL
+      SELECT 'ALL' AS l_returnflag, bin, CAST(SUM(n) AS BIGINT) AS n
+      FROM c GROUP BY bin
+    ),
+    w AS (
+      SELECT l_returnflag, bin, n,
+             SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+      FROM u
+    )
+    SELECT l_returnflag,
+           ROUND(arg_min(
+             0.0 + (bin + (CAST(0.5 AS DOUBLE) * tot - (cum - n)) / n)
+                 * 0.19921875, bin)
+             FILTER (WHERE cum >= CAST(0.5 AS DOUBLE) * tot), 6) AS est_p50,
+           ROUND(arg_min(
+             0.0 + (bin + (CAST(0.9 AS DOUBLE) * tot - (cum - n)) / n)
+                 * 0.19921875, bin)
+             FILTER (WHERE cum >= CAST(0.9 AS DOUBLE) * tot), 6) AS est_p90
+    FROM w GROUP BY l_returnflag
+    """,
+)
 def sketch_quantile(spark, sf_dir):
     """B28+ MERGEABLE quantile sketch beside the HLL row: a fixed-width
     histogram sketch (256 bins over the column's value domain) built
@@ -407,9 +448,10 @@ def sketch_quantile(spark, sf_dir):
     raw values every time). Quantile read-out interpolates inside the
     covering bin, so |est − true| ≤ bin width by construction — that
     bound vs the exact `agg_percentile` twin is pinned in
-    tests/test_extensions.py. Rows-only by contract (the estimate is
-    bin-layout-specific); everything is JVM expressions — the sketch is
-    a groupBy over (group, bin), never a UDF."""
+    tests/test_extensions.py. The estimate itself is deterministic
+    enough to HASH-COMPARE against a DuckDB twin of the identical
+    arithmetic (see oracle note); everything is JVM expressions — the
+    sketch is a groupBy over (group, bin), never a UDF."""
     lo, hi, nbins = 0.0, 51.0, 256
     width = (hi - lo) / nbins
     li = table(spark, sf_dir, "lineitem")

@@ -800,3 +800,71 @@ def tpch_q5(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc())
     )
+
+
+# --------------------------------------------------------------------------
+# B18+ engine surface (r4): recursive CTE (Spark 4's WITH RECURSIVE) and
+# correlated LATERAL subquery — both run the IDENTICAL SQL text on DuckDB
+# (modulo the integer-division token), so the oracle checks the engine
+# feature itself, not a rewrite of it.
+# --------------------------------------------------------------------------
+
+
+def _amortize_sql(idiv: str) -> str:
+    """Loan-amortization schedule over the top-20 orders: halve the
+    outstanding balance each month (min payment 100.00), all in exact
+    integer cents — a data-driven recursion with per-row depth ~14."""
+    return f"""
+    WITH RECURSIVE pay AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               AS balance_c,
+             0 AS month
+      FROM (SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+      UNION ALL
+      SELECT o_orderkey,
+             balance_c - GREATEST(balance_c {idiv} 2, 10000),
+             month + 1
+      FROM pay WHERE balance_c > 0
+    )
+    SELECT o_orderkey, month, balance_c FROM pay
+    """
+
+
+@dq("recursive_cte", oracle=_amortize_sql("//"))
+def recursive_cte(spark, sf_dir):
+    """Spark 4 WITH RECURSIVE, hash-checked against DuckDB running the
+    same recursive SQL — unlike dedup_clusters (whose Spark side is an
+    explicit iterative loop against a recursive-SQL oracle), this row
+    proves the ENGINE's own recursive-CTE evaluator agrees with another
+    engine's on a data-driven recursion (~14 rounds of exact BIGINT
+    arithmetic seeded from a top-k scan). Each round is a narrow map on
+    the previous increment — the UNION ALL accumulates; no shuffle
+    inside the loop."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_amortize_sql("DIV"))
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@dq("join_lateral", oracle=_LATERAL_SQL)
+def join_lateral(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — the
+    top-N-per-entity idiom written as the SQL standard's lateral join
+    instead of the window+filter QUALIFY form (qualify_topn is the
+    plan-level twin). Spark decorrelates this into a ranked join under
+    the hood; the oracle runs the IDENTICAL SQL text on DuckDB's native
+    lateral executor, so the hash match proves the decorrelation is
+    semantics-preserving, tie-breaks included."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
