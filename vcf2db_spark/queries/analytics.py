@@ -712,3 +712,59 @@ def markov_transitions(spark, sf_dir):
             F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# quantile-boundary feature bucketing: the fit/transform pair of a
+# feature-engineering pipeline in one declared pass — exact quartile
+# boundaries (the percentile parity agg_percentile proved) broadcast back
+# onto the stream as CASE comparisons.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "feature_bucketize",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    )
+    SELECT CASE WHEN value < q.q1 THEN 0 WHEN value < q.q2 THEN 1
+                WHEN value < q.q3 THEN 2 ELSE 3 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM events, q
+    GROUP BY 1
+    """,
+)
+def feature_bucketize(spark, sf_dir):
+    """Quantile bucketizer (fit + transform): exact quartile boundaries
+    from one grouped-percentile pass (Spark `percentile` ≡ DuckDB
+    `quantile_cont` — parity proven by agg_percentile), broadcast as a
+    1-row relation, and applied as branch-free CASE comparisons in the
+    scan projection. The report aggregates per bucket. At 100 TB the
+    boundaries are the stored 'model'; the transform is a map-only pass
+    that never re-sees the fit data. MIN/MAX over identically-derived
+    doubles are order-free, so the report is hash-exact."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    q = e.agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.50)).alias("q2"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    b = e.crossJoin(F.broadcast(q)).select(
+        "value",
+        F.when(F.col("value") < F.col("q1"), 0)
+        .when(F.col("value") < F.col("q2"), 1)
+        .when(F.col("value") < F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

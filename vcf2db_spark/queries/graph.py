@@ -103,3 +103,65 @@ def pagerank_trade(spark, sf_dir):
     return pagerank(dir_edges, iters=3).select(
         F.col("node").alias("node_id"), "rank"
     )
+
+
+@dq(
+    "graph_triangles",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_orderkey % 17 = 0
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS u,
+                      GREATEST(a.l_suppkey, b.l_suppkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT e1.u AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    GROUP BY e1.u
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting over the supplier co-purchase graph (two
+    suppliers are linked iff some order contains lines from both — the
+    trade graph itself is bipartite and triangle-free). The classic
+    ordered-wedge formulation: with every edge stored once as u < v,
+    a triangle a<b<c is counted exactly once by joining wedge (a,b)
+    + (b,c) against closing edge (a,c) — no per-node adjacency lists,
+    no driver state, two equi-join shuffles on edge endpoints. Skewed
+    hubs (high-degree suppliers) split under AQE; the standard
+    degree-ordering optimization (orient edges from low to high degree)
+    is the next knob at real scale. Per-node output keyed by the
+    triangle's smallest member."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 17 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.least(F.col("a.l_suppkey"), F.col("b.l_suppkey")).alias("u"),
+            F.greatest(F.col("a.l_suppkey"), F.col("b.l_suppkey")).alias("v"),
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .groupBy(F.col("e1.u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -247,3 +247,42 @@ def mix_weights(spark, sf_dir):
             "weight"
         ),
     )
+
+
+@dq(
+    "sample_weighted",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             {knuth_hash_sql('doc_id', '//')} AS hkey
+      FROM documents
+    ),
+    t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS tot FROM h)
+    SELECT doc_id, n_chars, hkey
+    FROM h, t
+    WHERE hkey * t.tot < n_chars * CAST(100 AS BIGINT) * 4294967296
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted Poisson sampling with EXACT integer arithmetic: include
+    document i iff hash(i)/2^32 < k·wᵢ/Σw (expected sample size k=100,
+    inclusion probability ∝ weight — here n_chars, i.e. longer docs are
+    proportionally likelier, the standard token-budget-aware corpus
+    draw). The comparison is cross-multiplied into pure BIGINT
+    (hash·Σw < wᵢ·k·2^32 — no division, no floats, no ln), so both
+    engines select the identical set; the Σw total rides a 1-row
+    broadcast. Map-only over the corpus: every executor decides its own
+    rows — the distributed weighted sampler with zero coordination.
+    Overflow: hash < 2^32 and Σw < 2^31 keeps the left product < 2^63
+    (document the rescale-to-per-million-weights step past that)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = d.withColumn("hkey", F.expr(knuth_hash_sql("doc_id", "DIV")))
+    t = h.agg(F.sum("n_chars").cast("bigint").alias("tot"))
+    return (
+        h.crossJoin(F.broadcast(t))
+        .filter(
+            F.col("hkey") * F.col("tot")
+            < F.col("n_chars") * F.lit(100) * F.lit(4294967296)
+        )
+        .select("doc_id", "n_chars", "hkey")
+    )
