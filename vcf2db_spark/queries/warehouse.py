@@ -261,46 +261,49 @@ def constraint_audit(spark, sf_dir):
     (LEFT JOIN null-probe; broadcast dim at this dim/fact ratio, shuffle
     join at scale via AQE), and row-level range/null checks that fold
     into conditional counts on the scans. Five independent small
-    aggregates union to a (check, n_violations) report — each is
-    one-pass over its table, and a production run would share scans via
-    multi-constraint batching per table (here orders hosts two checks,
-    lineitem two)."""
+    aggregates union to a (check, n_violations) report — batched so each
+    TABLE is scanned once (the multi-constraint-per-scan shape a
+    production audit uses): orders' PK check rides the same left-joined
+    relation as its FK probe (the dim join cannot duplicate rows —
+    c_custkey is itself unique), lineitem's range and null checks share
+    one conditional aggregate. 5 scans → 3: measured NEUTRAL at sf1
+    (the union's branches already execute concurrently on idle local
+    cores, hiding scan count) — the batching is for the 100 TB regime,
+    where each avoided full-table scan is the I/O bound, not CPU."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey")
     li = table(spark, sf_dir, "lineitem")
     e = table(spark, sf_dir, "events")
 
-    def one(chk, df):
-        return df.select(F.lit(chk).alias("chk"), F.col("n").cast("bigint").alias("n_violations"))
+    def unstack(df, *pairs):
+        args = ", ".join(f"'{chk}', CAST({col} AS BIGINT)" for chk, col in pairs)
+        return df.select(
+            F.expr(f"stack({len(pairs)}, {args}) AS (chk, n_violations)")
+        )
 
-    pk = one(
-        "orders_pk_unique",
-        o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")),
-    )
-    fk = one(
-        "orders_fk_customer",
-        o.join(c, o.o_custkey == c.c_custkey, "left_outer").agg(
-            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n")
+    orders_checks = unstack(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_outer").agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("fk"),
         ),
+        ("orders_pk_unique", "pk"),
+        ("orders_fk_customer", "fk"),
     )
     # deliberately tight bound (fixture qty is uniform 1-50): the check
     # REPORTS real rows at every sf, proving the counting path is live —
     # an all-zero audit over clean-by-construction fixtures would be a
     # vacuous pass
-    rng = one(
-        "lineitem_qty_range",
+    li_checks = unstack(
         li.agg(
             F.count(
                 F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 45), 1)
-            ).alias("n")
+            ).alias("rng"),
+            F.count(F.when(F.col("l_extendedprice").isNull(), 1)).alias("nn"),
         ),
+        ("lineitem_qty_range", "rng"),
+        ("lineitem_price_nonnull", "nn"),
     )
-    nn = one(
-        "lineitem_price_nonnull",
-        li.agg(F.count(F.when(F.col("l_extendedprice").isNull(), 1)).alias("n")),
-    )
-    ts = one(
-        "events_ts_bounds",
+    ev_checks = unstack(
         e.agg(
             F.count(
                 F.when(
@@ -308,10 +311,11 @@ def constraint_audit(spark, sf_dir):
                     | (F.col("ts") > F.lit("2030-01-01").cast("timestamp")),
                     1,
                 )
-            ).alias("n")
+            ).alias("ts")
         ),
+        ("events_ts_bounds", "ts"),
     )
-    return pk.unionAll(fk).unionAll(rng).unionAll(nn).unionAll(ts)
+    return orders_checks.unionAll(li_checks).unionAll(ev_checks)
 
 
 # --------------------------------------------------------------------------
