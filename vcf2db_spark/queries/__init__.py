@@ -57,6 +57,7 @@ _PRIORITY_R04 = [
     "sketch_freq", "sample_bottomk", "drift_psi", "markov_transitions",
     "embed_covariance", "bpe_train", "recursive_cte", "join_lateral",
     "sample_weighted", "feature_bucketize", "graph_triangles",
+    "csv_roundtrip",
 ]
 
 # Round-3 priority: the two queries whose r2 rows ERRED (now fixed — the

@@ -223,6 +223,59 @@ def orc_roundtrip(spark, sf_dir):
     )
 
 
+_CSV_RT_LC = Lifecycle()
+
+
+@dq(
+    "csv_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents WHERE doc_id < 2000 GROUP BY source
+    """,
+)
+def csv_roundtrip(spark, sf_dir):
+    """Text-format interchange (the ingest format everything arrives
+    in): a documents slice is written to CSV with full quoting/escaping,
+    read back under an EXPLICIT schema (no inferSchema — a production
+    reader never lets sampling pick its types), and aggregated. The
+    oracle computes the identical aggregate from the parquet originals,
+    so the hash match proves the quote/escape round trip is lossless
+    for free text AND that the typed read-back preserves integers
+    exactly. multiLine handles embedded newlines; the write is one file
+    per input partition (no coalesce bottleneck), the read splits by
+    file."""
+    import hashlib
+    import os
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/vcf2db_csv_rt_{os.getpid()}_{tag}"
+    _CSV_RT_LC.release()
+    (
+        d.write.format("csv")
+        .mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .save(path)
+    )
+    _CSV_RT_LC.hold_dir(path)
+    back = spark.read.csv(
+        path,
+        header=True,
+        multiLine=True,
+        escape='"',
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # data-quality constraint audit (deequ-style): uniqueness, referential
 # integrity, null-rate, and range checks in one declared pass — the
