@@ -352,3 +352,96 @@ def test_grouped_ols_cliff_no_overflow_and_oracle_lockstep(spark, tmp_path):
     assert ok, msg
     assert len(sdf) == 1
     assert abs(sdf["slope_per_hour"].iloc[0] - 0.0036) < 0.0001
+
+
+def test_graph_triangles_hand_computed(spark):
+    """Hand graph: order 0 supplies {1,2,3} (triangle 1-2-3), order 34
+    supplies {2,3,4} (triangle 2-3-4), order 17 supplies {3,4} (already
+    an edge). Ordered-wedge counting keys each triangle ONCE by its
+    smallest member: node 1 -> 1 triangle, node 2 -> 1 triangle."""
+    import vcf2db_spark.queries.graph as qg
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [(0, s) for s in (1, 2, 3)] + [(34, s) for s in (2, 3, 4)] + [
+        (17, 3), (17, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey: bigint, l_suppkey: bigint")
+    orig = qg.table
+    try:
+        qg.table = lambda *a, **k: df
+        out = {r["node"]: r["n_triangles"]
+               for r in QUERIES["graph_triangles"](spark, "unused").collect()}
+    finally:
+        qg.table = orig
+    assert out == {1: 1, 2: 1}
+
+
+def test_markov_transitions_hand_computed(spark):
+    """User path A,B,A,C gives transitions A->B, B->A, A->C: from-state A
+    row-normalizes to 0.5/0.5, B to 1.0; a same-timestamp tie resolves
+    by event_id so the chain is deterministic."""
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    rows = [
+        (1, 1, 0, "A", 1.0),
+        (1, 2, 10, "B", 1.0),
+        (1, 3, 20, "A", 1.0),
+        (1, 4, 20, "C", 1.0),  # ties with event 3 on ts; event_id orders it
+    ]
+    df = _events_df(spark, rows)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+               for r in QUERIES["markov_transitions"](spark, "unused").collect()}
+    finally:
+        qa.table_wide = orig
+    assert out == {("A", "B"): (1, 0.5), ("B", "A"): (1, 1.0),
+                   ("A", "C"): (1, 0.5)}
+
+
+def test_drift_psi_identical_halves_zero_and_shift_formula(spark):
+    """PSI semantics: a segment whose value distribution is IDENTICAL in
+    both halves scores exactly 0.0 (p=q per bin under the same Laplace
+    smoothing); a segment that moves all mass from bin 0 to bin 1 scores
+    the hand-computed smoothed formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    import vcf2db_spark.queries.analytics as qa
+    from vcf2db_spark.queries import QUERIES
+
+    # ts straddling the 2024-01-16 split (epoch micros)
+    before = 1_705_000_000_000_000   # 2024-01-11
+    after = 1_705_800_000_000_000    # 2024-01-21
+    rows = [
+        # 'same': two value-10 events each half -> psi 0
+        (1, "same", before, 10.0), (2, "same", before + 1_000_000, 10.0),
+        (3, "same", after, 10.0), (4, "same", after + 1_000_000, 10.0),
+        # 'shift': bin 0 (value 10) -> bin 1 (value 60)
+        (5, "shift", before, 10.0), (6, "shift", before + 1_000_000, 10.0),
+        (7, "shift", after, 60.0), (8, "shift", after + 1_000_000, 60.0),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, v) for e, t, u, v in rows],
+        "event_id: bigint, event_type: string, uts: bigint, value: double",
+    ).select(
+        "event_id", "event_type", "value",
+        F.expr("timestamp_micros(uts)").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).cast("bigint").alias("user_id"),
+    )
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        out = {r["event_type"]: r["psi"]
+               for r in QUERIES["drift_psi"](spark, "unused").collect()}
+    finally:
+        qa.table_wide = orig
+    assert out["same"] == 0.0
+    # hand formula, 10 bins, +1 smoothing, totals 2 per half:
+    # bin0: p=(2+1)/12, q=(0+1)/12; bin1: p=1/12, q=3/12; bins 2-9: 1/12 both
+    p0, q0 = 3 / 12, 1 / 12
+    expected = round((p0 - q0) * math.log(p0 / q0)
+                     + (q0 - p0) * math.log(q0 / p0), 6)
+    assert out["shift"] == expected
