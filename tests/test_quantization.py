@@ -87,3 +87,27 @@ def test_declared_queries_scalar_outputs(spark):
                 fn.__name__,
                 f.name,
             )
+
+
+def test_embed_covariance_matches_numpy(spark, sf_dir):
+    """The one-pass fixed-point moment aggregation must reproduce numpy's
+    population covariance of the same leading 16-dim block within the
+    1e-6 quantization the fixed-point convention implies."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from vcf2db_spark.queries import QUERIES
+
+    out = {(r["i"], r["j"]): r["cov"]
+           for r in QUERIES["embed_covariance"](spark, sf_dir).collect()}
+    assert len(out) == 136
+    emb = np.array(
+        [list(v)[:16] for v in
+         pq.read_table(f"{sf_dir}/embeddings.parquet")["embedding"].to_pylist()],
+        dtype=np.float64,
+    )
+    cov = np.cov(emb, rowvar=False, bias=True)  # population covariance
+    for (i, j), got in out.items():
+        # fixed-point rounds each product to 1e-6 before summing: per-row
+        # error <= 5e-7, mean error <= 5e-7 for products + means each
+        assert abs(got - cov[i, j]) < 5e-6, (i, j, got, cov[i, j])

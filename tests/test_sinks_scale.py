@@ -456,3 +456,46 @@ def test_bucketed_join_query_plan_reads_buckets_no_shuffle(spark):
     )
     assert join_pos != -1, plan
     assert "Exchange hashpartitioning" not in plan[join_pos:], plan[join_pos:]
+
+
+def test_csv_roundtrip_hostile_content(spark, tmp_path):
+    """The csv_roundtrip DQ proves losslessness on fixture text; this
+    proves it on HOSTILE content — embedded commas, double quotes,
+    newlines, Windows line ends, leading/trailing spaces, and empty
+    strings — through the identical write/read options (quoteAll +
+    escape='\"' + multiLine + explicit schema)."""
+    texts = [
+        'plain',
+        'comma, inside',
+        'quote " inside',
+        'double "" quotes',
+        'newline\ninside',
+        'crlf\r\ninside',
+        '  padded  ',
+        '',
+        '"fully quoted"',
+        'trailing backslash \\',
+    ]
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    path = str(tmp_path / "csv_rt")
+    (df.write.format("csv").mode("overwrite")
+       .option("header", "true").option("quoteAll", "true")
+       .option("escape", '"')
+       .option("ignoreLeadingWhiteSpace", "false")
+       .option("ignoreTrailingWhiteSpace", "false").save(path))
+    back = spark.read.csv(
+        path, header=True, multiLine=True, escape='"',
+        ignoreLeadingWhiteSpace=False, ignoreTrailingWhiteSpace=False,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    # Spark's CSV writer emits NULL for empty string unless told otherwise:
+    # accept '' <-> None equivalence for the empty doc, exactness elsewhere
+    for i, t in enumerate(texts):
+        if t == "":
+            assert got[i] in ("", None)
+        else:
+            assert got[i] == t, (i, repr(t), repr(got[i]))

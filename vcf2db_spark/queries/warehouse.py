@@ -259,6 +259,10 @@ def csv_roundtrip(spark, sf_dir):
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')
+        # the WRITER also trims by default (both options default true on
+        # write) — padded text would be stripped before it ever lands
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .save(path)
     )
     _CSV_RT_LC.hold_dir(path)
@@ -267,6 +271,11 @@ def csv_roundtrip(spark, sf_dir):
         header=True,
         multiLine=True,
         escape='"',
+        # the reader TRIMS whitespace inside quoted fields by default —
+        # silently lossy on padded text (caught by the hostile-content
+        # test in tests/test_sinks_scale.py); disable both sides
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
         schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
     )
     return back.groupBy("source").agg(
