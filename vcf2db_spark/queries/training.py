@@ -2,11 +2,12 @@
 into model-ready input at 100 TB (SURVEY.md §2C extension — companions to
 the dedup/quality/contamination families in queries/pipeline_ext.py).
 
-All three are oracle-backed: the shuffle key is an explicit Knuth
-multiplicative hash (both engines compute the identical BIGINT
-arithmetic — no engine-specific hash functions), packing is integer
-cumulative sums, and mixing weights are single-division doubles over
-exact integer totals.
+All queries here are oracle-backed: shuffle/split/sample keys are an
+explicit Knuth multiplicative hash (both engines compute the identical
+BIGINT arithmetic — no engine-specific hash functions), packing is
+integer cumulative sums, the weighted sampler's inclusion test is a
+cross-multiplied BIGINT comparison, and mixing weights / token shares
+are single-division doubles over exact integer totals.
 
 Scale notes: nothing here uses a global (single-partition) window — the
 shuffle positions and packing offsets are windowed WITHIN a shard/source
