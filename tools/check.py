@@ -28,8 +28,10 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            v = 0.0  # -0.0 → 0.0
+        # NOTE: -0.0 is deliberately NOT normalized here — the driver's
+        # value-hash distinguishes it from +0.0 (round-4 embed_covariance
+        # fail), so the local harness must be at least as strict. Queries
+        # normalize with the registry's z6()/OZ6() convention instead.
         return repr(v)
     if isinstance(v, (np.integer,)):
         return str(int(v))

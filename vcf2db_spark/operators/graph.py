@@ -57,9 +57,14 @@ def pagerank(
     # exchange leaves ONE shuffle per iteration (the contribution
     # aggregation), not two — the same relation was re-exchanged every
     # round before.
-    shuffle_n = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    try:
+        shuffle_n = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except (TypeError, ValueError):
+        # conf can be unset or non-numeric ("auto" on some platforms) —
+        # stay config-agnostic rather than crash the operator
+        shuffle_n = edges.sparkSession.sparkContext.defaultParallelism
     withdeg = dir_edges.join(deg, "_src").repartition(shuffle_n, "_src")
     nodes = deg.select(F.col("_src").alias("node"))
     ranks = nodes.select(

@@ -80,13 +80,37 @@ _PRIORITY_R03 = [
 ]
 
 
+# Round-5 priority (VERDICT r4 items 1-3). Leads with embed_covariance —
+# the single r4 RED row (signed-zero hash fail, fixed via the z6/+0.0
+# convention) — then every query whose Spark code or oracle changed this
+# round (drift_psi oracle LEFT-join totals + epoch-micros split;
+# grouped_ols and win_lag adopted z6), then queries ADDED in r5. After
+# this block: the 24 r1-recorded names r4's window did NOT refresh
+# (oldest records on the board), then the r2 set, then r3-recorded, then
+# r4-recorded (freshest) last. Union r1–r4 = 171/171 recorded; this
+# ordering keeps every record ≤3 rounds old for changed queries.
+_PRIORITY_R05 = [
+    "embed_covariance",
+    # changed in round 5 (oracle and/or Spark expression):
+    "drift_psi", "grouped_ols", "win_lag",
+    # added in round 5:
+    "bpe_encode", "dedup_incremental",
+]
+
+# r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project
+# was slot 50 of the r3 window, not r4's).
+_RECORDED_R04 = _PRIORITY_R04 + _RECORDED_R01[1:25]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R04)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R05)}
+    for i, name in enumerate(_RECORDED_R01[25:]):
+        order.setdefault(name, (1, i))  # only r1 records left → refresh first
     recorded_r03 = _PRIORITY_R03[:49] + _RECORDED_R03_EXTRA
     for i, name in enumerate(recorded_r03):
-        order.setdefault(name, (3, i))  # freshest records → back of the line
-    for i, name in enumerate(_RECORDED_R01):
-        order.setdefault(name, (1, i))  # oldest driver records → refresh next
+        order.setdefault(name, (3, i))
+    for i, name in enumerate(_RECORDED_R04):
+        order.setdefault(name, (4, i))  # freshest records → back of the line
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
     # everything else was recorded green in r2 → between, registration order
     reordered = sorted(

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vcf2db_spark.io import table, table_wide
-from vcf2db_spark.registry import dq
+from vcf2db_spark.registry import dq, z6
 
 # --------------------------------------------------------------------------
 # per-group ordinary least squares: value ~ time, one closed-form fit per
@@ -50,12 +50,12 @@ from vcf2db_spark.registry import dq
     SELECT user_id, n,
            ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                 / 1000000.0 * (3600.0 / CAST(unit_s AS DOUBLE)), 6)
+                 / 1000000.0 * (3600.0 / CAST(unit_s AS DOUBLE)), 6) + 0.0
              AS slope_per_hour,
            ROUND((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
                   - CAST(sx AS DOUBLE) * sy)
                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
-                 / n / 1000000.0, 6) AS intercept
+                 / n / 1000000.0, 6) + 0.0 AS intercept
     FROM s WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
     """,
 )
@@ -111,16 +111,17 @@ def grouped_ols(spark, sf_dir):
     # determinant test in DOUBLE: the BIGINT products n*sxx and sx*sx
     # overflow around ~2000 events/entity-month (sx ~ 2.6e9 squared);
     # the double forms lose only ulps, harmless for a >0 test
+    # z6: slope/intercept are signed — a tiny-negative value ROUNDs to
+    # -0.0 in DuckDB but +0.0 in Spark (BigDecimal drops the sign); the
+    # +0.0 normalization (registry z6 convention) closes the class.
     return s.filter(det > 0).select(
         "user_id",
         "n",
-        F.round(
+        z6(
             slope_u / 1_000_000.0 * (F.lit(3600.0) / F.col("unit_s").cast("double")),
-            6,
         ).alias("slope_per_hour"),
-        F.round(
+        z6(
             (F.col("sy").cast("double") - slope_u * F.col("sx")) / F.col("n") / 1_000_000.0,
-            6,
         ).alias("intercept"),
     )
 
@@ -561,6 +562,11 @@ def retention_cohort(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 _PSI_SPLIT = "2024-01-16 00:00:00"
+# Same instant as epoch micros (UTC): the Spark side compares via
+# timestamp_micros so the split never depends on how a string literal
+# parses under the session timezone (the oracle's naive DuckDB TIMESTAMP
+# literal compares naive-vs-naive, equally TZ-free).
+_PSI_SPLIT_US = 1_705_363_200_000_000
 _PSI_BINS = 10
 _PSI_WIDTH = 50.0  # value ∈ [0, 500) in the fixtures
 
@@ -580,7 +586,7 @@ _PSI_WIDTH = 50.0  # value ∈ [0, 500) in the fixtures
     f AS (
       SELECT g.event_type, g.bin,
              COALESCE(r.n, 0) AS n_ref, COALESCE(q.n, 0) AS n_cur,
-             tr.tot AS tot_ref, tq.tot AS tot_cur
+             COALESCE(tr.tot, 0) AS tot_ref, COALESCE(tq.tot, 0) AS tot_cur
       FROM (SELECT DISTINCT event_type, bin
             FROM (SELECT event_type, unnest(range({_PSI_BINS})) AS bin
                   FROM (SELECT DISTINCT event_type FROM events))) g
@@ -588,9 +594,9 @@ _PSI_WIDTH = 50.0  # value ∈ [0, 500) in the fixtures
                     AND r.half = 0
       LEFT JOIN c q ON q.event_type = g.event_type AND q.bin = g.bin
                     AND q.half = 1
-      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
+      LEFT JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
             WHERE half = 0 GROUP BY 1) tr ON tr.event_type = g.event_type
-      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
+      LEFT JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b
             WHERE half = 1 GROUP BY 1) tq ON tq.event_type = g.event_type
     )
     SELECT event_type,
@@ -609,7 +615,9 @@ def drift_psi(spark, sf_dir):
     drift monitor (PSI > 0.2 = investigate). Shape: one (type, half,
     bin) pre-aggregation (the shuffle moves bin-cardinality counts, not
     rows), the full bin grid generated executor-side so empty bins
-    participate, Laplace +1 smoothing so the log is always defined, and
+    participate (oracle totals LEFT-join + COALESCE 0 so a type present
+    in only one half survives on both sides, matching the window-sum
+    semantics here), Laplace +1 smoothing so the log is always defined, and
     the final PSI is a bin-cardinality aggregate. Every p/q ratio
     derives from exact BIGINT counts — both engines compute identical
     doubles."""
@@ -620,7 +628,7 @@ def drift_psi(spark, sf_dir):
     # events — at 1.16 s; this is 3×). Totals come from a window over
     # the ~types×bins cell table, the bin grid explodes from the
     # post-aggregate type list, never from the raw scan.
-    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+    is_ref = F.col("ts") < F.timestamp_micros(F.lit(_PSI_SPLIT_US))
     c = (
         e.select(
             "event_type",

@@ -233,7 +233,7 @@ def _cov_oracle() -> str:
     cells = ", ".join(
         "{'i': %d, 'j': %d, 'cov': ROUND((CAST(p%d_%d AS DOUBLE) / 1000000.0) / n"
         " - ((CAST(s%d AS DOUBLE) / 1000000.0) / n)"
-        " * ((CAST(s%d AS DOUBLE) / 1000000.0) / n), 6)}" % (i, j, i, j, i, j)
+        " * ((CAST(s%d AS DOUBLE) / 1000000.0) / n), 6) + 0.0}" % (i, j, i, j, i, j)
         for i in range(_COV_D)
         for j in range(i, _COV_D)
     )
@@ -306,11 +306,18 @@ def embed_covariance(spark, sf_dir):
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("su").cast("double") / 1_000_000.0) / n
-                - ((F.col("si").cast("double") / 1_000_000.0) / n)
-                * ((F.col("sj").cast("double") / 1_000_000.0) / n),
-                6,
+            # + 0.0 normalizes IEEE signed zero (-0.0 + 0.0 = +0.0 under
+            # round-to-nearest): a near-zero covariance cell can ROUND to
+            # -0.0 in one engine and +0.0 in the other, and the driver's
+            # value-hash distinguishes them (the r4 red row, i=5 j=9).
+            (
+                F.round(
+                    (F.col("su").cast("double") / 1_000_000.0) / n
+                    - ((F.col("si").cast("double") / 1_000_000.0) / n)
+                    * ((F.col("sj").cast("double") / 1_000_000.0) / n),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from vcf2db_spark.io import table, table_wide
-from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6
+from vcf2db_spark.registry import OAVG, OSUM, OSUM6, davg, dq, dsum, dsum6, r6, z6
 
 # --------------------------------------------------------------------------
 # B14 — ranking windows (rank variants within gene shape). Unique-key
@@ -56,15 +56,16 @@ def win_rank(spark, sf_dir):
     oracle="""
     SELECT event_id, user_id,
            ROUND(value - LAG(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 6) AS delta
+                                          ORDER BY ts, event_id), 6) + 0.0 AS delta
     FROM events
     """,
 )
 def win_lag(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # z6 (not r6): deltas are signed — registry signed-zero convention
     return e.select(
-        "event_id", "user_id", r6(F.col("value") - F.lag("value").over(w)).alias("delta")
+        "event_id", "user_id", z6(F.col("value") - F.lag("value").over(w)).alias("delta")
     )
 
 

@@ -77,6 +77,16 @@ def r6(col: Column) -> Column:
     return F.round(col, 6)
 
 
+def z6(col: Column) -> Column:
+    """ROUND(col, 6) with signed zero normalized: IEEE ``-0.0 + 0.0`` is
+    ``+0.0`` under round-to-nearest, and the driver's value-hash
+    distinguishes ``-0.0`` from ``0.0`` (the round-4 embed_covariance
+    red row). Use this instead of ``r6`` for any rounded output that can
+    land exactly on zero from the negative side — differences, slopes,
+    covariances, log-ratios. Oracle twin: :func:`OZ6`."""
+    return F.round(col, 6) + F.lit(0.0)
+
+
 def dsum6(col: Column | str) -> Column:
     """Fixed-point sum at 10⁻⁶ resolution (already 6-decimal-exact; the
     name is kept from the round-1 decimal-space convention)."""
@@ -95,6 +105,12 @@ def OSUM(expr: str) -> str:
 def OSUM6(expr: str) -> str:
     """Oracle twin of ``dsum6`` (same fixed-point arithmetic)."""
     return OSUM(expr)
+
+
+def OZ6(expr: str) -> str:
+    """Oracle twin of :func:`z6` — ROUND(…, 6) with ``+ 0.0`` signed-zero
+    normalization (same IEEE identity in DuckDB)."""
+    return f"(ROUND(({expr}), 6) + 0.0)"
 
 
 def OAVG(expr: str) -> str:
