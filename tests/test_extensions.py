@@ -463,3 +463,98 @@ def test_bpe_train_matches_python_twin(spark):
     # and the declared query reports the same rules in rank order
     rows = QUERIES["bpe_train"](spark, SF).collect()
     assert [(r["left"], r["right"]) for r in sorted(rows, key=lambda r: r["rank"])] == expected
+
+
+def test_bpe_encode_matches_python_twin(spark):
+    """The distributed corpus encode (vocab-fold + broadcast join) must
+    reproduce, EXACTLY, a pure-Python tokenization of every document
+    with the same trained merges: per-doc token counts and the top-20
+    corpus token-frequency head."""
+    import re
+
+    from vcf2db_spark.operators.bpe import bpe_encode_py, bpe_train_py
+    from vcf2db_spark.queries import QUERIES
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+        .collect()
+    }
+    # twin tokenization — identical to ws_tokens(lower(trim(text)))
+    doc_words = {d: [w for w in re.split(r"\s+", t.strip().lower()) if w]
+                 for d, t in docs.items()}
+    freqs: dict[str, int] = {}
+    for ws in doc_words.values():
+        for w in ws:
+            freqs[w] = freqs.get(w, 0) + 1
+    merges = bpe_train_py(freqs, n_merges=8)
+    enc = {w: bpe_encode_py(w, merges) for w in freqs}
+    exp_doc = {
+        str(d): sum(len(enc[w]) for w in ws) for d, ws in doc_words.items()
+    }
+    tok_freq: dict[str, int] = {}
+    for w, f in freqs.items():
+        for t in enc[w]:
+            tok_freq[t] = tok_freq.get(t, 0) + f
+    exp_head = dict(
+        sorted(tok_freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    )
+
+    rows = QUERIES["bpe_encode"](spark, SF).collect()
+    got_doc = {r["key"]: r["n"] for r in rows if r["kind"] == "doc"}
+    got_head = {r["key"]: r["n"] for r in rows if r["kind"] == "token"}
+    assert got_doc == exp_doc
+    assert got_head == exp_head
+
+
+def test_fingerprint_store_roundtrip_and_incremental(spark, tmp_path):
+    """write_fingerprint_store → read_training_shards round-trips with a
+    verified manifest; a tampered store fails verification; and the
+    dedup_incremental declared query equals a driver-side two-set
+    difference of deterministic fingerprints."""
+    import glob
+    import os
+
+    from vcf2db_spark.functions.text import doc_fingerprint
+    from vcf2db_spark.queries import QUERIES
+    from vcf2db_spark.sinks.export import (
+        read_training_shards,
+        write_fingerprint_store,
+    )
+
+    d = table(spark, SF, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    out = str(tmp_path / "fpstore")
+    manifest = write_fingerprint_store(hist, out, n_shards=4)
+    assert manifest["n_shards"] == 4
+    assert manifest["total_rows"] == hist.select("fp").distinct().count()
+    # one data file per shard (repartition aligned tasks to partitions)
+    for shard_dir in glob.glob(os.path.join(out, "shard=*")):
+        files = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, shard_dir
+    back = read_training_shards(spark, out, verify=True)
+    assert sorted(r["fp"] for r in back.collect()) == sorted(
+        r["fp"] for r in hist.select("fp").distinct().collect()
+    )
+    # the declared query == two-set difference on the same fingerprints
+    hist_fps = {r["fp"] for r in hist.collect()}
+    new = d.filter(F.col("doc_id") % 5 == 0).collect()
+    expected = sorted(
+        (r["doc_id"], r["fp"]) for r in new if r["fp"] not in hist_fps
+    )
+    got = sorted(
+        (r["doc_id"], r["fp"])
+        for r in QUERIES["dedup_incremental"](spark, SF).collect()
+    )
+    assert got == expected and len(got) > 0
+    # tamper: drop one shard file → verification must raise
+    victims = glob.glob(os.path.join(out, "shard=*", "*.parquet"))
+    os.remove(victims[0])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="manifest mismatch"):
+        read_training_shards(spark, out, verify=True).collect()

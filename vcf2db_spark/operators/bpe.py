@@ -30,6 +30,21 @@ def _esc(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "''")
 
 
+def _merge_fold_expr(ea: str, eb: str) -> str:
+    """One left-to-right merge pass over symbol array ``s`` as a JVM
+    ``aggregate`` fold (SQL-escaped pair ``ea``/``eb``). Greedy
+    non-overlapping, exactly the classic BPE apply order — shared by the
+    trainer's per-iteration apply and the corpus-wide encoder."""
+    return (
+        "aggregate(s, CAST(array() AS array<string>), (acc, x) ->"
+        f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{ea}'"
+        f"           AND x = '{eb}'"
+        f"      THEN concat(slice(acc, 1, size(acc) - 1),"
+        f"                  array('{ea}{eb}'))"
+        "       ELSE concat(acc, array(x)) END)"
+    )
+
+
 def bpe_train_merges(words: DataFrame, n_merges: int = 8) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a (w, freq) dictionary.
 
@@ -67,19 +82,55 @@ def bpe_train_merges(words: DataFrame, n_merges: int = 8) -> list[tuple[str, str
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        ea, eb = _esc(a), _esc(b)
         syms = syms.withColumn(
-            "s",
-            F.expr(
-                "aggregate(s, CAST(array() AS array<string>), (acc, x) ->"
-                f" CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{ea}'"
-                f"           AND x = '{eb}'"
-                f"      THEN concat(slice(acc, 1, size(acc) - 1),"
-                f"                  array('{ea}{eb}'))"
-                "       ELSE concat(acc, array(x)) END)"
-            ),
+            "s", F.expr(_merge_fold_expr(_esc(a), _esc(b)))
         ).localCheckpoint(eager=False)
     return merges
+
+
+def bpe_encode_vocab(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Tokenize a (w, freq) VOCABULARY with a trained merge list: apply
+    every rule in rank order as a JVM fold over the character array.
+    Returns (w, freq, tokens array<string>).
+
+    This is the scale pivot of the distributed *encode* pass: the merge
+    loop is vocab-bounded (apply |merges| folds to |vocab| rows), and
+    the corpus-sized tokenization is then a broadcast join of documents'
+    words onto this encoded dictionary — the corpus is never re-scanned
+    per rule. At 100 TB: |vocab| ≪ |corpus|, so per-rule work is
+    constant in corpus size, exactly like training."""
+    enc = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    )
+    for i, (a, b) in enumerate(merges):
+        enc = enc.withColumn("s", F.expr(_merge_fold_expr(_esc(a), _esc(b))))
+        # checkpoint every few rules: keeps the nested fold expression
+        # tree (and its codegen unit) shallow without materializing per
+        # rule — the dict is vocab-sized, this is cheap
+        if (i + 1) % 4 == 0:
+            enc = enc.localCheckpoint(eager=False)
+    return enc.withColumnRenamed("s", "tokens")
+
+
+def bpe_encode_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python twin of one vocab row through ``bpe_encode_vocab``
+    (same rank-ordered rules, same greedy left-to-right pass per rule)."""
+    s = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        s = out
+    return s
 
 
 def bpe_train_py(word_freqs: dict[str, int], n_merges: int = 8) -> list[tuple[str, str]]:

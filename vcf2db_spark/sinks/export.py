@@ -75,6 +75,51 @@ def write_training_shards(
     return manifest
 
 
+def write_fingerprint_store(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    fp_col: str = "fp",
+) -> dict:
+    """Persist a dedup FINGERPRINT STORE: distinct fingerprints, hash-
+    sharded on the fingerprint itself (pmod(xxhash64(fp), n)), one file
+    per shard, plus the same integrity manifest as the training-shard
+    export (id_col = the fingerprint column, so ``read_training_shards``
+    verifies it unchanged).
+
+    Sharding on the FINGERPRINT is the incremental-dedup contract: a new
+    batch derives each row's shard from its own fp, so batch-vs-store
+    anti-joins are shard-aligned — the store side of every join task
+    reads exactly one shard directory, never the whole store. The
+    repartition before partitionBy keeps it one file per shard (tasks ×
+    partitions small-file trap otherwise); the store stays append-able
+    shard-by-shard because xxhash64 is stable across runs and engines.
+    """
+    sharded = (
+        df.select(fp_col)
+        .distinct()
+        .withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(fp_col)), F.lit(n_shards)).cast("int")
+        )
+    )
+    sharded.repartition(n_shards, "shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(out_dir)
+    stats = {
+        int(r["shard"]): {"rows": int(r["rows"]), "id_checksum": int(r["id_checksum"])}
+        for r in _shard_stats(sharded, fp_col).collect()
+    }
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": fp_col,
+        "total_rows": sum(s["rows"] for s in stats.values()),
+        "shards": {str(k): stats[k] for k in sorted(stats)},
+    }
+    with open(os.path.join(out_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def read_training_shards(
     spark: SparkSession, out_dir: str, verify: bool = True
 ) -> DataFrame:
