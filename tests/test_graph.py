@@ -445,3 +445,26 @@ def test_drift_psi_identical_halves_zero_and_shift_formula(spark):
     expected = round((p0 - q0) * math.log(p0 / q0)
                      + (q0 - p0) * math.log(q0 / p0), 6)
     assert out["shift"] == expected
+
+
+def test_loop_variants_identical(spark):
+    """The round-5 zero-row-union loop body must equal the left-join body
+    node-for-node — including on DIRECTED graphs with source-only nodes
+    (out-edges, no in-edges) and dangling destinations (in-edges, no
+    out-edges; out of contract, must be absent from BOTH outputs)."""
+    cases = [
+        # undirected star + extra cycle (the declared-query shape)
+        [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)] + [(1, 2), (2, 1)],
+        # directed chain with a source-only head and a dangling tail:
+        # 0 -> 1 -> 2 -> 3 (3 has no out-edge)
+        [(0, 1), (1, 2), (2, 3)],
+        # mixed: hub broadcasts to a dangler and a cycle
+        [(0, 9), (0, 1), (1, 0), (1, 9), (2, 0)],
+    ]
+    for pairs in cases:
+        e = _edges(spark, pairs)
+        a = _ranks(pagerank(e, iters=3, loop="union"))
+        b = _ranks(pagerank(e, iters=3, loop="leftjoin"))
+        assert a == b, pairs
+        srcs = {s for s, _ in pairs}
+        assert set(a) == srcs, pairs  # dangling dsts absent, sources kept

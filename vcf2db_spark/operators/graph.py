@@ -32,6 +32,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    loop: str = "leftjoin",
 ) -> DataFrame:
     """Fixed-iteration PageRank over a DIRECTED edge list.
 
@@ -40,10 +41,35 @@ def pagerank(
     nodes (no out-edge) and their mass redistribution are deliberately
     out of scope for the deterministic twin. A node with out-edges but no
     IN-edges receives no contributions — it is kept alive with the base
-    term every iteration (left join onto the node set), so its outgoing
-    contributions persist across iterations on general directed graphs.
-    Returns (node BIGINT, rank DOUBLE), rank maintained in integer 1e-6
-    units per iteration.
+    term every iteration, so its outgoing contributions persist across
+    iterations on general directed graphs. Returns (node BIGINT, rank
+    DOUBLE), rank maintained in integer 1e-6 units per iteration.
+
+    ``loop`` picks the per-iteration persistence device (both produce
+    IDENTICAL values and node sets on every graph — pinned by
+    tests/test_graph.py::test_loop_variants_identical):
+
+    - ``"leftjoin"`` (default; kept after the round-5 A/B): aggregate
+      real contributions, then left-join back onto the node set. The
+      join is exchange-free (both sides arrive hash-partitioned on the
+      node id), and it MEASURED fastest in every arm of the round-5
+      interleaved A/B at sf1 (2.05 s vs union 2.24-2.84 s on 1.68M
+      edges; 5.54 vs 6.04 s on 11.7M — BASELINE.md round 5).
+    - ``"union"``: edges whose dst is dangling are semi-filtered ONCE
+      outside the loop (their mass was dropped after aggregation
+      before — same semantics, earlier), and each iteration unions
+      zero-contribution rows for every node into the aggregate, so the
+      groupBy itself yields the full node set — structurally one stage
+      fewer, but the zero rows ride every exchange and the measured
+      result is slower at both graph scales. Kept for the parity test
+      and as the documented alternative.
+
+    Round-5 floor decomposition (BASELINE.md): the identical loop over
+    a 60-EDGE graph runs 0.96 s — pure stage-barrier latency, half of
+    the 2.05 s sf1 total — and at 7× the edges Spark (5.5 s) beats the
+    unrolled in-process SQL twin (13.2 s) 2.4× outright: the loop's
+    overhead is fixed per iteration and amortizes with volume, exactly
+    the regime a 1000-executor graph lives in.
     """
     dir_edges = edges.select(
         F.col(src).cast("bigint").alias("_src"), F.col(dst).cast("bigint").alias("_dst")
@@ -65,10 +91,24 @@ def pagerank(
         # conf can be unset or non-numeric ("auto" on some platforms) —
         # stay config-agnostic rather than crash the operator
         shuffle_n = edges.sparkSession.sparkContext.defaultParallelism
-    withdeg = dir_edges.join(deg, "_src").repartition(shuffle_n, "_src")
+    withdeg = dir_edges.join(deg, "_src")
     nodes = deg.select(F.col("_src").alias("node"))
+    if loop == "union":
+        # drop edges INTO dangling nodes once, statically: their
+        # aggregated mass was discarded by the left join anyway (dangling
+        # nodes are out of contract); filtering here lets the loop's
+        # groupBy emit exactly the node set with no post-join. deg is
+        # node-sized — broadcastable at the fixture scales, and at true
+        # scale this one-time semi join is amortized over all iterations.
+        withdeg = withdeg.join(
+            deg.select(F.col("_src").alias("_dst")), "_dst", "semi"
+        )
+    withdeg = withdeg.repartition(shuffle_n, "_src")
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("_u")
+    )
+    zero = nodes.select(
+        F.col("node").alias("_dst"), F.lit(0).cast("long").alias("_cu")
     )
     # NOT (1.0 - damping) * 1e6: for damping=0.85 that evaluates to
     # 150000.00000000003 (0.15 is inexact in binary), one ulp above the
@@ -81,6 +121,24 @@ def pagerank(
             F.col("_dst"),
             F.round(F.col("_u").cast("double") / F.col("_d")).cast("long").alias("_cu"),
         )
+        if loop == "union":
+            # one stage: zero rows ride the same exchange, so the
+            # aggregate itself emits every node (sum over just the zero
+            # row = base term — identical to the coalesce default)
+            ranks = (
+                contrib.unionAll(zero)
+                .groupBy("_dst")
+                .agg(
+                    F.round(
+                        F.lit(base_units)
+                        + F.lit(damping) * F.sum("_cu").cast("double")
+                    )
+                    .cast("long")
+                    .alias("_u")
+                )
+                .select(F.col("_dst").alias("node"), "_u")
+            )
+            continue
         agg = (
             contrib.groupBy("_dst")
             .agg(
