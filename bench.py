@@ -31,7 +31,7 @@ N_PASSES = 3
 
 
 def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
-    """Median-of-3 DuckDB timings for every oracle SQL on the same files."""
+    """Per-pass DuckDB timings (list per query) for every oracle SQL."""
     import duckdb
 
     from vcf2db_spark.io import TABLES
@@ -49,7 +49,7 @@ def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
             t0 = time.perf_counter()
             con.execute(sql).arrow()
             runs[name].append(time.perf_counter() - t0)
-    return {n: round(statistics.median(v), 4) for n, v in runs.items()}
+    return {n: [round(x, 4) for x in v] for n, v in runs.items()}
 
 
 def main() -> None:
@@ -83,11 +83,23 @@ def main() -> None:
             runs[name].append(time.perf_counter() - t0)
     timings = {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
-    duck = bench_duckdb(sf_dir, dict(ORACLES))
+    duck_runs = bench_duckdb(sf_dir, dict(ORACLES))
+    duck = {n: round(statistics.median(v), 4) for n, v in duck_runs.items()}
+    # per-query median PLUS the cross-pass spread (passes interleave the
+    # whole query set, so min/max capture the session's sweep-to-sweep
+    # noise band per query — VERDICT r4 item 9: round-over-round
+    # comparison must be readable against the documented ±15% host band)
     per_query = {
         n: {
             "spark_s": timings[n],
+            "spark_passes": [round(x, 4) for x in runs[n]],
+            "spark_spread": [round(min(runs[n]), 4), round(max(runs[n]), 4)],
             "duckdb_s": duck.get(n),
+            "duckdb_spread": (
+                [round(min(duck_runs[n]), 4), round(max(duck_runs[n]), 4)]
+                if n in duck_runs
+                else None
+            ),
             "ratio": round(timings[n] / duck[n], 2) if duck.get(n) else None,
         }
         for n in sorted(timings)

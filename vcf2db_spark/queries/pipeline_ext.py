@@ -315,9 +315,11 @@ def curate_docs(spark, sf_dir):
     from vcf2db_spark.curate import curate_documents
 
     # bounded input (harness convention): LSH banding over the full sf0.1
-    # corpus is the scale path's job, not the per-round compare's
+    # corpus is the scale path's job, not the per-round compare's. 2,500
+    # docs (r5, was 5,000 — VERDICT r4 item 8: the rows-only bench tier
+    # must stay readable); full-pipeline parity lives in tests/test_curate.py
     docs = table_wide(spark, sf_dir, "documents", "doc_id").filter(
-        F.col("doc_id") < 5_000
+        F.col("doc_id") < 2_500
     )
     out = curate_documents(docs, min_quality=0.0, lsh_threshold=0.9)
     return (
