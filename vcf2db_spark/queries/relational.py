@@ -122,13 +122,18 @@ def join_star(spark, sf_dir):
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    # orders is a FACT table — no broadcast HINT for it: a hint would pin
-    # the plan that dies at 100 TB. Unhinted, Catalyst/AQE picks broadcast
-    # while orders fits under autoBroadcastJoinThreshold and falls back to
-    # a shuffle join when it doesn't. The true dimensions stay hinted.
+    # orders is a FACT table: hint SHUFFLE_HASH, not broadcast. Unhinted,
+    # its pruned 2-column stats land UNDER autoBroadcastJoinThreshold and
+    # Catalyst broadcasts 1.5M rows — a single-threaded driver-side hash
+    # build that measured 1.8× SLOWER than the shuffled plan at sf1
+    # (1.12 → 0.62 s median, BASELINE.md round 5) and is the very plan
+    # that dies at 100 TB. SHUFFLE_HASH exchanges both facts on the join
+    # key and builds per-partition (rows/task bounded by the shuffle
+    # partitioning, which scales with the cluster; AQE skew-split applies
+    # to SHJ). The true dimensions stay broadcast-hinted.
     # Project the fact tables to the consumed columns before any exchange.
     l = l.select("l_orderkey", "l_extendedprice", "l_discount")
-    o = o.select("o_orderkey", "o_custkey")
+    o = o.select("o_orderkey", "o_custkey").hint("shuffle_hash")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
