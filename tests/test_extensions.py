@@ -558,3 +558,51 @@ def test_fingerprint_store_roundtrip_and_incremental(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="manifest mismatch"):
         read_training_shards(spark, out, verify=True).collect()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join (salt-and-replicate hot-key device) must be
+    semantics-neutral vs the plain join — inner AND left — and spread a
+    hot key across multiple salt buckets."""
+    from vcf2db_spark.operators.skew import salted_join
+
+    li = table(spark, SF, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("bigint")
+        .alias("k"),
+        "l_extendedprice",
+    )
+    s = table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    for how in ("inner", "left"):
+        plain = (
+            li.join(s, li.k == s.s_suppkey, how)
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        salted = (
+            salted_join(
+                li, s, "k", "s_suppkey",
+                salt_src=["l_orderkey", "l_linenumber"], n_salt=8, how=how,
+            )
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        ), how
+    # the hot key actually spreads: >1 distinct salt among k=1 rows
+    from pyspark.sql import functions as SF_  # noqa: N813
+    n_salts = (
+        li.filter(F.col("k") == 1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("l_orderkey"), F.col("l_linenumber")), F.lit(8)
+            ).alias("salt")
+        )
+        .agg(F.countDistinct("salt").alias("d"))
+        .collect()[0]["d"]
+    )
+    assert n_salts > 1

@@ -111,3 +111,71 @@ def test_embed_covariance_matches_numpy(spark, sf_dir):
         # fixed-point rounds each product to 1e-6 before summing: per-row
         # error <= 5e-7, mean error <= 5e-7 for products + means each
         assert abs(got - cov[i, j]) < 5e-6, (i, j, got, cov[i, j])
+
+
+def test_embed_pca_project_matches_numpy_twin(spark):
+    """The two-pass distributed PCA (moment aggregation → driver eigh →
+    literal-expression projection) must reproduce a pure-numpy PCA of
+    the same vectors EXACTLY under the davg fixed-point convention."""
+    import numpy as np
+    import pytest
+
+    from vcf2db_spark.io import table
+    from vcf2db_spark.queries import QUERIES
+    from vcf2db_spark.queries.vectors import _COV_D, _PCA_K
+
+    SF = "/root/testdata/sf0.001"
+    rows = (
+        table(spark, SF, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    d = _COV_D
+    X = np.array([[float(v) for v in r["embedding"][:d]] for r in rows])
+    labels = [r["label"] for r in rows]
+    n = len(X)
+    # identical fixed-point moments: round(x_i*x_j*1e6) exact sums
+    mu = np.array(
+        [np.sum(np.round(X[:, i] * 1e6)) / 1e6 / n for i in range(d)]
+    )
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            su = np.sum(np.round(X[:, i] * X[:, j] * 1e6))
+            cov[i, j] = cov[j, i] = su / 1e6 / n - mu[i] * mu[j]
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :_PCA_K]
+    for k in range(_PCA_K):
+        a = comps[:, k]
+        if a[int(np.argmax(np.abs(a)))] < 0:
+            comps[:, k] = -a
+    # projection with the same left-to-right fused summation order as the
+    # Spark expression: ((0 + t0) + t1) + ...
+    def project(x, k):
+        acc = 0.0
+        for i in range(d):
+            acc = acc + (x[i] - mu[i]) * comps[i, k]
+        return acc
+
+    agg: dict[str, list[list[float]]] = {}
+    for x, lab in zip(X, labels):
+        agg.setdefault(lab, []).append([project(x, k) for k in range(_PCA_K)])
+    expected = {}
+    for lab, vals in agg.items():
+        a = np.array(vals)
+        # davg: exact integer-unit sum, round in units, downscale
+        means = [
+            float(np.round(np.sum(np.round(a[:, k] * 1e6)) / len(a)) / 1e6)
+            for k in range(_PCA_K)
+        ]
+        expected[lab] = (len(a), means)
+
+    got = {
+        r["label"]: (r["n"], [r[f"mean_pc{k + 1}"] for k in range(_PCA_K)])
+        for r in QUERIES["embed_pca_project"](spark, SF).collect()
+    }
+    assert set(got) == set(expected)
+    for lab in expected:
+        assert got[lab][0] == expected[lab][0]
+        for g, e in zip(got[lab][1], expected[lab][1]):
+            assert g == pytest.approx(e, abs=2e-6), (lab, got[lab], expected[lab])

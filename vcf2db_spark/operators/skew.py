@@ -44,3 +44,43 @@ def salted_count_distinct(
         F.count_distinct(F.col(value)).alias("_pc")
     )
     return phase1.groupBy(*keys).agg(F.sum("_pc").alias(f"n_distinct_{value}"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_src: list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salt-and-replicate equi-join for a HOT-KEY fact (docs/SCALE.md §3):
+    the fact side gets a deterministic salt from its own unique columns
+    (``salt_src`` — e.g. the row's primary key, so re-runs salt
+    identically), the dim side is replicated ``n_salt`` times with every
+    salt value, and the join key becomes (key, salt). A key carrying 30%
+    of the fact now lands on ``n_salt`` tasks instead of one.
+
+    Cost model: dim bytes × n_salt extra shuffle volume — the device is
+    for fact-skew against a NON-broadcastable dim (a broadcast join has
+    no skew problem; AQE's skew split covers sort-merge/shuffled-hash
+    AFTER the exchange, but cannot split the sort/build of one giant
+    key's partition on the fact side when the downstream agg keeps the
+    key). Exact for any join type that doesn't null-extend the dim side
+    (inner/left): salting partitions fact rows, replication guarantees
+    every (key, salt) finds its dim row.
+    """
+    fs = fact.withColumn(
+        "_fsalt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salt)).cast("int"),
+    )
+    ds = dim.withColumn(
+        "_dsalt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    out = fs.join(
+        ds,
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("_fsalt") == F.col("_dsalt")),
+        how,
+    )
+    return out.drop("_fsalt", "_dsalt")

@@ -94,7 +94,8 @@ _PRIORITY_R05 = [
     # changed in round 5 (oracle and/or Spark expression):
     "drift_psi", "grouped_ols", "win_lag",
     # added in round 5:
-    "bpe_encode", "dedup_incremental",
+    "bpe_encode", "dedup_incremental", "json_roundtrip",
+    "join_skew_salted", "embed_pca_project",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

@@ -148,6 +148,61 @@ def join_star(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# B4+ — salt-and-replicate skewed join: the manual hot-key device for
+# fact-skew against a non-broadcastable dim (operators/skew.salted_join;
+# docs/SCALE.md §3). A third of lineitem is funneled onto ONE supplier
+# key, then joined salted — the hot key spreads over n_salt tasks.
+# Oracle-exact: the salt is internal, the join result is a plain join.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT s.s_nationkey, COUNT(*) AS n_lines,
+           {OSUM6('f.l_extendedprice')} AS revenue
+    FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END AS k,
+                 l_extendedprice
+          FROM lineitem) f
+    JOIN supplier s ON f.k = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skewed fact⋈dim with manual salting: a CASE funnels ~⅓ of
+    lineitem onto supplier key 1 (the manufactured hot key every real
+    corpus has — the null-ish default domain, the bot user, the empty
+    document). ``salted_join`` salts the fact by its own primary key and
+    replicates the dim ×16, so the hot key's rows land on 16 tasks
+    instead of one; the dim side is MERGE-hinted so the exchange (and
+    therefore the skew) actually exists at bench scale — at 100 TB a
+    cluster-sized dim forces this shape anyway, and AQE's skew split
+    cannot help when the build/sort of one giant key partition is the
+    bottleneck. The oracle runs the plain unsalted join: a hash match
+    proves salting is semantics-neutral."""
+    from vcf2db_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey").hint("merge")
+    j = salted_join(
+        li, s, "k", "s_suppkey", salt_src=["l_orderkey", "l_linenumber"], n_salt=16
+    )
+    return j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum6(F.col("l_extendedprice")).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B5 — left outer join (variants with/without annotation shape). Every
 # customer has orders in the fixtures, so join a filtered subset to exercise
 # the null-extension path.

@@ -326,3 +326,84 @@ def embed_covariance(spark, sf_dir):
 embed_covariance.__doc__ = embed_covariance.__doc__.format(
     d=_COV_D, m=_COV_D * (_COV_D + 1) // 2
 )
+
+
+# --------------------------------------------------------------------------
+# PCA projection — the pass that CONSUMES embed_covariance: eigendecompose
+# the (tiny, driver-side) covariance matrix, broadcast the top-k
+# components as literal expressions, and project every vector map-only.
+# Iterative LAPACK eigensolve + float literals → rows-only by contract;
+# the numpy end-to-end twin is pinned EXACTLY in tests/test_quantization.py.
+# --------------------------------------------------------------------------
+
+_PCA_K = 4
+
+
+@dq("embed_pca_project")
+def embed_pca_project(spark, sf_dir):
+    """Distributed PCA, both halves: the moment aggregation (one
+    partial-agged pass, identical shape to embed_covariance) reduces the
+    corpus to d(d+1)/2 + d scalars; the d×d eigendecomposition is
+    driver-side numpy on a 16×16 matrix (O(d³) — never a distributed
+    problem); the top-{k} components return to the executors as LITERAL
+    expressions (no broadcast table needed at d=16) and every vector is
+    projected in a narrow map — the corpus is scanned twice total,
+    shuffled never (the final per-label aggregate moves |labels| rows).
+    Eigenvector sign is fixed deterministically (largest-|entry| made
+    positive). At 100 TB this is exactly the whitening/dim-reduction
+    pass before clustering or dedup, and the driver still holds only
+    O(d²) state."""
+    import numpy as np
+
+    d = _COV_D
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                "concat("
+                f" flatten(transform(sequence(0, {d - 1}), i ->"
+                f"   transform(sequence(i, {d - 1}), j -> struct(i, j,"
+                "      CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
+                "           * CAST(embedding[j] AS DOUBLE)"
+                "           * 1000000.0) AS BIGINT) AS u)))),"
+                f" transform(sequence(0, {d - 1}), i -> struct(i, -1 AS j,"
+                "     CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
+                "          * 1000000.0) AS BIGINT) AS u)))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.u")
+    m = cells.groupBy("i", "j").agg(
+        F.sum("u").alias("su"), F.count(F.lit(1)).alias("cnt")
+    )
+    # bounded driver transfer: d(d+1)/2 + d = 152 moment rows (same class
+    # as k-means centroids / the bpe argmax)
+    rows = {(r["i"], r["j"]): (r["su"], r["cnt"]) for r in m.collect()}
+    n = next(c for (i, j), (_, c) in rows.items() if j == -1)
+    mu = np.array([rows[(i, -1)][0] / 1e6 / n for i in range(d)])
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            cij = rows[(i, j)][0] / 1e6 / n - mu[i] * mu[j]
+            cov[i, j] = cov[j, i] = cij
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :_PCA_K]  # top-k columns
+    # deterministic sign: the largest-|entry| of each component positive
+    for k in range(_PCA_K):
+        a = comps[:, k]
+        if a[int(np.argmax(np.abs(a)))] < 0:
+            comps[:, k] = -a
+    # project map-only: pc_k = Σ_i (x_i - μ_i) · v_ik, as plain column
+    # arithmetic (64 fused multiply-adds — stays in codegen)
+    x = [F.col("embedding")[i].cast("double") for i in range(d)]
+    pcs = [
+        sum(
+            ((x[i] - float(mu[i])) * float(comps[i, k]) for i in range(d)),
+            F.lit(0.0),
+        ).alias(f"pc{k + 1}")
+        for k in range(_PCA_K)
+    ]
+    proj = e.select("label", *pcs)
+    return proj.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[davg(f"pc{k + 1}").alias(f"mean_pc{k + 1}") for k in range(_PCA_K)],
+    )

@@ -285,6 +285,48 @@ def csv_roundtrip(spark, sf_dir):
     )
 
 
+_JSON_RT_LC = Lifecycle()
+
+
+@dq(
+    "json_roundtrip",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents WHERE doc_id < 2000 GROUP BY source
+    """,
+)
+def json_roundtrip(spark, sf_dir):
+    """JSON-lines interchange — the third leg of the format trio
+    (orc_roundtrip / csv_roundtrip): a documents slice is written as
+    newline-delimited JSON (one file per input partition; the ingest
+    format most scraped corpora arrive in), read back under an EXPLICIT
+    schema (no sampling-based inference), and aggregated. The oracle
+    computes the identical aggregate from the parquet originals, so a
+    hash match proves JSON string escaping (quotes, backslashes,
+    control characters, non-ASCII) and typed integer read-back are
+    lossless. Splittable on read (line-delimited, many files)."""
+    import hashlib
+    import os
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/vcf2db_json_rt_{os.getpid()}_{tag}"
+    _JSON_RT_LC.release()
+    d.write.format("json").mode("overwrite").save(path)
+    _JSON_RT_LC.hold_dir(path)
+    back = spark.read.json(
+        path,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # data-quality constraint audit (deequ-style): uniqueness, referential
 # integrity, null-rate, and range checks in one declared pass — the
