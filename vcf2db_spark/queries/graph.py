@@ -133,10 +133,15 @@ def graph_triangles(spark, sf_dir):
     a triangle a<b<c is counted exactly once by joining wedge (a,b)
     + (b,c) against closing edge (a,c) — no per-node adjacency lists,
     no driver state, two equi-join shuffles on edge endpoints. Skewed
-    hubs (high-degree suppliers) split under AQE; the standard
-    degree-ordering optimization (orient edges from low to high degree)
-    is the next knob at real scale. Per-node output keyed by the
-    triangle's smallest member."""
+    hubs (high-degree suppliers) split under AQE. The standard
+    degree-ordering optimization (orient edges low→high degree to bound
+    per-apex wedge fan-out) was A/B'd at sf1 in round 5 and REJECTED
+    here: 2.57 vs 2.04 s median, value-identical (BASELINE.md) — this
+    co-purchase graph's degree distribution is flat (uniform TPC-H
+    supplier popularity), so the wedge reduction never recoups the
+    degree-count + orientation joins. It remains the right knob for
+    power-law graphs, where Σ d_out² drops by orders of magnitude.
+    Per-node output keyed by the triangle's smallest member."""
     li = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 17 == 0)
