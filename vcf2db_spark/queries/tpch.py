@@ -217,7 +217,12 @@ def tpch_q7(spark, sf_dir):
     (supplier side / customer side); both are restricted to the two
     nations of interest BEFORE touching the fact, so supplier and
     customer shrink to broadcastable subsets and the only large shuffle
-    is lineitem ⋈ orders on the order key."""
+    is lineitem ⋈ orders on the order key. The orders side carries a
+    SHUFFLE_HASH hint: it is unfiltered here, and the pruned 2-column
+    stats otherwise sit under the broadcast threshold — Catalyst was
+    broadcasting 1.5M rows (single-threaded driver build; the join_star
+    pathology). A/B at sf1: 0.83 → 0.38 s median, value-identical
+    (BASELINE.md round 5)."""
     n = table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_8")
     )
@@ -235,7 +240,9 @@ def tpch_q7(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").hint(
+        "shuffle_hash"
+    )
     return (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -347,7 +354,10 @@ def tpch_q9(spark, sf_dir):
     """Q9 profit by supplier nation and order year for 'red' parts.
     ps_supplycost is proxied as 0.1 * p_retailprice (no partsupp table);
     the profit expression stays row-local so the fixed-point sum is the
-    only aggregate. The LIKE filter prunes part before the broadcast."""
+    only aggregate. The LIKE filter prunes part before the broadcast.
+    The UNFILTERED orders side is SHUFFLE_HASH-hinted (Catalyst was
+    broadcasting 1.5M rows — the join_star pathology; A/B at sf1
+    0.91 → 0.45 s median, value-identical, BASELINE.md round 5)."""
     p = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -359,7 +369,9 @@ def tpch_q9(spark, sf_dir):
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "n_name")
     )
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").hint(
+        "shuffle_hash"
+    )
     li = table(spark, sf_dir, "lineitem")
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -944,9 +956,16 @@ def tpch_q21(spark, sf_dir):
     plan an N+1-way Expand of the joined fact. numwait sums the waiting
     supplier's late LINES, matching the row-per-l1-line semantics of the
     EXISTS form (verified value-identical at sf1 and vs the DuckDB
-    oracle). Measured 1.7 → 1.3 s at sf1. EU supplier dim broadcast."""
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", "o_orderdate"
+    oracle). Measured 1.7 → 1.3 s at sf1. EU supplier dim broadcast.
+    The status='F' orders side (~half the table, ~730k rows) is
+    SHUFFLE_HASH-hinted — its stats sat under the broadcast threshold
+    and Catalyst built it on the driver (A/B at sf1 0.86 → 0.56 s
+    median, value-identical, BASELINE.md round 5)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+        .hint("shuffle_hash")
     )
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     eu = _eu_suppliers(spark, sf_dir)
