@@ -1,0 +1,125 @@
+"""Hand-computed semantics for the round-5 corpus/statistics queries:
+rolling_distinct (cover-set window counting), mutual_info (independence
+→ 0 / determinism → ln 2), token_entropy (uniform → ln k, constant → 0),
+zipf_slope (exact power law → slope −1), ngram_lm (add-one smoothing
+formula). These pin the FORMULAS independently of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import vcf2db_spark.queries.analytics as qa
+import vcf2db_spark.queries.pipeline_ext as qp
+from vcf2db_spark.queries import QUERIES
+
+_DAY_US = 86_400_000_000
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, day, value) → events-shaped frame."""
+    return spark.createDataFrame(
+        rows, "event_id: bigint, user_id: bigint, day: bigint, value: double"
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(f"timestamp_micros(day * {_DAY_US} + 3600000000)")
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit("T").alias("event_type"),
+    )
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, lang, text) → documents-shaped frame."""
+    return spark.createDataFrame(rows, "doc_id: bigint, lang: string, text: string").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.lit("web").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def _with_table(module, df, name, spark):
+    orig = module.table_wide
+    try:
+        module.table_wide = lambda *a, **k: df
+        return QUERIES[name](spark, "unused").collect()
+    finally:
+        module.table_wide = orig
+
+
+def test_rolling_distinct_cover_counting(spark):
+    # user 1 active days 0 and 8, user 2 active day 3. Observed days:
+    #   day 0: trailing {u1}            -> 1
+    #   day 3: trailing days 0..3 {u1,u2} -> 2
+    #   day 8: trailing days 2..8 {u2(d3), u1(d8)} -> 2
+    rows = [(1, 1, 0, 1.0), (2, 2, 3, 1.0), (3, 1, 8, 1.0),
+            (4, 1, 8, 2.0)]  # second same-day event: distinct grain absorbs
+    out = _with_table(qa, _events(spark, rows), "rolling_distinct", spark)
+    got = {r["day"]: (r["n_active_1d"], r["n_active_7d"]) for r in out}
+    day0 = min(got)
+    assert got == {day0: (1, 1), day0 + 3: (1, 2), day0 + 8: (1, 2)}
+
+
+def test_mutual_info_independent_zero_dependent_ln2(spark):
+    # independent 2x2: each type hits both bins equally -> MI 0, chi2 0
+    rows = [(1, 1, 0, 10.0), (2, 1, 0, 60.0),
+            (3, 1, 0, 10.0), (4, 1, 0, 60.0)]
+    df = _events(spark, rows).withColumn(
+        "event_type", F.when(F.col("event_id") <= 2, "A").otherwise("B")
+    )
+    (r,) = _with_table(qa, df, "mutual_info", spark)
+    assert (r["n"], r["n_cells"]) == (4, 4)
+    assert r["mi_nats"] == 0.0 and r["chi2"] == 0.0
+
+    # deterministic: type A always bin 0, type B always bin 1 -> MI ln2,
+    # chi2 = n
+    rows2 = [(1, 1, 0, 10.0), (2, 1, 0, 10.0),
+             (3, 1, 0, 60.0), (4, 1, 0, 60.0)]
+    df2 = _events(spark, rows2).withColumn(
+        "event_type", F.when(F.col("event_id") <= 2, "A").otherwise("B")
+    )
+    (r2,) = _with_table(qa, df2, "mutual_info", spark)
+    # two observed cells of the 2x2 grid; the two ZERO cells contribute
+    # their expected count to chi2 (textbook chi2 = n for a deterministic
+    # 2x2) and 0 to MI. Each observed MI term rounds to fixed point
+    # BEFORE summing: round(0.5*ln2 * 1e6) = 346574 -> 0.693148.
+    assert r2["n_cells"] == 2
+    assert r2["mi_nats"] == 0.693148
+    assert r2["chi2"] == 4.0
+
+
+def test_token_entropy_uniform_and_constant(spark):
+    docs = [(1, "en", "a a a a"), (2, "en", "a b"), (3, "en", "a a b b")]
+    out = _with_table(qp, _docs(spark, docs), "token_entropy", spark)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_nats"])
+           for r in out}
+    # per-cell fixed-point rounding: each (1/2)*ln2 term rounds to
+    # 346574 units before the exact sum -> 0.693148 (not round(ln2, 6))
+    ln2_cells = 0.693148
+    assert got[1] == (4, 1, 0.0)
+    assert got[2] == (2, 2, ln2_cells)
+    assert got[3] == (4, 2, ln2_cells)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # counts proportional to 1/rank (c*r = 12): y = ln 12 - x exactly.
+    text = " ".join(["t1"] * 12 + ["t2"] * 6 + ["t3"] * 4 + ["t4"] * 3)
+    (r,) = _with_table(qp, _docs(spark, [(1, "en", text)]), "zipf_slope", spark)
+    assert r["n_pts"] == 4
+    assert abs(r["zipf_slope"] + 1.0) < 1e-4
+    assert abs(r["intercept"] - math.log(12.0)) < 1e-4
+
+
+def test_ngram_lm_add_one_smoothing(spark):
+    docs = [(1, "en", "a b"), (2, "en", "a b"), (3, "en", "a c")]
+    out = _with_table(qp, _docs(spark, docs), "ngram_lm", spark)
+    got = {(r["w1"], r["w2"]): (r["n"], r["n1"], r["vsz"], r["p_smoothed"])
+           for r in out}
+    # context 'a' seen 3 times, successor vocab {b, c} size 2:
+    # p(b|a) = (2+1)/(3+2) = 0.6, p(c|a) = (1+1)/(3+2) = 0.4
+    assert got == {("a", "b"): (2, 3, 2, 0.6), ("a", "c"): (1, 3, 2, 0.4)}

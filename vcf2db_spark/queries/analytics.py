@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vcf2db_spark.io import table, table_wide
-from vcf2db_spark.registry import dq, z6
+from vcf2db_spark.registry import OSUM, dq, dsum, z6
 
 # --------------------------------------------------------------------------
 # per-group ordinary least squares: value ~ time, one closed-form fit per
@@ -775,4 +775,150 @@ def feature_bucketize(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rolling exact distinct: 7-day active users per day. Window DISTINCT
+# aggregates don't exist in Spark's window functions; the distributed
+# rewrite is cover-set expansion — each (user, active_day) contributes to
+# the 7 trailing windows it falls into, then one distinct + count per day.
+# Bounded 7× row multiplier, all shuffles on (user, day) / day keys; at
+# 100 TB this beats a range self-join (which would re-scan 7× the rows
+# per window end) and never builds per-day user sets in memory.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    cov AS (
+      SELECT DISTINCT user_id, ud.day + x.i AS day
+      FROM ud, (SELECT unnest(range(7)) AS i) x
+    ),
+    days AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active_1d
+      FROM ud GROUP BY day
+    )
+    SELECT d.day, d.n_active_1d, CAST(COUNT(*) AS BIGINT) AS n_active_7d
+    FROM days d JOIN cov c ON c.day = d.day
+    GROUP BY d.day, d.n_active_1d
+    """,
+)
+def rolling_distinct(spark, sf_dir):
+    """Exact trailing-7-day distinct active users per observed day.
+
+    COUNT(DISTINCT) over a sliding range frame has no distributed window
+    implementation; the classic rewrite is cover-set expansion: each
+    distinct (user, active_day) is exploded to the 7 window-end days it
+    covers, deduplicated on (user, covered_day), and counted per day.
+    Row growth is a bounded 7× of the DISTINCT (user, day) grain (not of
+    raw events), every stage is a keyed partial-aggregated shuffle, and
+    only days observed in the data are reported. The same-day exact
+    distinct (n_active_1d) rides along from the pre-expansion grain."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 86400000000")
+    ud = e.select("user_id", day.alias("day")).distinct()
+    days = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n_active_1d"))
+    cov = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + F.lit(6))).alias("day"),
+    ).distinct()
+    return (
+        days.join(cov, "day")
+        .groupBy("day", "n_active_1d")
+        .agg(F.count(F.lit(1)).alias("n_active_7d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# mutual information + chi-square: dependence between event_type and the
+# binned value distribution — the feature-relevance / independence audit
+# of a feature store. All probabilities derive from exact BIGINT cell
+# counts; the only doubles are per-cell terms computed identically in
+# both engines, combined with the registry's fixed-point sum.
+# --------------------------------------------------------------------------
+
+_MI_BINS = 10
+_MI_WIDTH = 50.0
+
+
+@dq(
+    "mutual_info",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             LEAST({_MI_BINS - 1},
+                   CAST(FLOOR(value / {_MI_WIDTH}) AS INT)) AS bin
+      FROM events
+    ),
+    c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    nx AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nx
+           FROM c GROUP BY 1),
+    ny AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS ny FROM c GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM c),
+    g AS (
+      SELECT nx.nx, ny.ny, tot.nn, COALESCE(c.n, 0) AS n
+      FROM nx CROSS JOIN ny CROSS JOIN tot
+      LEFT JOIN c ON c.event_type = nx.event_type AND c.bin = ny.bin
+    )
+    SELECT CAST(MAX(nn) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cells,
+           {OSUM("CASE WHEN n > 0 THEN (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * LN((CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) ELSE 0.0 END")} AS mi_nats,
+           {OSUM("((CAST(n AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE))) / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE))")} AS chi2
+    FROM g
+    """,
+)
+def mutual_info(spark, sf_dir):
+    """Mutual information (nats) and the chi-square statistic between
+    event_type and the decile-binned value — one (type, bin) contingency
+    aggregation (the shuffle carries cell counts, never rows), marginals
+    re-aggregated from the cell table, and the FULL types×bins grid
+    rebuilt by crossing the two marginal tables (zero cells participate:
+    chi-square requires them — each contributes its expected count; the
+    MI term at n=0 is the p·ln p → 0 limit, written as an explicit
+    CASE so both engines emit literal 0.0). Per-cell terms are
+    identically-shaped double arithmetic over exact integers; the final
+    reduction goes through the fixed-point sum so summation order can't
+    perturb the hash. One-row output; every post-scan relation is
+    marginal-sized (types, bins, types×bins)."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    c = (
+        e.select(
+            "event_type",
+            F.least(
+                F.lit(_MI_BINS - 1),
+                F.floor(F.col("value") / _MI_WIDTH).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nx = c.groupBy("event_type").agg(F.sum("n").alias("nx"))
+    ny = c.groupBy("bin").agg(F.sum("n").alias("ny"))
+    tot = c.agg(F.sum("n").alias("nn"))
+    g = (
+        nx.crossJoin(ny)
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["event_type", "bin"], "left")
+        .select("nx", "ny", "nn", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    nxd = F.col("nx").cast("double")
+    nyd = F.col("ny").cast("double")
+    nnd = F.col("nn").cast("double")
+    exy = nxd * nyd / nnd
+    mi_term = F.when(
+        F.col("n") > 0, (nd / nnd) * F.ln((nd * nnd) / (nxd * nyd))
+    ).otherwise(F.lit(0.0))
+    return g.agg(
+        F.max("nn").alias("n"),
+        F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_cells"),
+        dsum(mi_term).alias("mi_nats"),
+        dsum(((nd - exy) * (nd - exy)) / exy).alias("chi2"),
     )

@@ -25,7 +25,7 @@ from vcf2db_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from vcf2db_spark.operators.similarity import ivf_topk, lsh_topk
-from vcf2db_spark.registry import OAVG, OSUM6, davg, dq, dsum6, r6
+from vcf2db_spark.registry import OAVG, OSUM, OSUM6, OZ6, davg, dq, dsum6, r6
 
 # --------------------------------------------------------------------------
 # C2 exact twin — token-set Jaccard near-dup pairs (bounded input; the
@@ -1514,3 +1514,228 @@ def dedup_incremental(spark, sf_dir):
         F.pmod(F.xxhash64("fp"), F.lit(_FPSTORE_SHARDS)).cast("int"),
     )
     return new.join(store, ["shard", "fp"], "left_anti").select("doc_id", "fp")
+
+
+# --------------------------------------------------------------------------
+# C5+ — Zipf rank-frequency fit per language: the corpus-health diagnostic
+# (natural text fits slope ≈ -1; generated/boilerplate corpora deviate).
+# Rank ties broken by token so both engines rank identically; the log-log
+# OLS runs on fixed-point sums of identically-derived doubles.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPN = 500
+
+
+@dq(
+    "zipf_slope",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1, 2),
+    r AS (SELECT lang, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, token) AS rank
+          FROM c),
+    t AS (SELECT lang, LN(CAST(rank AS DOUBLE)) AS x,
+                 LN(CAST(n AS DOUBLE)) AS y
+          FROM r WHERE rank <= {_ZIPF_TOPN}),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pts,
+             {OSUM("x")} AS sx, {OSUM("y")} AS sy,
+             {OSUM("x * y")} AS sxy, {OSUM("x * x")} AS sxx
+      FROM t GROUP BY lang
+    ),
+    z AS (
+      SELECT lang, n_pts,
+             {OZ6("(CAST(n_pts AS DOUBLE) * sxy - sx * sy) / (CAST(n_pts AS DOUBLE) * sxx - sx * sx)")} AS zipf_slope,
+             sx, sy
+      FROM s WHERE CAST(n_pts AS DOUBLE) * sxx - sx * sx > 0
+    )
+    SELECT lang, n_pts, zipf_slope,
+           {OZ6("(sy - zipf_slope * sx) / CAST(n_pts AS DOUBLE)")} AS intercept
+    FROM z
+    """,
+)
+def zipf_slope(spark, sf_dir):
+    """Per-language Zipf fit: token counts, deterministic rank
+    (count DESC, token ASC), log-log OLS over the top-500 ranks from
+    four fixed-point sums. One token-keyed count shuffle + one ranking
+    window partitioned by lang over the count table (vocabulary-sized,
+    never raw tokens) + one lang-keyed aggregate. At 100 TB the count
+    table is the only shuffled state and ranks cap the regression input
+    at 500 rows per language. Intercept reuses the ROUNDED slope on both
+    sides so the arithmetic is identical."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.registry import dsum, z6
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("lang", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    r = c.select(
+        "lang",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy(F.col("n").desc(), "token"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _ZIPF_TOPN)
+    t = r.select(
+        "lang",
+        F.ln(F.col("rank").cast("double")).alias("x"),
+        F.ln(F.col("n").cast("double")).alias("y"),
+    )
+    s = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    npd = F.col("n_pts").cast("double")
+    det = npd * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = s.filter(det > 0).select(
+        "lang",
+        "n_pts",
+        z6((npd * F.col("sxy") - F.col("sx") * F.col("sy")) / det).alias("zipf_slope"),
+        "sx",
+        "sy",
+    )
+    return z.select(
+        "lang",
+        "n_pts",
+        "zipf_slope",
+        z6(
+            (F.col("sy") - F.col("zipf_slope") * F.col("sx"))
+            / F.col("n_pts").cast("double")
+        ).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C5+ — bigram language model head: add-one-smoothed conditional
+# probabilities over the corpus's 50 most frequent bigrams — the n-gram
+# LM construction pass (the count side of perplexity_lm's scoring side).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "ngram_lm",
+    oracle=r"""
+    WITH t AS (
+      SELECT string_split_regex(trim(text), '\s+') AS l FROM documents
+    ),
+    g AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2
+      FROM (SELECT l, unnest(range(1, len(l))) AS i FROM t)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM bc GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS vsz FROM bc)
+    SELECT bc.w1, bc.w2, bc.n, uc.n1, v.vsz,
+           ROUND((CAST(bc.n AS DOUBLE) + 1.0)
+                 / (CAST(uc.n1 AS DOUBLE) + CAST(v.vsz AS DOUBLE)), 6)
+             AS p_smoothed
+    FROM bc JOIN uc USING (w1), v
+    ORDER BY bc.n DESC, bc.w1, bc.w2 LIMIT 50
+    """,
+)
+def ngram_lm(spark, sf_dir):
+    """Bigram LM counts with add-one smoothing: adjacent-token pairs via
+    an indexed array transform (no self-join — the pairing is row-local),
+    one bigram-keyed count shuffle, unigram context totals re-aggregated
+    FROM the bigram counts (no second corpus pass), successor-vocabulary
+    size as a broadcast scalar, and a top-50 head with full deterministic
+    tie-break (n DESC, w1, w2 — TakeOrderedAndProject, no global sort).
+    The smoothed probability derives from exact BIGINT counts."""
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(trim(text), '\\\\s+'), 1,"
+                " greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
+                " (w, i) -> struct(w AS w1,"
+                " split(trim(text), '\\\\s+')[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    uc = bc.groupBy("w1").agg(F.sum("n").alias("n1"))
+    v = bc.agg(F.count_distinct("w2").alias("vsz"))
+    return (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "n1",
+            "vsz",
+            F.round(
+                (F.col("n").cast("double") + 1.0)
+                / (F.col("n1").cast("double") + F.col("vsz").cast("double")),
+                6,
+            ).alias("p_smoothed"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# C5+ — per-document token-distribution entropy: the gibberish /
+# boilerplate detector (low entropy = repetitive, high = diverse). All
+# probabilities from exact BIGINT counts; per-doc reduction through the
+# fixed-point sum.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "token_entropy",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    c AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+    m AS (SELECT doc_id, c,
+                 CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+          FROM c)
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           {OSUM("(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))")} AS entropy_nats
+    FROM m GROUP BY doc_id
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution (nats):
+    (doc, token) histogram, per-doc totals via a window over the
+    histogram (partitioned by doc_id — same key the aggregate reuses, so
+    one exchange serves both), per-cell p·ln(1/p) terms from exact
+    integers, fixed-point reduction. The shuffle carries histogram cells
+    (bounded by distinct tokens per doc), never raw token instances
+    past the first count."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.registry import dsum
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    tok = d.select("doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token"))
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    m = c.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    cd = F.col("c").cast("double")
+    nd = F.col("n").cast("double")
+    return m.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dsum((cd / nd) * F.ln(nd / cd)).alias("entropy_nats"),
+    )
