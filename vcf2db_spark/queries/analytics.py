@@ -845,6 +845,7 @@ def rolling_distinct(spark, sf_dir):
 
 _MI_BINS = 10
 _MI_WIDTH = 50.0
+_MI_LC = Lifecycle()
 
 
 @dq(
@@ -886,8 +887,12 @@ def mutual_info(spark, sf_dir):
     identically-shaped double arithmetic over exact integers; the final
     reduction goes through the fixed-point sum so summation order can't
     perturb the hash. One-row output; every post-scan relation is
-    marginal-sized (types, bins, types×bins)."""
+    marginal-sized (types, bins, types×bins). The cell table feeds four
+    consumers (nx, ny, tot, the grid join), so it is persisted
+    (release-on-next-call) — without it each marginal re-runs the events
+    scan (measured 3× at sf1)."""
     e = table_wide(spark, sf_dir, "events", "user_id")
+    _MI_LC.release()
     c = (
         e.select(
             "event_type",
@@ -898,7 +903,9 @@ def mutual_info(spark, sf_dir):
         )
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
+    _MI_LC.hold_df(c)
     nx = c.groupBy("event_type").agg(F.sum("n").alias("nx"))
     ny = c.groupBy("bin").agg(F.sum("n").alias("ny"))
     tot = c.agg(F.sum("n").alias("nn"))

@@ -1652,13 +1652,15 @@ def ngram_lm(spark, sf_dir):
     tie-break (n DESC, w1, w2 — TakeOrderedAndProject, no global sort).
     The smoothed probability derives from exact BIGINT counts."""
     d = table_wide(spark, sf_dir, "documents", "doc_id")
-    pairs = d.select(
+    # project the token array ONCE; a transform over an inline split
+    # would re-tokenize per reference (3× the regex work — codegen does
+    # not CSE across lambda scopes)
+    toks = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
+    pairs = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(split(trim(text), '\\\\s+'), 1,"
-                " greatest(size(split(trim(text), '\\\\s+')) - 1, 0)),"
-                " (w, i) -> struct(w AS w1,"
-                " split(trim(text), '\\\\s+')[i + 1] AS w2))"
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
