@@ -2,7 +2,10 @@
 rolling_distinct (cover-set window counting), mutual_info (independence
 → 0 / determinism → ln 2), token_entropy (uniform → ln k, constant → 0),
 zipf_slope (exact power law → slope −1), ngram_lm (add-one smoothing
-formula). These pin the FORMULAS independently of the DuckDB oracle."""
+formula), welch_ttest (textbook two-sample case), autocorr_daily
+(consecutive-day pairing + gap handling), seasonal_profile (hour-cell
+means and deviations). These pin the FORMULAS independently of the
+DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -123,3 +126,67 @@ def test_ngram_lm_add_one_smoothing(spark):
     # context 'a' seen 3 times, successor vocab {b, c} size 2:
     # p(b|a) = (2+1)/(3+2) = 0.6, p(c|a) = (1+1)/(3+2) = 0.4
     assert got == {("a", "b"): (2, 3, 2, 0.6), ("a", "c"): (1, 3, 2, 0.4)}
+
+
+def _events_us(spark, rows):
+    """rows: (event_id, user_id, uts_micros, event_type, value)."""
+    return spark.createDataFrame(
+        rows,
+        "event_id: bigint, user_id: bigint, uts: bigint,"
+        " event_type: string, value: double",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("timestamp_micros(uts)").cast("timestamp_ntz").alias("ts"),
+    )
+
+
+_BEFORE = 1_705_000_000_000_000   # 2024-01-11, before the PSI split
+_AFTER = 1_705_800_000_000_000    # 2024-01-21, after
+
+
+def test_welch_ttest_hand_computed(spark):
+    # ref half [1, 3]: mean 2, var 2; cur half [5, 9]: mean 7, var 8.
+    # t = (2-7)/sqrt(2/2 + 8/2) = -sqrt(5) -> -2.236068
+    # df = (1+4)^2 / (1^2/1 + 4^2/1) = 25/17 -> 1.470588
+    rows = [(1, 1, _BEFORE, "T", 1.0), (2, 1, _BEFORE + 1, "T", 3.0),
+            (3, 1, _AFTER, "T", 5.0), (4, 1, _AFTER + 1, "T", 9.0)]
+    (r,) = _with_table(qa, _events_us(spark, rows), "welch_ttest", spark)
+    assert (r["n_ref"], r["n_cur"]) == (2, 2)
+    assert (r["mean_ref"], r["mean_cur"]) == (2.0, 7.0)
+    assert r["t_stat"] == round(-math.sqrt(5.0), 6)
+    assert r["df_welch"] == round(25.0 / 17.0, 6)
+
+
+def test_autocorr_daily_hand_computed(spark):
+    # type A: daily counts [1,2,3,4] on consecutive days -> mean 2.5,
+    # num = 0.75 - 0.25 + 0.75 = 1.25, den = 5 -> r1 = 0.25.
+    # type B: counts 1 on days 0,1,3 -> only (0,1) is a pair.
+    rows = []
+    eid = 0
+    for d, c in [(0, 1), (1, 2), (2, 3), (3, 4)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, 1, d * _DAY_US + 1, "A", 1.0))
+    for d in (0, 1, 3):
+        eid += 1
+        rows.append((eid, 1, d * _DAY_US + 1, "B", 1.0))
+    out = _with_table(qa, _events_us(spark, rows), "autocorr_daily", spark)
+    got = {r["event_type"]: (r["n_days"], r["n_pairs"], r["r1"]) for r in out}
+    assert got["A"] == (4, 3, 0.25)
+    # B: all counts equal -> den = 0 -> filtered out
+    assert "B" not in got
+
+
+def test_seasonal_profile_hand_computed(spark):
+    # hour 0 values [1, 3] -> mean 2; hour 1 [4] -> mean 4;
+    # type mean 8/3 -> 2.666667 in rounded units.
+    h = 3_600_000_000
+    rows = [(1, 1, 0 * h + 5, "T", 1.0), (2, 1, 0 * h + 6, "T", 3.0),
+            (3, 1, 1 * h + 5, "T", 4.0)]
+    out = _with_table(qa, _events_us(spark, rows), "seasonal_profile", spark)
+    got = {r["hod"]: (r["n"], r["hod_mean"], r["dev_from_mean"]) for r in out}
+    assert got[0] == (2, 2.0, -0.666667)
+    assert got[1] == (1, 4.0, 1.333333)

@@ -97,7 +97,7 @@ _PRIORITY_R05 = [
     "bpe_encode", "dedup_incremental", "json_roundtrip",
     "join_skew_salted", "embed_pca_project",
     "rolling_distinct", "mutual_info", "zipf_slope", "ngram_lm",
-    "token_entropy",
+    "token_entropy", "welch_ttest", "autocorr_daily", "seasonal_profile",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

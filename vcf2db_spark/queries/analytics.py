@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from vcf2db_spark.io import table, table_wide
-from vcf2db_spark.registry import OSUM, dq, dsum, z6
+from vcf2db_spark.registry import OSUM, OZ6, dq, dsum, z6
 
 # --------------------------------------------------------------------------
 # per-group ordinary least squares: value ~ time, one closed-form fit per
@@ -928,4 +928,286 @@ def mutual_info(spark, sf_dir):
         F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).alias("n_cells"),
         dsum(mi_term).alias("mi_nats"),
         dsum(((nd - exy) * (nd - exy)) / exy).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Welch two-sample t-test per event_type between the reference and current
+# time halves — the significance companion to drift_psi's magnitude
+# metric. One conditional aggregate; all moments exact BIGINT.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "welch_ttest",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS r,
+             CAST(ROUND(value * 1000.0) AS BIGINT) AS yu
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(r) AS BIGINT) AS n1,
+             CAST(SUM(1 - r) AS BIGINT) AS n2,
+             CAST(SUM(r * yu) AS BIGINT) AS sy1,
+             CAST(SUM((1 - r) * yu) AS BIGINT) AS sy2,
+             CAST(SUM(r * yu * yu) AS BIGINT) AS syy1,
+             CAST(SUM((1 - r) * yu * yu) AS BIGINT) AS syy2
+      FROM w GROUP BY event_type
+    ),
+    v AS (
+      SELECT event_type, n1, n2,
+             CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1000.0 AS m1,
+             CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1000.0 AS m2,
+             (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+                / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) / 1000000.0
+               AS v1,
+             (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE) / 1000000.0
+               AS v2
+      FROM s WHERE n1 > 1 AND n2 > 1
+    )
+    SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+           {OZ6("m1")} AS mean_ref, {OZ6("m2")} AS mean_cur,
+           {OZ6("(m1 - m2) / SQRT(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))")} AS t_stat,
+           {OZ6("((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))) / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))")} AS df_welch
+    FROM v
+    """,
+)
+def welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test of the value mean per event_type,
+    reference half vs current half (the drift_psi split): ONE scan, one
+    conditional-moment aggregate per type (n, Σy, Σy² per half as six
+    exact BIGINT sums), then the t statistic and Welch–Satterthwaite df
+    as identically-shaped double arithmetic. Moments use 1e-3 units so
+    Σy² stays exact in BIGINT (~3e11 per row, exact to ~3e7 rows/type —
+    bound documented vs the 1e-6 linear-sum convention; Σy·Σy is formed
+    in DOUBLE on both sides because its exact form overflows). sqrt is
+    correctly-rounded IEEE in both engines."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    r = (F.col("ts") < F.timestamp_micros(F.lit(_PSI_SPLIT_US))).cast("long")
+    yu = F.round(F.col("value") * 1000.0).cast("long")
+    s = (
+        e.select("event_type", r.alias("r"), yu.alias("yu"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("r").alias("n1"),
+            F.sum(1 - F.col("r")).alias("n2"),
+            F.sum(F.col("r") * F.col("yu")).alias("sy1"),
+            F.sum((1 - F.col("r")) * F.col("yu")).alias("sy2"),
+            F.sum(F.col("r") * F.col("yu") * F.col("yu")).alias("syy1"),
+            F.sum((1 - F.col("r")) * F.col("yu") * F.col("yu")).alias("syy2"),
+        )
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("sy1").cast("double") / n1d / 1000.0
+    m2 = F.col("sy2").cast("double") / n2d / 1000.0
+    v1 = (
+        (F.col("syy1").cast("double") - F.col("sy1").cast("double") * F.col("sy1").cast("double") / n1d)
+        / (F.col("n1") - 1).cast("double") / 1_000_000.0
+    )
+    v2 = (
+        (F.col("syy2").cast("double") - F.col("sy2").cast("double") * F.col("sy2").cast("double") / n2d)
+        / (F.col("n2") - 1).cast("double") / 1_000_000.0
+    )
+    v = s.filter((F.col("n1") > 1) & (F.col("n2") > 1)).select(
+        "event_type",
+        F.col("n1").alias("n_ref"),
+        F.col("n2").alias("n_cur"),
+        m1.alias("m1"),
+        m2.alias("m2"),
+        v1.alias("v1"),
+        v2.alias("v2"),
+        n1d.alias("n1d"),
+        n2d.alias("n2d"),
+        (F.col("n1") - 1).cast("double").alias("df1"),
+        (F.col("n2") - 1).cast("double").alias("df2"),
+    )
+    se1 = F.col("v1") / F.col("n1d")
+    se2 = F.col("v2") / F.col("n2d")
+    return v.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        z6(F.col("m1")).alias("mean_ref"),
+        z6(F.col("m2")).alias("mean_cur"),
+        z6((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        z6(
+            ((se1 + se2) * (se1 + se2))
+            / (se1 * se1 / F.col("df1") + se2 * se2 / F.col("df2"))
+        ).alias("df_welch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# lag-1 autocorrelation of the daily event-count series per type — the
+# burstiness / seasonality detector over ingestion telemetry. The series
+# is the (type, day) count table; everything after the first aggregate is
+# days×types-sized.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "autocorr_daily",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM d GROUP BY 1
+    ),
+    l AS (
+      SELECT event_type, day, c,
+             LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS c_prev,
+             LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS day_prev
+      FROM d
+    ),
+    t AS (
+      SELECT l.event_type, m.n_days, m.mu, l.c, l.c_prev,
+             CASE WHEN l.day_prev = l.day - 1 THEN 1 ELSE 0 END AS is_pair
+      FROM l JOIN m ON m.event_type = l.event_type
+    ),
+    s AS (
+      SELECT event_type, n_days,
+             CAST(SUM(is_pair) AS BIGINT) AS n_pairs,
+             {OSUM("CASE WHEN is_pair = 1 THEN (CAST(c AS DOUBLE) - mu) * (CAST(c_prev AS DOUBLE) - mu) ELSE 0.0 END")} AS num,
+             {OSUM("(CAST(c AS DOUBLE) - mu) * (CAST(c AS DOUBLE) - mu)")} AS den
+      FROM t GROUP BY event_type, n_days
+    )
+    SELECT event_type, n_days, n_pairs,
+           {OZ6("num / den")} AS r1
+    FROM s WHERE den > 0
+    """,
+)
+def autocorr_daily(spark, sf_dir):
+    """Lag-1 autocorrelation of each type's daily event counts: one
+    (type, day) count aggregate off the scan, per-type mean from the
+    count table, adjacent days paired with a lag window partitioned by
+    type (only true day→day+1 gaps count as pairs), deviation products
+    reduced through the fixed-point sum. r1 near 0 = Poisson-ish arrival,
+    near 1 = trending/bursty. Every relation after the first aggregate
+    is (types × days)-sized."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 86400000000")
+    d = (
+        e.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = d.groupBy("event_type").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("c_prev"),
+        F.lag("day").over(w).alias("day_prev"),
+    )
+    t = lagd.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "n_days",
+        "mu",
+        "c",
+        "c_prev",
+        F.when(F.col("day_prev") == F.col("day") - 1, 1).otherwise(0).alias("is_pair"),
+    )
+    cd = F.col("c").cast("double") - F.col("mu")
+    cp = F.col("c_prev").cast("double") - F.col("mu")
+    s = t.groupBy("event_type", "n_days").agg(
+        F.sum("is_pair").alias("n_pairs"),
+        dsum(F.when(F.col("is_pair") == 1, cd * cp).otherwise(F.lit(0.0))).alias("num"),
+        dsum(cd * cd).alias("den"),
+    )
+    return s.filter(F.col("den") > 0).select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        z6(F.col("num") / F.col("den")).alias("r1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# hour-of-day seasonal profile per event_type: cell means + deviation
+# from the type's overall mean — the seasonality decomposition a
+# telemetry dashboard draws. Hour derives from epoch arithmetic (TZ-free
+# on both engines).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "seasonal_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS su
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, hod, n, su,
+             CAST(SUM(su) OVER (PARTITION BY event_type) AS BIGINT) AS su_t,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+      FROM c
+    )
+    SELECT event_type, hod, n,
+           (CAST(ROUND(CAST(su AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)
+              / 1000000.0) AS hod_mean,
+           (ROUND((CAST(ROUND(CAST(su AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE)
+              - CAST(ROUND(CAST(su_t AS DOUBLE) / CAST(n_t AS DOUBLE)) AS DOUBLE))
+              / 1000000.0, 6) + 0.0) AS dev_from_mean
+    FROM t
+    """,
+)
+def seasonal_profile(spark, sf_dir):
+    """Per-(type, hour-of-day) mean value and its deviation from the
+    type's overall mean: one conditional-moment aggregate to the ≤
+    types×24 cell table (exact 1e-6-unit sums), type totals via window
+    sums over the cells (same integers the cells carry — no second
+    scan), means rounded in integer units (the davg convention) so both
+    engines divide identical integers. Hour-of-day is pure epoch
+    arithmetic — no calendar/timezone dependence."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    hod = F.expr("(unix_micros(CAST(ts AS TIMESTAMP_LTZ)) DIV 3600000000) % 24")
+    c = (
+        e.select(
+            "event_type",
+            hod.alias("hod"),
+            F.round(F.col("value") * 1_000_000.0).cast("long").alias("vu"),
+        )
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vu").alias("su"))
+    )
+    w = Window.partitionBy("event_type")
+    t = c.select(
+        "event_type",
+        "hod",
+        "n",
+        "su",
+        F.sum("su").over(w).alias("su_t"),
+        F.sum("n").over(w).alias("n_t"),
+    )
+    hod_mean_u = F.round(F.col("su").cast("double") / F.col("n").cast("double"))
+    type_mean_u = F.round(F.col("su_t").cast("double") / F.col("n_t").cast("double"))
+    return t.select(
+        "event_type",
+        "hod",
+        "n",
+        (hod_mean_u / 1_000_000.0).alias("hod_mean"),
+        z6((hod_mean_u - type_mean_u) / 1_000_000.0).alias("dev_from_mean"),
     )
