@@ -212,6 +212,45 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle: int = 3,
+) -> DataFrame:
+    """Directed shingle-containment pairs: C(a, b) = |S(a) ∩ S(b)| / |S(a)|
+    — the asymmetric near-dup measure (doc a embedded in a larger doc b
+    scores ~1 even when Jaccard is tiny). Used for decontamination and
+    quote/subset detection where symmetric Jaccard under-fires.
+
+    Same inverted-index shape as :func:`jaccard_pairs` (one shingle
+    explode, equi-self-join on the shingle, Σ|posting|² bound — see
+    docs/SCALE.md), but pairs are DIRECTED (a ≠ b, both orders), the
+    denominator is |S(a)| only, and broadcast of the size dim prunes the
+    second shuffle."""
+    units = word_shingles(text_col, shingle)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(units)).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("n_a"))
+    cont = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

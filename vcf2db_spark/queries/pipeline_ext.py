@@ -1741,3 +1741,198 @@ def token_entropy(spark, sf_dir):
         F.count(F.lit(1)).alias("n_distinct"),
         dsum((cd / nd) * F.ln(nd / cd)).alias("entropy_nats"),
     )
+
+
+# --------------------------------------------------------------------------
+# C2+ — directed shingle CONTAINMENT pairs: the asymmetric near-dup
+# measure (|S(a) ∩ S(b)| / |S(a)|) that catches a document embedded in a
+# larger one, where symmetric Jaccard under-fires (|union| dominated by
+# the big doc). The standard decontamination / quote-detection screen.
+# Same inverted-index Σ|posting|² shape as dedup_jaccard; bounded input
+# here, LSH-bucketed at scale (docs/SCALE.md).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "contain_shingle",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(l) - 3, 0) + 2),
+               i -> array_to_string(l[i:i+2], ' ')))) AS tok
+      FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+            FROM documents WHERE doc_id < 500)
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM sh a JOIN sh b ON a.tok = b.tok AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_toks AS DOUBLE), 6)
+             AS containment
+    FROM inter JOIN sizes sa ON sa.id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_toks AS DOUBLE) >= 0.8
+    """,
+)
+def contain_shingle(spark, sf_dir):
+    """Directed 3-shingle containment C(a,b) = |S(a)∩S(b)|/|S(a)| ≥ 0.8
+    over a bounded slice (operators/dedup.py::containment_pairs). The
+    oracle builds identical shingles via DuckDB list slicing (1-based
+    inclusive l[i:i+2] ≡ Spark slice(toks, i+1, 3), both clip at the
+    tail, so short docs yield the same partial shingle)."""
+    from vcf2db_spark.operators.dedup import containment_pairs
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return containment_pairs(d, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# C5+ — multinomial Naive Bayes language classifier, train + score in one
+# declared dataflow: the canonical count-based quality/language classifier
+# of LLM curation stacks (fastText-style bag-of-words, add-one smoothing).
+# Train on doc_id % 5 != 0, score the held-out 20%. Everything is exact
+# BIGINT counting until the per-(doc,label) log-likelihood, which uses
+# ln() on identically-derived doubles (the search_bm25 convention) and
+# the fixed-point dsum for the token-sum term. Missing (token,label)
+# pairs contribute ln(1) = 0 to the token sum, so the inner join on the
+# trained count table IS the full smoothed score — no dense V×L grid.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "nb_classify",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    ct AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tok FROM ct GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz FROM ct),
+    pri AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+    nn AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pri),
+    lab AS (SELECT pri.lang, n_docs, n_tok, vsz, n_total
+            FROM pri JOIN tot USING (lang), v, nn),
+    td AS (SELECT doc_id, lang AS lang_true, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+    nd AS (SELECT doc_id, lang_true, CAST(SUM(tf) AS BIGINT) AS n_toks
+           FROM td GROUP BY 1, 2),
+    s1 AS (
+      SELECT td.doc_id, ct.lang AS lang_c,
+             (CAST(SUM(CAST(ROUND((CAST(tf AS DOUBLE)
+               * LN(CAST(ct.n + 1 AS DOUBLE))) * 1000000.0) AS BIGINT))
+               AS DOUBLE) / 1000000.0) AS s1
+      FROM td JOIN ct ON ct.token = td.token
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT nd.doc_id, nd.lang_true, lab.lang,
+             LN(CAST(lab.n_docs AS DOUBLE) / CAST(lab.n_total AS DOUBLE))
+             - CAST(nd.n_toks AS DOUBLE)
+               * LN(CAST(lab.n_tok + lab.vsz AS DOUBLE))
+             + COALESCE(s1.s1, 0.0) AS score
+      FROM nd CROSS JOIN lab
+      LEFT JOIN s1 ON s1.doc_id = nd.doc_id AND s1.lang_c = lab.lang
+    ),
+    r AS (
+      SELECT doc_id, lang_true, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk,
+             LEAD(score) OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, lang) AS s2
+      FROM sc
+    )
+    SELECT doc_id, lang_true, lang AS lang_pred,
+           (ROUND((score - COALESCE(s2, score)), 6) + 0.0) AS margin,
+           CAST(CASE WHEN lang = lang_true THEN 1 ELSE 0 END AS BIGINT) AS hit
+    FROM r WHERE rk = 1
+    """,
+)
+def nb_classify(spark, sf_dir):
+    """Train a multinomial NB on the 80% split, score the held-out 20%:
+    per-label token counts (one shuffle), label dim joined broadcast
+    (|labels| rows), per-(doc,label) score = ln prior − n_d·ln(tot+V) +
+    Σ tf·ln(cnt+1) via an inner join on the trained counts (absent
+    pairs are the smoothing zero), argmax per doc with a (score DESC,
+    lang) tie-break and the runner-up margin from lead(). At 100 TB the
+    trained model is the broadcast side and scoring is one map-side
+    join + one (doc,label) aggregate."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.registry import dsum, z6
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    tok = d.select(
+        "doc_id", "lang", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token")
+    )
+    ct = (
+        tok.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = ct.groupBy("lang").agg(F.sum("n").alias("n_tok"))
+    v = ct.agg(F.count_distinct("token").alias("vsz"))
+    pri = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    nn = pri.agg(F.sum("n_docs").alias("n_total"))
+    lab = pri.join(tot, "lang").crossJoin(F.broadcast(v)).crossJoin(F.broadcast(nn))
+    td = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = td.groupBy("doc_id", "lang_true").agg(F.sum("tf").alias("n_toks"))
+    s1 = (
+        td.join(ct.select(F.col("lang").alias("lang_c"), "token", "n"), "token")
+        .groupBy(F.col("doc_id").alias("doc_id_s"), F.col("lang_c"))
+        .agg(
+            dsum(
+                F.col("tf").cast("double") * F.log((F.col("n") + 1).cast("double"))
+            ).alias("s1")
+        )
+    )
+    sc = (
+        nd.crossJoin(F.broadcast(lab))
+        .join(
+            s1,
+            (F.col("doc_id_s") == F.col("doc_id"))
+            & (F.col("lang_c") == F.col("lang")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            (
+                F.log(F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+                - F.col("n_toks").cast("double")
+                * F.log((F.col("n_tok") + F.col("vsz")).cast("double"))
+                + F.coalesce(F.col("s1"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    r = sc.select(
+        "doc_id",
+        "lang_true",
+        "lang",
+        "score",
+        F.row_number().over(w).alias("rk"),
+        F.lead("score").over(w).alias("s2"),
+    )
+    return r.filter(F.col("rk") == 1).select(
+        "doc_id",
+        "lang_true",
+        F.col("lang").alias("lang_pred"),
+        z6(F.col("score") - F.coalesce(F.col("s2"), F.col("score"))).alias("margin"),
+        (F.col("lang") == F.col("lang_true")).cast("bigint").alias("hit"),
+    )

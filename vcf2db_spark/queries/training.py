@@ -287,3 +287,69 @@ def sample_weighted(spark, sf_dir):
         )
         .select("doc_id", "n_chars", "hkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-prep: hash-stratified k-fold assignment audit. Folds come from
+# the deterministic Knuth multiplicative hash (not row_number over a
+# per-class window — a single window partition per class would serialize
+# the largest class at 100 TB; the hash is map-only, exactly reproducible
+# across engines, and balanced in expectation within every class). The
+# declared output is the (class, fold) audit grid a pipeline gates on:
+# counts, char mass, and each fold's deviation from the per-class mean.
+# --------------------------------------------------------------------------
+
+_K_FOLDS = 5
+
+
+@dq(
+    "kfold_stratified",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, n_chars,
+             ({knuth_hash_sql('doc_id', '//')}) % {_K_FOLDS} AS fold
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM h GROUP BY 1, 2
+    )
+    SELECT lang, fold, n_docs, sum_chars,
+           (ROUND(CAST(n_docs AS DOUBLE)
+              / (CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+                 / {_K_FOLDS}.0) - 1.0, 6) + 0.0) AS balance_dev
+    FROM g
+    """,
+)
+def kfold_stratified(spark, sf_dir):
+    """K-fold split audit: fold = knuth_hash(doc_id) % k (map-only, no
+    shuffle until the audit aggregate), then per-(class, fold) counts,
+    char mass, and relative deviation from the class's ideal fold size.
+    The window runs over the k-row-per-class AUDIT grid, not the corpus,
+    so partitions stay tiny at any scale."""
+    from pyspark.sql import Window
+
+    from vcf2db_spark.registry import z6
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        (F.expr(knuth_hash_sql("doc_id", "DIV")) % _K_FOLDS).alias("fold"),
+    )
+    g = d.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    w = Window.partitionBy("lang")
+    return g.select(
+        "lang",
+        "fold",
+        "n_docs",
+        "sum_chars",
+        z6(
+            F.col("n_docs").cast("double")
+            / (F.sum("n_docs").over(w).cast("double") / float(_K_FOLDS))
+            - 1.0
+        ).alias("balance_dev"),
+    )

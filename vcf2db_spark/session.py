@@ -53,13 +53,32 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # Static conf: the compiled-class cache for whole-stage codegen.
         # The default (100 entries) thrashes when a session cycles through
-        # the full ~120-query declared surface — every re-run of a query
-        # recompiles + re-JITs its generated classes, which measured ~2×
-        # on steady-state wall time at sf1 (agg_distinct 2.3 s recorded vs
-        # 1.0 s with a warm class cache). Irrelevant to single-pipeline
+        # the full declared surface — every re-run of a query recompiles +
+        # re-JITs its generated classes, which measured ~2× on steady-state
+        # wall time at sf1 (agg_distinct 2.3 s recorded vs 1.0 s with a
+        # warm class cache; fixed at 2000 entries in round 3). The cache
+        # must track surface growth: at 184 queries × ~15 codegen stages
+        # the working set (~2 800 classes) overflowed 2000 and the thrash
+        # returned (round-5 sweep: agg_distinct 1.0→2.0 s, tpch_q16
+        # 0.78→1.55 s sweep-only, while an isolated session stayed at the
+        # old numbers). Sized with ~3× headroom; entries are soft
+        # references, so an undersized heap still collects them under
+        # pressure rather than OOMing. Irrelevant to single-pipeline
         # production jobs; essential for a many-query session like the
         # bench/driver sweep.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "8000"),
+        )
+        # The generated classes also occupy the JIT's code cache; the JVM
+        # default (240 MB) silently stops compilation when full ("CodeCache
+        # is full" appears only on stderr of the JVM, not the app log) and
+        # everything after runs interpreted. 512 MB covers the full-sweep
+        # class volume.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
     )
     # Single-node shuffle path: no network hop, so lz4 on shuffle blocks is
     # pure CPU tax, and tmpfs beats disk for the intermediate files.
