@@ -1871,10 +1871,20 @@ def nb_classify(spark, sf_dir):
     tok = d.select(
         "doc_id", "lang", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token")
     )
+    # ONE corpus tokenize pass: the (doc, lang, token) histogram feeds
+    # both the trained counts (train slice re-aggregated to label grain)
+    # and the scoring side (test slice). No persist: AQE's runtime stage
+    # reuse already dedupes the shared subtree (A/B at sf1: persist ≡
+    # plain within noise, and the first persisted call pays a ~2 s
+    # memory-write spike; BASELINE.md round-5 section). At 100 TB the
+    # single corpus scan instead of two is the part that matters.
+    c_all = tok.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     ct = (
-        tok.filter(F.col("doc_id") % 5 != 0)
+        c_all.filter(F.col("doc_id") % 5 != 0)
         .groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("tf").alias("n"))
     )
     tot = ct.groupBy("lang").agg(F.sum("n").alias("n_tok"))
     v = ct.agg(F.count_distinct("token").alias("vsz"))
@@ -1885,10 +1895,8 @@ def nb_classify(spark, sf_dir):
     )
     nn = pri.agg(F.sum("n_docs").alias("n_total"))
     lab = pri.join(tot, "lang").crossJoin(F.broadcast(v)).crossJoin(F.broadcast(nn))
-    td = (
-        tok.filter(F.col("doc_id") % 5 == 0)
-        .groupBy("doc_id", F.col("lang").alias("lang_true"), "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    td = c_all.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("lang_true"), "token", "tf"
     )
     nd = td.groupBy("doc_id", "lang_true").agg(F.sum("tf").alias("n_toks"))
     s1 = (
