@@ -190,3 +190,23 @@ def test_seasonal_profile_hand_computed(spark):
     got = {r["hod"]: (r["n"], r["hod_mean"], r["dev_from_mean"]) for r in out}
     assert got[0] == (2, 2.0, -0.666667)
     assert got[1] == (1, 4.0, 1.333333)
+
+
+def test_survival_km_product_limit(spark):
+    # one cohort (all first events day 0), horizon = day 20, cutoff 13:
+    #   u1: days 0,2   -> duration 2,  churned
+    #   u2: day 0      -> duration 0,  churned
+    #   u3: days 0,20  -> duration 20, censored
+    # life table: t=0 (d=1,n=3) S=2/3; t=2 (d=1,n=2) S=1/3;
+    #             t=20 (c=1,n=1) S stays 1/3
+    rows = [(1, 1, 0, 1.0), (2, 1, 2, 1.0), (3, 2, 0, 1.0),
+            (4, 3, 0, 1.0), (5, 3, 20, 1.0)]
+    out = _with_table(qa, _events(spark, rows), "survival_km", spark)
+    by_t = {r["duration_days"]: r for r in out}
+    assert set(by_t) == {0, 2, 20}
+    assert (by_t[0]["d_events"], by_t[0]["n_at_risk"]) == (1, 3)
+    assert (by_t[2]["d_events"], by_t[2]["n_at_risk"]) == (1, 2)
+    assert (by_t[20]["c_censored"], by_t[20]["n_at_risk"]) == (1, 1)
+    assert abs(by_t[0]["survival"] - 2 / 3) < 2e-6
+    assert abs(by_t[2]["survival"] - 1 / 3) < 2e-6
+    assert abs(by_t[20]["survival"] - 1 / 3) < 2e-6

@@ -1211,3 +1211,153 @@ def seasonal_profile(spark, sf_dir):
         (hod_mean_u / 1_000_000.0).alias("hod_mean"),
         z6((hod_mean_u - type_mean_u) / 1_000_000.0).alias("dev_from_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival (churn) curves per signup-week cohort: the
+# censoring-aware retention statistic (retention_cohort counts raw
+# activity; KM corrects for users whose observation window simply ended).
+# Everything is exact integer counting until ln(); the cumulative product
+# Π(1 - d/n) runs as an exact fixed-point cumulative SUM of rounded ln
+# terms inside a per-cohort window (a raw double running product/sum
+# would be engine-order-dependent), then one exp() at the end.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "survival_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id, event_type
+    ),
+    h AS (SELECT MAX(ts) AS max_ts FROM events),
+    f AS (
+      SELECT user_id,
+             DATEDIFF('day', DATE '1970-01-01', CAST(first_ts AS DATE)) // 7
+               AS cohort_week,
+             DATEDIFF('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+               AS duration_days,
+             CASE WHEN last_ts < max_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END
+               AS churned
+      FROM u, h
+    ),
+    g AS (
+      SELECT cohort_week, duration_days,
+             CAST(SUM(churned) AS BIGINT) AS d_events,
+             CAST(SUM(1 - churned) AS BIGINT) AS c_censored
+      FROM f GROUP BY 1, 2
+    ),
+    t AS (SELECT cohort_week,
+                 CAST(SUM(d_events + c_censored) AS BIGINT) AS n_cohort
+          FROM g GROUP BY 1),
+    r AS (
+      SELECT g.cohort_week, g.duration_days, g.d_events, g.c_censored,
+             CAST(t.n_cohort - COALESCE(SUM(g.d_events + g.c_censored) OVER (
+               PARTITION BY g.cohort_week ORDER BY g.duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk
+      FROM g JOIN t USING (cohort_week)
+    ),
+    s AS (
+      SELECT cohort_week, duration_days, d_events, c_censored, n_at_risk,
+             SUM(CASE WHEN d_events > 0
+                      THEN CAST(ROUND(LN(1.0 - CAST(d_events AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)) * 1000000.0)
+                           AS BIGINT)
+                      ELSE 0 END) OVER (
+               PARTITION BY cohort_week ORDER BY duration_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_units
+      FROM r WHERE n_at_risk > d_events
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week, duration_days,
+           d_events, c_censored, n_at_risk,
+           (ROUND(EXP(CAST(ln_units AS DOUBLE) / 1000000.0), 6) + 0.0)
+             AS survival
+    FROM s
+    """,
+)
+def survival_km(spark, sf_dir):
+    """Per-(user, event_type) subject lifespan (first → last event of
+    that type, censored when the last activity falls inside the final
+    7 days of the observation horizon), grouped to a duration-grain
+    life table per signup-week cohort, then the KM product-limit
+    estimator. Shapes: one subject-keyed aggregate off the scan;
+    everything after is life-table-sized
+    (cohorts × distinct durations). Both windows partition by cohort.
+    Cohort weeks use an epoch-day integer DIV (identical both engines;
+    format-token week numbering is not cross-engine-stable)."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    u = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    h = e.agg(F.max("ts").alias("max_ts"))
+    f = u.crossJoin(F.broadcast(h)).select(
+        F.expr(
+            "DATEDIFF(CAST(first_ts AS DATE), DATE '1970-01-01') DIV 7"
+        ).alias("cohort_week"),
+        F.datediff(
+            F.col("last_ts").cast("date"), F.col("first_ts").cast("date")
+        ).alias("duration_days"),
+        (F.col("last_ts") < F.col("max_ts") - F.expr("INTERVAL 7 DAY"))
+        .cast("long")
+        .alias("churned"),
+    )
+    g = f.groupBy("cohort_week", "duration_days").agg(
+        F.sum("churned").alias("d_events"),
+        F.sum(1 - F.col("churned")).alias("c_censored"),
+    )
+    t = g.groupBy("cohort_week").agg(
+        F.sum(F.col("d_events") + F.col("c_censored")).alias("n_cohort")
+    )
+    w_prev = (
+        Window.partitionBy("cohort_week")
+        .orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.join(t, "cohort_week").select(
+        "cohort_week",
+        "duration_days",
+        "d_events",
+        "c_censored",
+        (
+            F.col("n_cohort")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("n_at_risk"),
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    term = F.when(
+        F.col("d_events") > 0,
+        F.round(
+            F.log(
+                1.0
+                - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double")
+            )
+            * 1_000_000.0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    s = r.filter(F.col("n_at_risk") > F.col("d_events")).select(
+        "cohort_week",
+        "duration_days",
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        F.sum(term).over(w_cum).alias("ln_units"),
+    )
+    return s.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        "duration_days",
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        z6(F.exp(F.col("ln_units").cast("double") / 1_000_000.0)).alias("survival"),
+    )
