@@ -159,3 +159,32 @@ def test_kfold_deterministic_and_balanced(spark):
             if r["lang"] == lang:
                 ideal = tot / 5.0
                 assert abs((r["balance_dev"] + 1.0) * ideal - r["n_docs"]) < 1e-3
+
+
+def test_corpus_kl_identical_halves_zero(spark):
+    # even/odd docs carry identical token multisets -> p == q exactly,
+    # every divergence is 0.0
+    rows = [(0, "en", "a b b"), (1, "en", "a b b"),
+            (2, "en", "c a"), (3, "en", "c a")]
+    (r,) = _run(qp, "table_wide", _docs(spark, rows), "corpus_kl", spark)
+    assert (r["n_ref"], r["n_cur"], r["vsz"]) == (5, 5, 3)
+    assert r["kl_ref_cur"] == 0.0 and r["kl_cur_ref"] == 0.0 and r["jsd"] == 0.0
+
+
+def test_corpus_kl_hand_computed(spark):
+    # ref = {a:2}, cur = {b:1}; vocab {a,b}, smoothing +1:
+    # p = [(2+1)/4, (0+1)/4], q = [(0+1)/3, (1+1)/3]
+    rows = [(0, "en", "a a"), (1, "en", "b")]
+    (r,) = _run(qp, "table_wide", _docs(spark, rows), "corpus_kl", spark)
+    p = [3 / 4, 1 / 4]
+    q = [1 / 3, 2 / 3]
+    kl_rc = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    kl_cr = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
+    jsd = sum(
+        0.5 * pi * math.log(pi / ((pi + qi) / 2))
+        + 0.5 * qi * math.log(qi / ((pi + qi) / 2))
+        for pi, qi in zip(p, q)
+    )
+    assert abs(r["kl_ref_cur"] - kl_rc) < 3e-6
+    assert abs(r["kl_cur_ref"] - kl_cr) < 3e-6
+    assert abs(r["jsd"] - jsd) < 3e-6

@@ -210,3 +210,15 @@ def test_survival_km_product_limit(spark):
     assert abs(by_t[0]["survival"] - 2 / 3) < 2e-6
     assert abs(by_t[2]["survival"] - 1 / 3) < 2e-6
     assert abs(by_t[20]["survival"] - 1 / 3) < 2e-6
+
+
+def test_lorenz_gini_bounds(spark):
+    # uniform values -> G = 0 exactly; all mass on one row of n=4 ->
+    # G = (n-1)/n = 0.75
+    rows_uniform = [(i, 1, 0, 5.0) for i in range(1, 7)]
+    (r,) = _with_table(qa, _events(spark, rows_uniform), "lorenz_gini", spark)
+    assert r["n"] == 6 and r["gini"] == 0.0
+    rows_conc = [(1, 1, 0, 0.0), (2, 1, 0, 0.0), (3, 1, 0, 0.0),
+                 (4, 1, 0, 100.0)]
+    (r,) = _with_table(qa, _events(spark, rows_conc), "lorenz_gini", spark)
+    assert r["n"] == 4 and abs(r["gini"] - 0.75) < 2e-6

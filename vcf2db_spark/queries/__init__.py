@@ -99,6 +99,7 @@ _PRIORITY_R05 = [
     "rolling_distinct", "mutual_info", "zipf_slope", "ngram_lm",
     "token_entropy", "welch_ttest", "autocorr_daily", "seasonal_profile",
     "nb_classify", "contain_shingle", "kfold_stratified", "survival_km",
+    "corpus_kl", "lorenz_gini",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

@@ -1361,3 +1361,64 @@ def survival_km(spark, sf_dir):
         "n_at_risk",
         z6(F.exp(F.col("ln_units").cast("double") / 1_000_000.0)).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lorenz/Gini concentration of the value mass per event_type — the
+# inequality statistic curation pipelines use for "how concentrated is
+# the corpus across domains / the spend across users". Exact rank-sum
+# formulation: G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n over values ranked
+# ascending with a unique tie-break. Both Σ run in 1e-6 fixed point
+# (rank·value stays within BIGINT-unit headroom to ~2e7 rows/group at
+# this value range — docs/SCALE.md).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "lorenz_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn
+      FROM events
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             {OSUM("value")} AS su,
+             {OSUM("CAST(rn AS DOUBLE) * value")} AS swr
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {OZ6("2.0 * swr / (CAST(n AS DOUBLE) * su) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)")}
+             AS gini
+    FROM a
+    """,
+)
+def lorenz_gini(spark, sf_dir):
+    """Gini coefficient of value concentration per event_type via the
+    exact rank-sum identity. The rank window partitions by event_type
+    (group-sized partitions; at extreme group cardinality switch to the
+    two-phase distributed ranking in operators/ranking.py); both sums
+    are fixed-point BIGINT so shuffle order cannot perturb the hash."""
+    from pyspark.sql import Window
+
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    a = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("su"),
+        dsum(F.col("rn").cast("double") * F.col("value")).alias("swr"),
+    )
+    nd = F.col("n").cast("double")
+    return a.select(
+        "event_type",
+        "n",
+        z6(
+            2.0 * F.col("swr") / (nd * F.col("su"))
+            - (F.col("n") + 1).cast("double") / nd
+        ).alias("gini"),
+    )

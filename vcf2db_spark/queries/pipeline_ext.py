@@ -1944,3 +1944,98 @@ def nb_classify(spark, sf_dir):
         z6(F.col("score") - F.coalesce(F.col("s2"), F.col("score"))).alias("margin"),
         (F.col("lang") == F.col("lang_true")).cast("bigint").alias("hit"),
     )
+
+
+# --------------------------------------------------------------------------
+# C5+ — corpus-level token-distribution drift: smoothed KL divergence
+# (both directions) + Jensen-Shannon between the even- and odd-doc
+# halves of the corpus — the text analog of drift_psi, the statistic a
+# pipeline gates snapshot N+1 against snapshot N with. ONE token-keyed
+# aggregate off the scan (conditional counts put both halves on the same
+# row, so tokens missing from one half get their Laplace mass without a
+# union/grid); the divergence terms reduce vocab-sized rows to scalars
+# through the fixed-point sum.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "corpus_kl",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    byt AS (
+      SELECT token,
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_ref,
+             CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_cur
+      FROM tok GROUP BY token
+    ),
+    tots AS (
+      SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+             CAST(COUNT(*) AS BIGINT) AS vsz
+      FROM byt
+    ),
+    terms AS (
+      SELECT n_ref, n_cur, vsz,
+             (CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + vsz AS DOUBLE)) AS p,
+             (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + vsz AS DOUBLE)) AS q
+      FROM byt, tots
+    )
+    SELECT MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur, MAX(vsz) AS vsz,
+           {OZ6(OSUM("p * LN(p / q)"))} AS kl_ref_cur,
+           {OZ6(OSUM("q * LN(q / p)"))} AS kl_cur_ref,
+           {OZ6(OSUM("0.5 * p * LN(p / ((p + q) / 2.0)) + 0.5 * q * LN(q / ((p + q) / 2.0))"))} AS jsd
+    FROM terms
+    """,
+)
+def corpus_kl(spark, sf_dir):
+    """Add-one-smoothed KL(ref‖cur), KL(cur‖ref) and Jensen-Shannon
+    divergence between the token distributions of the two doc-parity
+    halves. The probabilities derive from exact BIGINT counts; ln runs
+    on identically-shaped doubles (search_bm25 convention); per-token
+    divergence terms reduce through dsum. At 100 TB the only corpus-
+    sized exchange is the token count aggregate (partial-aggregated);
+    everything downstream is vocabulary-sized then scalar."""
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.registry import dsum, z6
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    tok = d.select(
+        "doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("token")
+    )
+    byt = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    tots = byt.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("vsz"),
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + F.col("vsz")).cast(
+        "double"
+    )
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + F.col("vsz")).cast(
+        "double"
+    )
+    terms = byt.crossJoin(F.broadcast(tots)).select(
+        "n_ref", "n_cur", "vsz", p.alias("p"), q.alias("q")
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    return terms.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("vsz").alias("vsz"),
+        z6(dsum(F.col("p") * F.log(F.col("p") / F.col("q")))).alias("kl_ref_cur"),
+        z6(dsum(F.col("q") * F.log(F.col("q") / F.col("p")))).alias("kl_cur_ref"),
+        z6(
+            dsum(
+                0.5 * F.col("p") * F.log(F.col("p") / m)
+                + 0.5 * F.col("q") * F.log(F.col("q") / m)
+            )
+        ).alias("jsd"),
+    )
