@@ -222,3 +222,48 @@ def test_lorenz_gini_bounds(spark):
                  (4, 1, 0, 100.0)]
     (r,) = _with_table(qa, _events(spark, rows_conc), "lorenz_gini", spark)
     assert r["n"] == 4 and abs(r["gini"] - 0.75) < 2e-6
+
+
+def test_lorenz_gini_cliff_1m_single_group(spark, tmp_path):
+    """Property test AT the headroom cliff: 1M events in ONE event_type.
+    With the raw rank folded into the 1e-6-unit sum this overflows
+    BIGINT (ANSI abort) past ~2.3e5 rows at this value range; the
+    normalized-rank form must RUN, match the DuckDB oracle bitwise on
+    the same parquet, and recover the closed-form Gini of a discrete
+    uniform ramp, G = (n-1)/(3n) -> 1/3."""
+    import duckdb
+
+    from tools.check import compare
+    from vcf2db_spark.queries import ORACLES, QUERIES
+
+    n = 1_000_000
+    path = str(tmp_path / "events.parquet")
+    # value = rank ramp 1..n scaled to the fixture range (x/2000 <= 500)
+    (spark.range(1, n + 1).select(
+        F.col("id").alias("event_id"),
+        F.lit(1).cast("bigint").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") / 2000.0).alias("value"),
+        F.expr("timestamp_micros(1700000000000000 + id)")
+        .cast("timestamp_ntz")
+        .alias("ts"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(path))
+    df = spark.read.parquet(path)
+    orig = qa.table_wide
+    try:
+        qa.table_wide = lambda *a, **k: df
+        sdf = QUERIES["lorenz_gini"](spark, "unused").toPandas()
+    finally:
+        qa.table_wide = orig
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    odf = con.execute(ORACLES["lorenz_gini"]).fetchdf()
+    ok, msg = compare(sdf, odf)
+    assert ok, msg
+    assert len(sdf) == 1 and sdf["n"].iloc[0] == n
+    want = (n - 1) / (3.0 * n)
+    assert abs(sdf["gini"].iloc[0] - want) < 1e-4

@@ -1380,45 +1380,59 @@ def survival_km(spark, sf_dir):
     WITH r AS (
       SELECT event_type, value,
              ROW_NUMBER() OVER (PARTITION BY event_type
-                                ORDER BY value, event_id) AS rn
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nt
       FROM events
     ),
     a AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
              {OSUM("value")} AS su,
-             {OSUM("CAST(rn AS DOUBLE) * value")} AS swr
+             {OSUM("(CAST(rn AS DOUBLE) / CAST(nt AS DOUBLE)) * value")} AS swr
       FROM r GROUP BY event_type
     )
     SELECT event_type, n,
-           {OZ6("2.0 * swr / (CAST(n AS DOUBLE) * su) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)")}
+           {OZ6("2.0 * swr / su - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)")}
              AS gini
     FROM a
     """,
 )
 def lorenz_gini(spark, sf_dir):
     """Gini coefficient of value concentration per event_type via the
-    exact rank-sum identity. The rank window partitions by event_type
-    (group-sized partitions; at extreme group cardinality switch to the
-    two-phase distributed ranking in operators/ranking.py); both sums
-    are fixed-point BIGINT so shuffle order cannot perturb the hash."""
+    exact rank-sum identity, with the rank folded in NORMALIZED
+    (rn/n ≤ 1) before the fixed-point rounding: G = 2·Σ((rn/n)·x)/Σx −
+    (n+1)/n. Folding the raw rank into the 1e-6-unit sum instead caps
+    the group at ~2.3e5 rows at this value range (rank·value·1e6
+    exceeds BIGINT — just inside at sf1, overflow under ANSI at sf2);
+    normalized terms are value-bounded, good to ~1e10 rows/group
+    (pinned by the 1M-row single-group cliff test). The rank window
+    partitions by event_type (group-sized partitions; at extreme group
+    cardinality switch to the two-phase distributed ranking in
+    operators/ranking.py)."""
     from pyspark.sql import Window
 
     e = table_wide(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
     r = e.select(
-        "event_type", "value", F.row_number().over(w).alias("rn")
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nt"),
     )
     a = r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         dsum("value").alias("su"),
-        dsum(F.col("rn").cast("double") * F.col("value")).alias("swr"),
+        dsum(
+            (F.col("rn").cast("double") / F.col("nt").cast("double"))
+            * F.col("value")
+        ).alias("swr"),
     )
     nd = F.col("n").cast("double")
     return a.select(
         "event_type",
         "n",
         z6(
-            2.0 * F.col("swr") / (nd * F.col("su"))
+            2.0 * F.col("swr") / F.col("su")
             - (F.col("n") + 1).cast("double") / nd
         ).alias("gini"),
     )
