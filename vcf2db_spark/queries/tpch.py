@@ -459,24 +459,52 @@ def tpch_q11(spark, sf_dir):
     per-part values and the threshold are fixed-point, so the HAVING
     comparison is deterministic across engines. Shuffles: the ps proxy
     group-by and the per-part aggregate — both map-side combinable."""
-    ps = _ps(spark, sf_dir)
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_12")
     s = (
         table(spark, sf_dir, "supplier")
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    de = (
-        ps.join(F.broadcast(s), ps.l_suppkey == F.col("s_suppkey"))
-        .select(
-            F.col("l_partkey").alias("partkey"),
-            (F.col("supplycost") * F.col("availqty")).alias("val"),
-        )
+    # The supplier filter is on a COMPONENT of the ps pair key, so it
+    # commutes below the pair aggregation: semi-join the fact to the one
+    # nation's suppliers first (broadcast, row-local) and pair-aggregate
+    # only the surviving ~1/|nations| of lineitem — the per-pair min/sum
+    # over the restricted rows is identical to restricting the full ps
+    # (min is order-free; l_quantity is integral-valued so its double sum
+    # is exact). Cuts the pair shuffle ~25x vs aggregating all of ps.
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"), "semi"
     )
-    per_part = de.groupBy("partkey").agg(dsum6("val").alias("value"))
-    total = de.agg((dsum6("val") * F.lit(0.001)).alias("threshold"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "supplycost"
+        ),
+        F.sum("l_quantity").alias("availqty"),
+    )
+    de = ps.select(
+        F.col("l_partkey").alias("partkey"),
+        (F.col("supplycost") * F.col("availqty")).alias("val"),
+    )
+    # One aggregate in INTEGER units; the global threshold re-derives from
+    # the per-part units (exact BIGINT addition — identical to summing the
+    # raw rows), so the fact subtree is aggregated once and the total
+    # branch reads the reused per-part exchange (n_parts rows) instead of
+    # re-joining all of ps. value = units/1e6 reproduces dsum6 bit-exactly.
+    per_part = de.groupBy("partkey").agg(
+        F.sum(F.round(F.col("val") * 1_000_000.0).cast("long")).alias("_units")
+    )
+    total = per_part.agg(
+        (
+            (F.sum("_units").cast("double") / F.lit(1_000_000.0))
+            * F.lit(0.001)
+        ).alias("threshold")
+    )
     return (
-        per_part.join(F.broadcast(total))
+        per_part.select(
+            "partkey",
+            (F.col("_units").cast("double") / F.lit(1_000_000.0)).alias("value"),
+        )
+        .join(F.broadcast(total))
         .filter(F.col("value") > F.col("threshold"))
         .select("partkey", "value")
     )
@@ -770,21 +798,22 @@ def tpch_q18(spark, sf_dir):
     key, so AQE coalesces them into co-partitioned stages; top-100 is
     TakeOrderedAndProject."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # The outer SUM(l_quantity) per order is EXACTLY the subquery's HAVING
+    # aggregate (each output row is one big order; l_quantity is
+    # integral-valued so the double sum is order-free) — keep q as sum_qty
+    # instead of re-joining all of lineitem and re-aggregating. The
+    # surviving big-order set is tiny (HAVING > 250), so it broadcasts to
+    # the orders scan: ONE shuffle total (the per-order aggregate).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 250)
-        .select("l_orderkey")
-        .withColumnRenamed("l_orderkey", "big_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
     )
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        li.join(big, li.l_orderkey == big.big_orderkey, "inner")
-        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
