@@ -1,0 +1,243 @@
+"""Hand-computed semantics for the ML-ops batch (queries/mlops.py):
+rank_fusion (RRF formula on known ranks), churn_label (horizon
+boundary), null_impute (per-type valid-mean fill), pmi_pairs (PMI of
+hand-counted co-occurrences), hard_negatives (label exclusion +
+ordering), quantile_normalize (normalized ranks incl. ties),
+purge_audit (purge/keep partition of hand-built orders), winsorize
+(order-statistic fences + clamped mean). These pin the FORMULAS
+independently of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import vcf2db_spark.queries.mlops as qm
+from vcf2db_spark.queries import QUERIES
+
+_DAY_US = 86_400_000_000
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, day, event_type, value)."""
+    return spark.createDataFrame(
+        rows,
+        "event_id: bigint, user_id: bigint, day: bigint,"
+        " event_type: string, value: double",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr(f"timestamp_micros(day * {_DAY_US})")
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text)."""
+    return spark.createDataFrame(rows, "doc_id: bigint, text: string").select(
+        "doc_id",
+        "text",
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def _embs(spark, rows):
+    """rows: (vec_id, label, embedding list[float])."""
+    return spark.createDataFrame(
+        rows, "vec_id: bigint, label: int, embedding: array<float>"
+    )
+
+
+def _run(name, spark, tables):
+    """Run a declared query with table/table_wide dispatched to the
+    constructed frames by table name."""
+    orig_w, orig_t = qm.table_wide, qm.table
+
+    def lookup(spark_, sf_dir_, tname, *a, **k):
+        return tables[tname]
+
+    try:
+        qm.table_wide = lookup
+        qm.table = lookup
+        return QUERIES[name](spark, "unused").collect()
+    finally:
+        qm.table_wide = orig_w
+        qm.table = orig_t
+
+
+# ---------------------------------------------------------------- winsorize
+
+
+def test_winsorize_order_stat_fences_and_clamped_mean(spark):
+    # one type, values 1..20 once each: tot=20, ceil(.05*20)=1 -> lo=1,
+    # ceil(.95*20)=19 -> hi=19; clamped mean = (sum(1..19) + 19)/20
+    rows = [(i, 1, 0, "T", float(i)) for i in range(1, 21)]
+    out = _run("winsorize", spark, {"events": _events(spark, rows)})
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 20 and r.lo == 1.0 and r.hi == 19.0
+    assert r.wmean == (sum(range(1, 20)) + 19) / 20.0  # 10.45
+
+
+# --------------------------------------------------------------- churn_label
+
+
+def test_churn_label_horizon_boundary(spark):
+    # gmax = day 20. u1 last day 0 (churned), u2 last day 20 (active),
+    # u3 last day 13 (exactly gmax - 7: NOT strictly before -> active)
+    rows = [
+        (1, 1, 0, "T", 10.0),
+        (2, 2, 0, "T", 1.0),
+        (3, 2, 20, "T", 3.0),
+        (4, 3, 13, "T", 5.0),
+    ]
+    out = {r.user_id: r for r in _run("churn_label", spark, {"events": _events(spark, rows)})}
+    assert out[1].churned == 1 and out[2].churned == 0
+    assert out[3].churned == 0  # boundary is strict <
+    assert out[2].n_events == 2 and out[2].avg_value == 2.0
+    assert out[1].last_seen == "1970-01-01 00:00:00"
+
+
+# --------------------------------------------------------------- null_impute
+
+
+def test_null_impute_fills_invalid_with_valid_type_mean(spark):
+    rows = [
+        (1, 1, 0, "A", 100.0),
+        (2, 1, 0, "A", 200.0),
+        (3, 1, 0, "A", 400.0),  # invalid -> imputed with (100+200)/2
+        (4, 1, 0, "B", 50.0),
+    ]
+    out = {r.event_id: r for r in _run("null_impute", spark, {"events": _events(spark, rows)})}
+    assert out[3].value_filled == 150.0 and out[3].was_imputed == 1
+    assert out[1].value_filled == 100.0 and out[1].was_imputed == 0
+    assert out[4].value_filled == 50.0
+
+
+# ---------------------------------------------------------------- pmi_pairs
+
+
+def test_pmi_pairs_hand_counted(spark):
+    docs = _docs(
+        spark, [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c")]
+    )
+    out = {(r.ta, r.tb): r for r in _run("pmi_pairs", spark, {"documents": docs})}
+    # df: a=3, b=3, c=2; co-occurrence: (a,b)=2, (a,c)=1, (b,c)=1; N=4
+    assert out[("a", "b")].n_ab == 2
+    assert out[("a", "b")].n_a == 3 and out[("a", "b")].n_b == 3
+    assert out[("a", "b")].pmi == round(math.log(2 * 4 / (3 * 3)), 6)
+    assert out[("a", "c")].pmi == round(math.log(1 * 4 / (3 * 2)), 6)
+    assert len(out) == 3
+
+
+# ------------------------------------------------------------ hard_negatives
+
+
+def test_hard_negatives_excludes_anchor_label_and_orders(spark):
+    embs = _embs(
+        spark,
+        [
+            (0, 0, [1.0, 0.0]),  # anchor
+            (10, 1, [1.0, 0.0]),  # cos 1
+            (11, 1, [0.0, 1.0]),  # cos 0
+            (12, 0, [1.0, 0.0]),  # same label -> excluded
+            (13, 2, [-1.0, 0.0]),  # cos -1
+        ],
+    )
+    out = _run("hard_negatives", spark, {"embeddings": embs})
+    mine = sorted((r for r in out if r.anchor_id == 0), key=lambda r: r.rk)
+    assert [r.vec_id for r in mine] == [10, 11, 13]
+    assert [r.cosine for r in mine] == [1.0, 0.0, -1.0]
+    assert all(r.vec_id != 12 for r in out)
+
+
+# -------------------------------------------------------- quantile_normalize
+
+
+def test_quantile_normalize_normalized_ranks(spark):
+    embs = _embs(
+        spark,
+        [
+            (0, 0, [0.0, 10.0]),
+            (1, 0, [5.0, 5.0]),
+            (2, 0, [10.0, 0.0]),
+            (3, 0, [20.0, 20.0]),
+        ],
+    )
+    out = {r.vec_id: r.mean_qn for r in _run("quantile_normalize", spark, {"embeddings": embs})}
+    # pos0 ranks: 0,5,10,20 -> qn 0,1/3,2/3,1; pos1: 0(v2),5(v1),10(v0),20(v3)
+    # v1 = (1/3 + 1/3)/2: units 333333+333333 -> 666666/2 -> 0.333333
+    # v0 = (0 + 2/3)/2:   units 0+666667     -> 333333.5 rounds HALF-UP
+    #      (davg rounds in integer units at the END) -> 0.333334
+    assert out[3] == 1.0
+    assert out[1] == 0.333333
+    assert out[0] == 0.333334 and out[2] == 0.333334
+
+
+# ---------------------------------------------------------------- purge_audit
+
+
+def test_purge_audit_partitions_by_deletion_list(spark):
+    cust = spark.createDataFrame(
+        [(1, -5.0), (2, 10.0), (3, 7.0)],
+        "c_custkey: bigint, c_acctbal: double",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 1, "1-URGENT", 50.0),
+            (101, 2, "1-URGENT", 30.0),
+            (102, 1, "2-HIGH", 20.0),
+            (103, 3, "2-HIGH", 40.0),
+        ],
+        "o_orderkey: bigint, o_custkey: bigint, o_orderpriority: string,"
+        " o_totalprice: double",
+    )
+    out = {
+        r.o_orderpriority: r
+        for r in _run("purge_audit", spark, {"customer": cust, "orders": orders})
+    }
+    u = out["1-URGENT"]
+    assert u.n_total == 2 and u.n_purged == 1 and u.n_kept == 1
+    assert u.kept_value == 30.0
+    h = out["2-HIGH"]
+    assert h.n_purged == 1 and h.kept_value == 40.0
+
+
+# ---------------------------------------------------------------- rank_fusion
+
+
+def test_rank_fusion_rrf_formula(spark):
+    docs = _docs(
+        spark,
+        [(1, "join window scan join"), (2, "join"), (3, "window")],
+    )
+    embs = _embs(
+        spark,
+        [
+            (0, 0, [1.0, 0.0]),  # query
+            (1, 0, [2.0, 0.0]),  # cos 1 -> sem rank 1
+            (2, 0, [0.0, 1.0]),  # cos 0 -> sem rank 2
+            (3, 0, [-1.0, 0.0]),  # cos -1 -> sem rank 3
+        ],
+    )
+    out = _run(
+        "rank_fusion", spark, {"documents": docs, "embeddings": embs}
+    )
+    rows = {r.doc_id: r for r in out}
+    # lexical: d1 has the highest tf-idf (every term incl. the rare
+    # 'scan'), d2/d3 tie broken by doc_id -> ranks 1,2,3; semantic
+    # ranks are 1,2,3 by construction -> both legs agree per id
+    assert (rows[1].lex_rank, rows[1].sem_rank) == (1, 1)
+    assert (rows[2].lex_rank, rows[2].sem_rank) == (2, 2)
+    assert (rows[3].lex_rank, rows[3].sem_rank) == (3, 3)
+    assert rows[1].rrf == round(2 / 61.0, 6)
+    assert rows[2].rrf == round(2 / 62.0, 6)
+    assert rows[3].rrf == round(2 / 63.0, 6)
+    # output ordered by rrf desc
+    assert [r.doc_id for r in out] == [1, 2, 3]

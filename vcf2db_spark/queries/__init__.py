@@ -11,6 +11,7 @@ from vcf2db_spark.queries import (  # noqa: F401
     etl,
     extensions,
     graph,
+    mlops,
     pipeline_ext,
     relational,
     streaming_dq,
@@ -100,6 +101,9 @@ _PRIORITY_R05 = [
     "token_entropy", "welch_ttest", "autocorr_daily", "seasonal_profile",
     "nb_classify", "contain_shingle", "kfold_stratified", "survival_km",
     "corpus_kl", "lorenz_gini",
+    # late-r5 ML-ops batch (queries/mlops.py):
+    "rank_fusion", "churn_label", "null_impute", "pmi_pairs",
+    "hard_negatives", "quantile_normalize", "purge_audit", "winsorize",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

@@ -1,0 +1,633 @@
+"""ML-ops / retrieval-pipeline declared queries (round 5 closing batch):
+hybrid-retrieval rank fusion, training-label generation, missing-value
+imputation, collocation mining (PMI), hard-negative mining, rank-based
+feature normalization, compliance purge audit, and robust (winsorized)
+statistics. Every query here is oracle-backed: integer counts and ranks
+carry the arithmetic, doubles only appear in identically-written
+expressions on both engines (the registry's fixed-point / z6
+conventions).
+
+Reference parity note: upstream vcf2db (quinlan-lab, single-file ETL)
+has no analog for these — they extend the engine along the
+LLM-training-data axis the build plan calls for (SURVEY.md §2C), the
+same way pipeline_ext.py's curation tier does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vcf2db_spark.functions.text import ws_tokens
+from vcf2db_spark.io import table, table_wide
+from vcf2db_spark.operators.similarity import dot as hof_dot
+from vcf2db_spark.registry import OAVG, OSUM6, OZ6, davg, dq, dsum6, r6, z6
+
+_RRF_K = 60.0
+_FUSION_TERMS = ("join", "window", "scan")  # same query as search_bm25
+
+
+def _pid_rank(df, order_cols, alias):
+    """ROW_NUMBER over an already-bounded candidate list (post
+    orderBy+limit): collapse to ONE partition deliberately and window
+    over the explicit partition id — the plan states the single task
+    (the rank_and_ntile small-side idiom; the plan guard allows it)."""
+    one = df.repartition(1).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return one.withColumn(alias, F.row_number().over(w)).drop("_pid")
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of a lexical (tf-idf) and a
+# semantic (embedding-cosine) ranking for one query. The standard
+# two-tower serving fusion; both candidate lists are top-20 bounded, so
+# the fusion itself is driver-free and tiny.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "rank_fusion",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ('join', 'window', 'scan') GROUP BY 1, 2),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    lex AS (
+      SELECT doc_id,
+             {OSUM6("tf * LN((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))")} AS score
+      FROM tf JOIN dfs USING (tok), nd GROUP BY doc_id, n
+    ),
+    lex20 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM lex ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ),
+    sem AS (
+      SELECT vec_id,
+             (ROUND(list_dot_product(ee, qe)
+                    / (SQRT(list_dot_product(ee, ee))
+                       * SQRT(list_dot_product(qe, qe))), 6) + 0.0) AS cosine
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+            FROM embeddings WHERE vec_id <> 0) CROSS JOIN q
+    ),
+    sem20 AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS sem_rank
+      FROM sem ORDER BY cosine DESC, vec_id LIMIT 20
+    )
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           COALESCE(l.lex_rank, 0) AS lex_rank,
+           COALESCE(s.sem_rank, 0) AS sem_rank,
+           (ROUND((CASE WHEN l.doc_id IS NULL THEN 0.0
+                        ELSE 1.0 / ({_RRF_K} + l.lex_rank) END)
+                  + (CASE WHEN s.vec_id IS NULL THEN 0.0
+                          ELSE 1.0 / ({_RRF_K} + s.sem_rank) END), 6)
+            + 0.0) AS rrf
+    FROM lex20 l FULL JOIN sem20 s ON l.doc_id = s.vec_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (k=60) of tf-idf lexical top-20 and
+    cosine semantic top-20 (query = embedding 0 / terms 'join window
+    scan'). Ranks are integers from fixed-point-deterministic scores
+    (dsum6 lexical, z6 cosine), so 1/(k+rank) is the identical double on
+    both engines; both lists arrive via TakeOrderedAndProject and the
+    single-task rank windows are explicit (_pid). At 100 TB the two
+    retrieval legs are the scale paths (inverted postings / ANN index);
+    the fusion stays O(list length) regardless of corpus size."""
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(ws_tokens(F.trim(F.col("text")))).alias("tok")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.filter(F.col("tok").isin(*_FUSION_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    lex = (
+        tf.join(F.broadcast(dfs), "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            dsum6(
+                F.col("tf")
+                * F.log(
+                    (F.col("n").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+            ).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+    lex20 = _pid_rank(
+        lex, [F.col("score").desc(), "doc_id"], "lex_rank"
+    ).select("doc_id", "lex_rank")
+
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    emb, qe = F.col("embedding"), F.col("qe")
+    cosine = hof_dot(emb, qe) / (
+        F.sqrt(hof_dot(emb, emb)) * F.sqrt(hof_dot(qe, qe))
+    )
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", z6(cosine).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(20)
+    )
+    sem20 = _pid_rank(
+        sem, [F.col("cosine").desc(), "vec_id"], "sem_rank"
+    ).select("vec_id", "sem_rank")
+
+    fused = lex20.join(
+        sem20, lex20.doc_id == sem20.vec_id, "full_outer"
+    )
+    in_lex = F.col("lex_rank").isNotNull()
+    in_sem = F.col("sem_rank").isNotNull()
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+            z6(
+                F.when(in_lex, 1.0 / (_RRF_K + F.col("lex_rank"))).otherwise(
+                    0.0
+                )
+                + F.when(in_sem, 1.0 / (_RRF_K + F.col("sem_rank"))).otherwise(
+                    0.0
+                )
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-label generation — churn labels from behavioral events: the
+# label-join every supervised pipeline starts with. One aggregate per
+# user; the global horizon is re-derived from the per-user maxima
+# (exact, order-free), never a second scan.
+# --------------------------------------------------------------------------
+
+# 7-day inactivity horizon (interval arithmetic; see churned below)
+
+
+@dq(
+    "churn_label",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(ts) AS last_ts, {OAVG('value')} AS avg_value
+      FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(last_ts) AS gmax FROM pu)
+    SELECT user_id, n_events,
+           STRFTIME(last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           avg_value,
+           CAST(last_ts < gmax - INTERVAL 7 DAY AS INT) AS churned
+    FROM pu, g
+    """,
+)
+def churn_label(spark, sf_dir):
+    """Per-user churn label (no activity in the final 7 days of the
+    observation window) plus the features a churn model trains on
+    (event count, mean value). The dataset horizon comes from MAX over
+    the per-user maxima — a 1-row broadcast, no second pass — and the
+    label compares exact epoch-micros integers, so it is
+    timezone/engine-independent. Shape: ONE user-keyed aggregate;
+    at 100 TB that's a single map-side-combinable shuffle."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    pu = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        davg("value").alias("avg_value"),
+    )
+    g = pu.agg(F.max("last_ts").alias("gmax"))
+    return pu.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "n_events",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        "avg_value",
+        # timestamp-interval arithmetic is NTZ-safe (unix_micros is not)
+        # and timezone-free: both sides shift identically, so the
+        # comparison is engine- and session-TZ-independent
+        (F.col("last_ts") < F.col("gmax") - F.expr("INTERVAL 7 DAYS"))
+        .cast("int")
+        .alias("churned"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Missing-value imputation — sensor-style cleaning: out-of-range
+# readings (value > 300) are treated as invalid and imputed with the
+# per-type mean of the valid readings. The canonical
+# aggregate-then-broadcast-back feature-engineering shape.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "null_impute",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             {OAVG('CASE WHEN value <= 300 THEN value END')} AS type_mean
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           COALESCE(CASE WHEN value <= 300 THEN value END, type_mean)
+             AS value_filled,
+           CAST(value > 300 AS INT) AS was_imputed
+    FROM events e JOIN m ON m.event_type = e.event_type
+    """,
+)
+def null_impute(spark, sf_dir):
+    """Impute invalid readings (value > 300 = sensor error) with the
+    per-type mean of valid readings. The per-type means are a tiny
+    fixed-point aggregate (davg — 6-decimal-exact, so COALESCE emits the
+    identical double both engines) broadcast back onto the stream; the
+    fill itself is map-only. The imputation never shuffles the fact."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    valid = F.when(F.col("value") <= 300, F.col("value"))
+    m = e.groupBy("event_type").agg(davg(valid).alias("type_mean"))
+    return e.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        F.coalesce(valid, F.col("type_mean")).alias("value_filled"),
+        (F.col("value") > 300).cast("int").alias("was_imputed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Collocation mining — pointwise mutual information over doc-level
+# co-occurrence of the corpus's 30 most document-frequent tokens. The
+# pair generation is ROW-LOCAL (HOF over each doc's sorted top-token
+# set), never a self-join of the token stream.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "pmi_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+    ),
+    dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+    top AS (SELECT tok, df FROM dfs ORDER BY df DESC, tok LIMIT 30),
+    t AS (SELECT doc_id, tok FROM toks JOIN top USING (tok)),
+    p AS (
+      SELECT a.tok AS ta, b.tok AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT ta, tb, n_ab, x.df AS n_a, y.df AS n_b,
+           (ROUND(LN(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE)
+                     / (CAST(x.df AS DOUBLE) * CAST(y.df AS DOUBLE))), 6)
+            + 0.0) AS pmi
+    FROM p JOIN top x ON x.tok = p.ta JOIN top y ON y.tok = p.tb, nd
+    ORDER BY n_ab DESC, ta, tb LIMIT 50
+    """,
+)
+def pmi_pairs(spark, sf_dir):
+    """PMI collocations over the 30 most document-frequent tokens:
+    distinct (doc, token) stream → df counts → top-30 (broadcast) →
+    per-doc sorted top-token set → ROW-LOCAL pair explosion (nested
+    transform HOF, ≤ C(30,2)=435 pairs/doc — the oracle self-joins, the
+    Spark side never does) → one pair-keyed count shuffle into ≤ 435
+    groups. PMI = ln(n_ab·N / (n_a·n_b)) from exact BIGINT counts. At
+    100 TB the bound is docs × C(30,2) generated map-side and combined
+    into a constant-size aggregate."""
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    dfs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = dfs.orderBy(F.col("df").desc(), "tok").limit(30)
+    lists = (
+        toks.join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("a"))
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(a, (x, i) ->"
+                " transform(slice(a, i + 2, size(a)),"
+                " y -> struct(x AS ta, y AS tb))))"
+            )
+        ).alias("p")
+    ).select("p.ta", "p.tb")
+    pc = pairs.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("n_ab"))
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    na = top.select(F.col("tok").alias("ta"), F.col("df").alias("n_a"))
+    nb = top.select(F.col("tok").alias("tb"), F.col("df").alias("n_b"))
+    return (
+        pc.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            z6(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("n").cast("double")
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("n_ab").desc(), "ta", "tb")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — for each anchor vector, the top-3
+# most-similar vectors with a DIFFERENT label: the contrastive-training
+# negative sampler. Anchors broadcast; per-anchor ranking windows are
+# keyed (never global).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "hard_negatives",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS alabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ae
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+      FROM embeddings
+    ),
+    d AS (
+      SELECT anchor_id, vec_id,
+             (ROUND(list_dot_product(ce, ae)
+                    / (SQRT(list_dot_product(ce, ce))
+                       * SQRT(list_dot_product(ae, ae))), 6) + 0.0) AS cosine
+      FROM a JOIN c ON c.label <> a.alabel
+    )
+    SELECT anchor_id, vec_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM d) WHERE rk <= 3
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard negatives for contrastive training: per anchor (vec_id <
+    10), the 3 nearest-by-cosine vectors whose label differs. The
+    anchor set broadcasts (label-mismatch BroadcastNestedLoopJoin — a
+    bounded ×10 fan-out of the corpus, not a cartesian), cosine folds
+    row-local (the sim_topk HOF), ranking is a per-anchor window over
+    the z6-rounded score so ordering is engine-identical (negative
+    cosines can round to -0.0). At scale the mismatch join becomes the
+    ANN index probe with a label filter; the window input stays
+    |anchors|·|corpus| partitioned by anchor."""
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    a = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("alabel"),
+        F.col("embedding").alias("ae"),
+    )
+    c = e.select("vec_id", "label", "embedding")
+    emb, ae = F.col("embedding"), F.col("ae")
+    cosine = hof_dot(emb, ae) / (
+        F.sqrt(hof_dot(emb, emb)) * F.sqrt(hof_dot(ae, ae))
+    )
+    j = c.join(F.broadcast(a), c.label != a.alabel).select(
+        "anchor_id", "vec_id", z6(cosine).alias("cosine")
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "vec_id", "cosine", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Rank-based feature normalization — per-dimension quantile
+# normalization of the embedding population, reduced to a per-vector
+# calibration score (mean normalized rank of its components).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "quantile_normalize",
+    oracle=f"""
+    WITH long AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, label,
+             (CAST(ROW_NUMBER() OVER (PARTITION BY pos
+                                      ORDER BY val, vec_id) AS DOUBLE) - 1.0)
+             / (CAST(COUNT(*) OVER (PARTITION BY pos) AS DOUBLE) - 1.0)
+               AS qn
+      FROM long
+    )
+    SELECT vec_id, label, ROUND({OAVG('qn')}, 6) AS mean_qn
+    FROM r GROUP BY vec_id, label
+    """,
+)
+def quantile_normalize(spark, sf_dir):
+    """Quantile (rank) normalization per embedding dimension — the
+    batch-effect remover / feature calibrator: each component maps to
+    its normalized rank (rn-1)/(n-1) within its dimension, then each
+    vector reports the fixed-point mean of its normalized components.
+    Windows partition by DIMENSION (64 independent partitions, each
+    population-sized — at 1000 executors each dimension's rank sort is
+    one task-parallel partition, never a global sort), ties break on
+    vec_id so ranks are engine-identical integers."""
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    long = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "label", "pos", F.col("val").cast("double").alias("val"))
+    w = Window.partitionBy("pos").orderBy("val", "vec_id")
+    wc = Window.partitionBy("pos")
+    qn = (F.row_number().over(w).cast("double") - 1.0) / (
+        F.count(F.lit(1)).over(wc).cast("double") - 1.0
+    )
+    return (
+        long.select("vec_id", "label", qn.alias("qn"))
+        .groupBy("vec_id", "label")
+        .agg(r6(davg("qn")).alias("mean_qn"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Compliance purge audit — the GDPR/right-to-be-forgotten shape: a
+# deletion list (closed accounts) anti-joined against the fact, with a
+# per-segment audit of what a purge removes vs keeps.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "purge_audit",
+    oracle=f"""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(del.c_custkey) AS BIGINT) AS n_purged,
+           CAST(COUNT(CASE WHEN del.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_kept,
+           {OSUM6("CASE WHEN del.c_custkey IS NULL THEN o_totalprice ELSE 0.0 END")}
+             AS kept_value
+    FROM orders o LEFT JOIN del ON del.c_custkey = o.o_custkey
+    GROUP BY o_orderpriority
+    """,
+)
+def purge_audit(spark, sf_dir):
+    """Right-to-be-forgotten audit: orders belonging to closed accounts
+    (c_acctbal < 0) are flagged by a BROADCAST left join against the
+    deletion list (the list is always dim-sized; the fact never
+    shuffles), then one aggregate reports per-priority purge/keep counts
+    and the fixed-point value retained. The actual purge is the same
+    plan with the flag inverted into an anti-join filter — auditing and
+    purging share one scan shape at any scale."""
+    dl = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    j = o.join(
+        F.broadcast(dl), F.col("c_custkey") == F.col("o_custkey"), "left"
+    )
+    kept = F.col("c_custkey").isNull()
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("c_custkey").alias("n_purged"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        dsum6(F.when(kept, F.col("o_totalprice")).otherwise(0.0)).alias(
+            "kept_value"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust statistics — winsorized mean per event_type with p05/p95
+# fences as exact ORDER STATISTICS over the distinct-value histogram
+# (never percentile interpolation, which diverges between engines).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type, value, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ),
+    f AS (
+      SELECT event_type, MAX(tot) AS n,
+             MIN(CASE WHEN cum >= CEIL(0.05 * CAST(tot AS DOUBLE))
+                      THEN value END) AS lo,
+             MIN(CASE WHEN cum >= CEIL(0.95 * CAST(tot AS DOUBLE))
+                      THEN value END) AS hi
+      FROM k GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(f.n AS BIGINT) AS n, f.lo, f.hi,
+           (CAST(ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(c.value, f.lo),
+                                                 f.hi) * 1000000.0)
+                                     AS BIGINT) * c.cnt) AS DOUBLE)
+                       / CAST(f.n AS DOUBLE)) AS DOUBLE) / 1000000.0)
+             AS wmean
+    FROM c JOIN f ON f.event_type = c.event_type
+    GROUP BY c.event_type, f.n, f.lo, f.hi
+    """,
+)
+def winsorize(spark, sf_dir):
+    """Winsorized mean per event_type: p05/p95 fences as exact order
+    statistics read off the cumulative counts of the DISTINCT-VALUE
+    histogram (values are 2-decimal, so the histogram is bounded —
+    ~60k cells regardless of row count; the same pre-agg-before-window
+    shape as drift_ks), values clamped to the fences, and the mean in
+    1e-6 fixed point weighted by the histogram counts — one fact scan,
+    one histogram shuffle, everything after runs at histogram
+    cardinality. Interpolating percentiles (percentile_cont) is the
+    classic cross-engine divergence; order statistics are integers."""
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    c = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    k = c.select(
+        "event_type",
+        "value",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("tot"),
+    )
+    totd = F.col("tot").cast("double")
+    f = k.groupBy("event_type").agg(
+        F.max("tot").alias("n"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.05 * totd), F.col("value"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.95 * totd), F.col("value"))
+        ).alias("hi"),
+    )
+    j = c.join(F.broadcast(f), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    units = F.sum(
+        F.round(clamped * 1_000_000.0).cast("long") * F.col("cnt")
+    )
+    return j.groupBy("event_type", "n", "lo", "hi").agg(
+        (
+            F.round(units.cast("double") / F.col("n").cast("double")).cast(
+                "double"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("wmean")
+    ).select("event_type", F.col("n").cast("bigint").alias("n"), "lo", "hi", "wmean")
