@@ -4,8 +4,11 @@ boundary), null_impute (per-type valid-mean fill), pmi_pairs (PMI of
 hand-counted co-occurrences), hard_negatives (label exclusion +
 ordering), quantile_normalize (normalized ranks incl. ties),
 purge_audit (purge/keep partition of hand-built orders), winsorize
-(order-statistic fences + clamped mean). These pin the FORMULAS
-independently of the DuckDB oracle."""
+(order-statistic fences + clamped mean), log_odds_tokens (two-source
+separation), embed_outliers (fixed-point z-score replica), twa_value
+(forward-interval weighting), whale_share (minimal 50% prefix),
+rfm_segments (aligned quintiles). These pin the FORMULAS independently
+of the DuckDB oracle."""
 
 from __future__ import annotations
 
@@ -241,3 +244,105 @@ def test_rank_fusion_rrf_formula(spark):
     assert rows[3].rrf == round(2 / 63.0, 6)
     # output ordered by rrf desc
     assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+# ------------------------------------------------------------ log_odds_tokens
+
+
+def test_log_odds_tokens_two_source_separation(spark):
+    rows = [(i, "x", "A") for i in range(20)] + [
+        (100 + i, "y", "B") for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id: bigint, text: string, source: string"
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    out = {(r.source, r.tok): r for r in _run("log_odds_tokens", spark, {"documents": docs})}
+    # c(A,x)=20, c_w(x)=20, tot_A=20, T=40:
+    # lo = ln(20.5/0.5) - ln(0.5/20.5) = 2 ln 41
+    assert out[("A", "x")].log_odds == round(2 * math.log(41), 6)
+    assert out[("B", "y")].log_odds == round(2 * math.log(41), 6)
+    # only observed (source, token) pairs rank — the foreign token has
+    # no count row, so each source surfaces exactly its own token
+    assert set(out) == {("A", "x"), ("B", "y")}
+    assert out[("A", "x")].n == 20
+
+
+# ------------------------------------------------------------- embed_outliers
+
+
+def test_embed_outliers_flags_far_vector(spark):
+    vecs = [(i, 0, [0.0, 0.0]) for i in range(10)] + [(10, 0, [10.0, 10.0])]
+    out = _run("embed_outliers", spark, {"embeddings": _embs(spark, vecs)})
+    assert [r.vec_id for r in out] == [10]
+    r = out[0]
+    # replicate the fixed-point pipeline exactly
+    c = round((10 / 11) * 1e6) / 1e6  # davg centroid per pos
+    d2_n = 2 * round(c * c * 1e6) / 1e6
+    d2_o = 2 * round((10 - c) ** 2 * 1e6) / 1e6
+    assert r.d2 == round(d2_o, 6)
+    s1 = 10 * round(d2_n * 1e6) + round(d2_o * 1e6)
+    s2 = 10 * round(d2_n * d2_n * 1e6) + round(d2_o * d2_o * 1e6)
+    s1, s2, n = s1 / 1e6, s2 / 1e6, 11.0
+    z = (d2_o - s1 / n) / math.sqrt(s2 / n - (s1 / n) ** 2)
+    assert r.z == round(z, 6) + 0.0 and r.z > 2.0
+
+
+# ----------------------------------------------------------------- twa_value
+
+
+def test_twa_value_forward_interval_weighting(spark):
+    # v=10 holds 10 s, v=20 holds 20 s, final reading weightless
+    rows = [(1, 1, 0, "T", 10.0), (2, 1, 0, "T", 20.0), (3, 1, 0, "T", 99.0)]
+    e = spark.createDataFrame(
+        [(1, 1, 0, "T", 10.0), (2, 1, 10, "T", 20.0), (3, 1, 30, "T", 99.0)],
+        "event_id: bigint, user_id: bigint, sec: bigint,"
+        " event_type: string, value: double",
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("timestamp_micros(sec * 1000000)")
+        .cast("timestamp_ntz").alias("ts"),
+    )
+    out = _run("twa_value", spark, {"events": e})
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_events == 2 and r.span_s == 30
+    assert r.twa == round((10 * 10 + 20 * 20) / 30.0, 6)
+
+
+# --------------------------------------------------------------- whale_share
+
+
+def test_whale_share_minimal_prefix(spark):
+    # contributions 50/30/20: only the top user is needed to reach 50%
+    rows = [(1, 1, 0, "T", 50.0), (2, 2, 0, "T", 30.0), (3, 3, 0, "T", 20.0)]
+    out = _run("whale_share", spark, {"events": _events(spark, rows)})
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == 3 and r.n_whales == 1
+    assert r.top1_share == 0.5 and r.total_value == 100.0
+
+
+# -------------------------------------------------------------- rfm_segments
+
+
+def test_rfm_segments_aligned_quintiles(spark):
+    # user i: i events, last day i, total value 10*i -> every metric
+    # orders users identically -> five diagonal segments of one user
+    rows = []
+    eid = 0
+    for u in range(1, 6):
+        for j in range(u):
+            eid += 1
+            rows.append((eid, u, u if j == u - 1 else 0, "T", 10.0 * u / u))
+    # make monetary distinct per user: value 10*u on the last event only
+    rows = [
+        (i + 1, u, d, t, (10.0 * u if i + 1 == sum(range(1, u + 1)) else 1.0))
+        for i, (_, u, d, t, _v) in enumerate(rows)
+    ]
+    out = _run("rfm_segments", spark, {"events": _events(spark, rows)})
+    assert sum(r.n_users for r in out) == 5
+    diag = {r for r in out if r.r_q == r.f_q == r.m_q}
+    assert len(diag) == 5  # all five users land on the diagonal

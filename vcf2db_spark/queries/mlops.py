@@ -631,3 +631,383 @@ def winsorize(spark, sf_dir):
             / F.lit(1_000_000.0)
         ).alias("wmean")
     ).select("event_type", F.col("n").cast("bigint").alias("n"), "lo", "hi", "wmean")
+
+
+# --------------------------------------------------------------------------
+# Corpus comparison — discriminative tokens per source via smoothed
+# log-odds ratio vs the rest of the corpus (the "fightin' words"
+# construction with +0.5 smoothing). All inputs are exact BIGINT
+# counts; the per-source leaderboards are vocab-bounded windows.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "log_odds_tokens",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks GROUP BY 1, 2),
+    ts AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot_s FROM c GROUP BY 1),
+    cw AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS c_w FROM c GROUP BY 1),
+    tt AS (SELECT CAST(SUM(tot_s) AS BIGINT) AS t FROM ts),
+    lo AS (
+      SELECT c.source, c.tok, c.n,
+             (ROUND(LN((CAST(n AS DOUBLE) + 0.5)
+                       / (CAST(tot_s - n AS DOUBLE) + 0.5))
+                    - LN((CAST(c_w - n AS DOUBLE) + 0.5)
+                         / (CAST(t - tot_s - (c_w - n) AS DOUBLE) + 0.5)), 6)
+              + 0.0) AS log_odds
+      FROM c JOIN ts USING (source) JOIN cw USING (tok), tt
+      WHERE c_w >= 20
+    )
+    SELECT source, tok, n, log_odds FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY log_odds DESC, tok) AS rk
+      FROM lo) WHERE rk <= 5
+    """,
+)
+def log_odds_tokens(spark, sf_dir):
+    """Top-5 discriminative tokens per source: smoothed log-odds of the
+    token's rate inside the source vs the rest of the corpus (corpus
+    count >= 20 for stability). One (source, tok) count shuffle; source
+    totals broadcast (|sources| rows), token totals re-aggregate FROM
+    the pair counts and join back token-co-partitioned, the grand total
+    is a broadcast scalar. The leaderboard windows partition by source
+    over vocab-bounded rows — at 100 TB everything after the first
+    exchange runs at vocabulary cardinality."""
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    ts = c.groupBy("source").agg(F.sum("n").alias("tot_s"))
+    cw = c.groupBy("tok").agg(F.sum("n").alias("c_w"))
+    tt = ts.agg(F.sum("tot_s").alias("t"))
+    nd, tsd = F.col("n").cast("double"), F.col("tot_s").cast("double")
+    rest = (F.col("c_w") - F.col("n")).cast("double")
+    rest_tot = (F.col("t") - F.col("tot_s") - (F.col("c_w") - F.col("n"))).cast(
+        "double"
+    )
+    lo = (
+        c.join(F.broadcast(ts), "source")
+        .join(cw, "tok")
+        .crossJoin(F.broadcast(tt))
+        .filter(F.col("c_w") >= 20)
+        .select(
+            "source",
+            "tok",
+            "n",
+            z6(
+                F.log((nd + 0.5) / (tsd - nd + 0.5))
+                - F.log((rest + 0.5) / (rest_tot + 0.5))
+            ).alias("log_odds"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("log_odds").desc(), "tok")
+    return (
+        lo.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "tok", "n", "log_odds")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding QA — distance-to-centroid outliers per label (moment-based
+# z-score; flags mislabeled / corrupted vectors before training).
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "embed_outliers",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, label,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, {OAVG('val')} AS c
+      FROM cells GROUP BY label, pos
+    ),
+    d AS (
+      SELECT vec_id, cells.label,
+             {OSUM6('(val - c) * (val - c)')} AS d2
+      FROM cells JOIN cent ON cent.label = cells.label
+                          AND cent.pos = cells.pos
+      GROUP BY vec_id, cells.label
+    ),
+    m AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             {OSUM6('d2')} AS s1, {OSUM6('d2 * d2')} AS s2
+      FROM d GROUP BY label
+    )
+    SELECT vec_id, d.label, d2,
+           (ROUND((d2 - s1 / n_vecs)
+                  / SQRT(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs)), 6)
+            + 0.0) AS z
+    FROM d JOIN m ON m.label = d.label
+    WHERE s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs) > 0.0
+      AND (d2 - s1 / n_vecs)
+          / SQRT(s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs)) > 2.0
+    """,
+)
+def embed_outliers(spark, sf_dir):
+    """Embedding outlier screen: squared distance to the label centroid
+    (per-cell fixed-point terms against the 6-decimal-exact davg
+    centroid), then a moment-based z-score per label (mean/std from
+    fixed-point sums of d2 and d2² — identical double expressions both
+    engines), flagging z > 2. Shapes: one (label,pos) centroid
+    aggregate (centroid table is labels×dims — broadcast), one per-vec
+    reduction, one label-level stats broadcast. No medians/percentiles:
+    moments keep the whole screen two map-side-combinable aggregates at
+    any scale."""
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    cells = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "vec_id", "label", "pos", F.col("val").cast("double").alias("val")
+    )
+    cent = cells.groupBy("label", "pos").agg(davg("val").alias("c"))
+    diff = F.col("val") - F.col("c")
+    d = (
+        cells.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(dsum6(diff * diff).alias("d2"))
+    )
+    m = d.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        dsum6("d2").alias("s1"),
+        dsum6(F.col("d2") * F.col("d2")).alias("s2"),
+    )
+    nv = F.col("n_vecs").cast("double")
+    mean = F.col("s1") / nv
+    var = F.col("s2") / nv - mean * mean
+    z = (F.col("d2") - mean) / F.sqrt(var)
+    # a degenerate label (all distances identical -> var 0) would hit
+    # ANSI division-by-zero: exclude it identically on both sides
+    return (
+        d.join(F.broadcast(m), "label")
+        .filter((var > 0.0) & (z > 2.0))
+        .select("vec_id", "label", "d2", z6(z).alias("z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Irregular time series — per-user TIME-WEIGHTED average value
+# (forward-interval weighting): the TSDB aggregate that plain AVG gets
+# wrong on irregular samples. Weights are integer seconds, values
+# integer cents — the quotient is exact-integer-derived.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "twa_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value, epoch_us(ts) AS uts, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT user_id, value,
+             (LEAD(uts) OVER (PARTITION BY user_id
+                              ORDER BY uts, event_id) - uts) // 1000000
+               AS dt_s
+      FROM s
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT) * dt_s) AS BIGINT)
+               AS num_cents,
+             CAST(SUM(dt_s) AS BIGINT) AS span_s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM d WHERE dt_s IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_s,
+           (ROUND(CAST(num_cents AS DOUBLE)
+                  / (100.0 * CAST(span_s AS DOUBLE)), 6) + 0.0) AS twa
+    FROM a WHERE span_s > 0
+    """,
+)
+def twa_value(spark, sf_dir):
+    """Time-weighted average per user: each reading holds until the
+    next one (forward fill), so its weight is the whole seconds to the
+    next event (integer DIV — identical truncation both engines; ts →
+    epoch micros via the UTC-pinned LTZ cast). Numerator sums exact
+    cents×seconds BIGINTs, so the final quotient is derived from two
+    exact integers. The lead() window partitions per user; the
+    aggregate reuses the same key, so one exchange serves both. The
+    last reading (no successor) carries zero weight by construction."""
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    uts = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    s = e.select("user_id", "value", uts.alias("uts"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("uts", "event_id")
+    d = s.select(
+        "user_id",
+        "value",
+        ((F.lead("uts").over(w) - F.col("uts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("dt_s"),
+    )
+    # integer DIV semantics: micros are non-negative deltas, so
+    # double-divide + cast(long) truncates exactly like // 1000000
+    a = (
+        d.filter(F.col("dt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100.0).cast("long") * F.col("dt_s")
+            ).alias("num_cents"),
+            F.sum("dt_s").alias("span_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return a.filter(F.col("span_s") > 0).select(
+        "user_id",
+        "n_events",
+        "span_s",
+        z6(
+            F.col("num_cents").cast("double")
+            / (100.0 * F.col("span_s").cast("double"))
+        ).alias("twa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Concentration / whale analysis — per event_type, how few users drive
+# half the value (the "whale set"), plus the top contributor's share.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "whale_share",
+    oracle="""
+    WITH pu AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT event_type, user_id, cents,
+             SUM(cents) OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER (PARTITION BY event_type) AS tot,
+             MAX(cents) OVER (PARTITION BY event_type) AS top1
+      FROM pu
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(CASE WHEN CAST(cum - cents AS DOUBLE)
+                                < 0.5 * CAST(tot AS DOUBLE)
+                           THEN 1 END) AS BIGINT) AS n_whales,
+           (ROUND(CAST(MAX(top1) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+            + 0.0) AS top1_share,
+           (CAST(MAX(tot) AS DOUBLE) / 100.0) AS total_value
+    FROM k GROUP BY event_type
+    """,
+)
+def whale_share(spark, sf_dir):
+    """Whale analysis per event_type: users ranked by exact-cent
+    contribution; a user is in the whale set while the PRIOR cumulative
+    is still under half the total (so the set is the minimal prefix
+    reaching 50%). All comparisons on exact BIGINT cents; shares round
+    z6. The ranking window partitions per type over USER-grain rows
+    (the per-user pre-aggregate is what shuffles, never raw events); at
+    extreme per-type user cardinality the rank swaps to the two-phase
+    distributed form (operators/ranking.py) with the same outputs."""
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    pu = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("cents").desc(), "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    k = pu.select(
+        "event_type",
+        "cents",
+        F.sum("cents").over(wcum).alias("cum"),
+        F.sum("cents").over(wtot).alias("tot"),
+        F.max("cents").over(wtot).alias("top1"),
+    )
+    whale = (F.col("cum") - F.col("cents")).cast("double") < 0.5 * F.col(
+        "tot"
+    ).cast("double")
+    return k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(whale, 1)).alias("n_whales"),
+        z6(
+            F.max("top1").cast("double") / F.max("tot").cast("double")
+        ).alias("top1_share"),
+        (F.max("tot").cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quintiles per user via
+# the DISTRIBUTED exact-NTILE operator (no global single-task window),
+# rolled up to segment sizes. The classic CRM / reward-model cohorting.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "rfm_segments",
+    oracle=f"""
+    WITH pu AS (
+      SELECT user_id, MAX(epoch_us(ts)) AS last_uts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    q AS (
+      SELECT user_id, n_events, cents,
+             NTILE(5) OVER (ORDER BY last_uts, user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY n_events, user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY cents, user_id) AS m_q
+      FROM pu
+    )
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+           {OAVG('CAST(cents AS DOUBLE) / 100.0')} AS avg_value
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation: one per-user aggregate, then three
+    exact global NTILE(5) assignments via the distributed two-phase
+    ranking operator (range exchange + P²-bounded offset join — never a
+    single-task global sort; operators/ranking.py, the same machinery
+    win_ntile_dense plan-guards), rolled up to (r,f,m) segment counts
+    and fixed-point mean value. Ties break on user_id so every quintile
+    boundary is engine-identical."""
+    from vcf2db_spark.operators.ranking import with_ntile
+
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    pu = e.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias(
+            "last_uts"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"),
+    )
+    q = with_ntile(pu, ["last_uts", "user_id"], 5, alias="r_q")
+    q = with_ntile(q, ["n_events", "user_id"], 5, alias="f_q")
+    q = with_ntile(q, ["cents", "user_id"], 5, alias="m_q")
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        davg(F.col("cents").cast("double") / 100.0).alias("avg_value"),
+    )
