@@ -7,7 +7,8 @@ purge_audit (purge/keep partition of hand-built orders), winsorize
 (order-statistic fences + clamped mean), log_odds_tokens (two-source
 separation), embed_outliers (fixed-point z-score replica), twa_value
 (forward-interval weighting), whale_share (minimal 50% prefix),
-rfm_segments (aligned quintiles). These pin the FORMULAS independently
+rfm_segments (aligned quintiles), session_paths (gap splitting +
+path ordering). These pin the FORMULAS independently
 of the DuckDB oracle."""
 
 from __future__ import annotations
@@ -346,3 +347,30 @@ def test_rfm_segments_aligned_quintiles(spark):
     assert sum(r.n_users for r in out) == 5
     diag = {r for r in out if r.r_q == r.f_q == r.m_q}
     assert len(diag) == 5  # all five users land on the diagonal
+
+
+# -------------------------------------------------------------- session_paths
+
+
+def test_session_paths_gap_splitting_and_ordering(spark):
+    # user 1: view,click 5 min apart (one session), then purchase 2 h
+    # later (new session); user 2: one view session
+    e = spark.createDataFrame(
+        [
+            (1, 1, 0, "view"),
+            (2, 1, 300, "click"),
+            (3, 1, 8000, "purchase"),
+            (4, 2, 0, "view"),
+        ],
+        "event_id: bigint, user_id: bigint, sec: bigint, event_type: string",
+    ).select(
+        "event_id", "user_id", "event_type", F.lit(1.0).alias("value"),
+        F.expr("timestamp_micros(sec * 1000000)")
+        .cast("timestamp_ntz").alias("ts"),
+    )
+    out = {r.path: r for r in _run("session_paths", spark, {"events": e})}
+    assert out["view>click"].n_sessions == 1
+    assert out["view>click"].total_events == 2
+    assert out["purchase"].n_sessions == 1
+    assert out["view"].n_sessions == 1
+    assert set(out) == {"view>click", "purchase", "view"}

@@ -1011,3 +1011,108 @@ def rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_users"),
         davg(F.col("cents").cast("double") / 100.0).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Behavioral journeys — gaps-and-islands sessionization (30-minute
+# inactivity gap) into the top-10 event-type PATHS: the product-analytics
+# "user journey" query. The session id is a per-user cumulative flag
+# sum; paths assemble ROW-LOCALLY from per-session collected structs.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "session_paths",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS uts
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, uts,
+             CASE WHEN uts - LAG(uts) OVER (PARTITION BY user_id
+                                            ORDER BY uts, event_id)
+                       > 1800000000 THEN 1
+                  WHEN LAG(uts) OVER (PARTITION BY user_id
+                                      ORDER BY uts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_s
+      FROM s
+    ),
+    g AS (
+      SELECT user_id, event_type, uts, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY uts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    ),
+    p AS (
+      SELECT user_id, sid,
+             STRING_AGG(event_type, '>' ORDER BY uts, event_id) AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS total_events
+    FROM p WHERE n <= 8
+    GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def session_paths(spark, sf_dir):
+    """Top-10 user journeys: sessions are gaps-and-islands (new session
+    when >30 min since the user's previous event — lag + cumulative
+    flag sum, both windows on the user key, so ONE exchange feeds
+    sessionization AND the per-session path build), each session's path
+    assembles row-locally (array_sort of (uts, event_id, type) structs
+    → transform → join — deterministic total order, no second shuffle),
+    and only the path-keyed count moves afterward. Paths cap at 8
+    events so a pathological always-on user cannot mint an unbounded
+    group key. TakeOrderedAndProject serves the top-10."""
+    e = table_wide(spark, sf_dir, "events", "user_id")
+    uts = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    s = e.select(
+        "user_id", "event_id", "event_type", uts.alias("uts")
+    )
+    wo = Window.partitionBy("user_id").orderBy("uts", "event_id")
+    prev = F.lag("uts").over(wo)
+    f = s.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "uts",
+        F.when(prev.isNull() | ((F.col("uts") - prev) > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    g = f.select(
+        "user_id",
+        "event_type",
+        "uts",
+        "event_id",
+        F.sum("new_s")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    p = (
+        g.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(uts, event_id, event_type))),"
+                    " x -> x.event_type)"
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        p.filter(F.col("n") <= 8)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("total_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
