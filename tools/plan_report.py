@@ -135,6 +135,34 @@ HEADLINERS = {
         "here, falls back to a custkey shuffle at scale). Adopted on a "
         "1.41->1.01 s interleaved A/B at sf1."
     ),
+    "tpch_q18": (
+        "Large-volume customers (r5 rewrite): the HAVING subquery's "
+        "per-order SUM IS the output aggregate, so ONE shuffle (the "
+        "per-order aggregate) feeds a broadcast of the tiny big-order "
+        "set onto the orders scan — no second lineitem pass, no big "
+        "shuffle join. Adopted on a 2.92->0.94 s A/B at sf1."
+    ),
+    "rank_fusion": (
+        "RRF hybrid retrieval (r5). Expect: two independent retrieval "
+        "legs (postings-only lexical aggregate; narrow-map cosine) each "
+        "ending in TakeOrderedAndProject(20), explicit single-partition "
+        "_pid rank windows over the bounded lists, and one tiny "
+        "full-outer join for the fusion."
+    ),
+    "winsorize": (
+        "Order-statistic fences (r5). Expect: one events scan into the "
+        "(type,value) histogram aggregate, windows over histogram "
+        "cardinality (partitioned by event_type), broadcast of the "
+        "5-row fence table back onto the histogram — no percentile "
+        "interpolation, no second fact scan."
+    ),
+    "session_paths": (
+        "Gaps-and-islands journeys (r5). Expect: ONE user-keyed "
+        "exchange serving lag, the cumulative session-id sum AND the "
+        "per-session path aggregate (alias-preserved partitioning); "
+        "row-local array_sort path build; only path-keyed counts move "
+        "afterward; TakeOrderedAndProject(10)."
+    ),
 }
 
 
