@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from vcf2db_spark.functions.text import ws_tokens
 from vcf2db_spark.io import table, table_wide
 from vcf2db_spark.operators.similarity import dot as hof_dot
-from vcf2db_spark.registry import OAVG, OSUM6, OZ6, davg, dq, dsum6, r6, z6
+from vcf2db_spark.registry import OAVG, OSUM6, davg, dq, dsum6, r6, z6
 
 _RRF_K = 60.0
 _FUSION_TERMS = ("join", "window", "scan")  # same query as search_bm25
