@@ -194,3 +194,52 @@ def test_quantile_normalize_matches_python_replica(spark):
         for vid, qs in qn.items():
             units = sum(_r(q * 1e6) for q in qs)
             assert got[vid] == _r(units / len(qs)) / 1e6, (seed, vid)
+
+
+def test_bootstrap_ci_matches_python_replica(spark):
+    """Replicate the Poisson-bootstrap end to end: Knuth hash ->
+    uniform -> Poisson counts -> replicate means -> order-stat CI."""
+    K, MOD, B = 2654435761, 4294967296, 40
+    CDF = [0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+           0.9963401532]
+
+    def knuth(x):
+        e = x % MOD
+        return ((e // 65536) * K % MOD * 65536 + (e % 65536) * K) % MOD
+
+    def pois(u):
+        for k, t in enumerate(CDF):
+            if u < t:
+                return k
+        return 5
+
+    for seed in SEEDS:
+        rows = _rand_events(seed, n_types=2, n_users=3, n_rows=50)
+        got = {
+            r.event_type: r
+            for r in _run(
+                "bootstrap_ci", spark, {"events": _events_frame(spark, rows)}
+            )
+        }
+        by_type: dict[str, list[tuple[int, float]]] = {}
+        for eid, _, _, t, v in rows:
+            by_type.setdefault(t, []).append((eid, v))
+        for t, evs in by_type.items():
+            means = []
+            for rep in range(B):
+                su = sc = 0
+                for eid, v in evs:
+                    c = pois(knuth(eid * B * 2 + rep) / MOD)
+                    su += _r(v * 1e6) * c
+                    sc += c
+                if sc > 0:
+                    means.append((su / sc / 1e6, rep))
+            means.sort()
+            nb = len(means)
+            lo = means[math.ceil(0.025 * nb) - 1][0]
+            hi = means[math.ceil(0.975 * nb) - 1][0]
+            r = got[t]
+            assert r.n_rows == len(evs)
+            assert r.ci_lo == round(lo, 6) + 0.0, (seed, t)
+            assert r.ci_hi == round(hi, 6) + 0.0, (seed, t)
+            assert r.ci_lo <= r.mean_value <= r.ci_hi  # sanity

@@ -1116,3 +1116,138 @@ def session_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Uncertainty quantification — bootstrap confidence interval for the
+# per-type mean via the POISSON BOOTSTRAP (the streaming/distributed
+# bootstrap: each row's multiplicity in replicate j is Poisson(1),
+# derived here from a deterministic Knuth hash so both engines draw the
+# IDENTICAL resamples). B=40 replicates; CI bounds are order statistics
+# over the replicate means.
+# --------------------------------------------------------------------------
+
+_B_REPS = 40
+# Poisson(1) CDF thresholds (u < t_k -> count k), identical literals on
+# both engines so the hash-uniform comparison is bit-identical
+_POIS = "CASE WHEN {u} < 0.3678794412 THEN 0 WHEN {u} < 0.7357588823 THEN 1 WHEN {u} < 0.9196986029 THEN 2 WHEN {u} < 0.9810118431 THEN 3 WHEN {u} < 0.9963401532 THEN 4 ELSE 5 END"
+
+
+def _bootstrap_oracle():
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    h = knuth_hash_sql(f"(event_id * {_B_REPS * 2} + rep)", "//")
+    c = _POIS.format(u=f"(({h}) / 4294967296.0)")
+    return f"""
+    WITH src AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    x AS (
+      SELECT event_type, value, event_id, unnest(range({_B_REPS})) AS rep
+      FROM src
+    ),
+    g AS (
+      SELECT event_type, rep,
+             CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)
+                      * ({c})) AS BIGINT) AS su,
+             CAST(SUM({c}) AS BIGINT) AS sc
+      FROM x GROUP BY 1, 2 HAVING SUM({c}) > 0
+    ),
+    m AS (
+      SELECT event_type, rep,
+             CAST(su AS DOUBLE) / CAST(sc AS DOUBLE) / 1000000.0 AS mr
+      FROM g
+    ),
+    r AS (
+      SELECT event_type, mr,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY mr, rep) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS nb
+      FROM m
+    ),
+    p AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {{OAVG}} AS mean_value
+      FROM src GROUP BY 1
+    )
+    SELECT r.event_type, n_rows, mean_value,
+           (ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.025 * nb) AS BIGINT)
+                           THEN mr END), 6) + 0.0) AS ci_lo,
+           (ROUND(MIN(CASE WHEN rn = CAST(CEIL(0.975 * nb) AS BIGINT)
+                           THEN mr END), 6) + 0.0) AS ci_hi
+    FROM r JOIN p ON p.event_type = r.event_type
+    GROUP BY r.event_type, n_rows, mean_value
+    """.replace("{OAVG}", OAVG("value"))
+
+
+@dq("bootstrap_ci", oracle=_bootstrap_oracle())
+def bootstrap_ci(spark, sf_dir):
+    """95% bootstrap CI for each event_type's mean value, by the
+    POISSON BOOTSTRAP: replicate j resamples each row with
+    multiplicity Poisson(1), realized deterministically from a Knuth
+    hash of (event_id, replicate) mapped through the Poisson CDF — so
+    the 'random' draws are bit-identical across engines AND across
+    cluster topologies (no RNG state, no seed-per-partition trap: the
+    standard way to bootstrap a distributed stream). One map-side
+    ×B=40 explode feeds a partial-aggregated (type, rep) reduction —
+    the shuffle moves types×B rows, never the resampled stream — and
+    the CI bounds are order statistics over B replicate means (windows
+    on B-sized partitions). The point estimate comes from the plain
+    fixed-point mean of the source rows."""
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    src = e.select("event_id", "event_type", "value")
+    x = src.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_B_REPS - 1))).alias("rep"),
+    )
+    h = knuth_hash_sql(f"(event_id * {_B_REPS * 2} + rep)", "DIV")
+    c = F.expr(_POIS.format(u=f"(({h}) / 4294967296.0)"))
+    g = (
+        x.select(
+            "event_type",
+            "rep",
+            (F.round(F.col("value") * 1_000_000.0).cast("long") * c).alias(
+                "wu"
+            ),
+            c.alias("c"),
+        )
+        .groupBy("event_type", "rep")
+        .agg(F.sum("wu").alias("su"), F.sum("c").alias("sc"))
+        .filter(F.col("sc") > 0)
+    )
+    mr = (
+        F.col("su").cast("double") / F.col("sc").cast("double")
+        / F.lit(1_000_000.0)
+    )
+    m = g.select("event_type", "rep", mr.alias("mr"))
+    wo = Window.partitionBy("event_type").orderBy("mr", "rep")
+    wc = Window.partitionBy("event_type")
+    r = m.select(
+        "event_type",
+        "mr",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("nb"),
+    )
+    nbd = F.col("nb").cast("double")
+    ci = r.groupBy("event_type").agg(
+        z6(
+            F.min(F.when(F.col("rn") == F.ceil(0.025 * nbd), F.col("mr")))
+        ).alias("ci_lo"),
+        z6(
+            F.min(F.when(F.col("rn") == F.ceil(0.975 * nbd), F.col("mr")))
+        ).alias("ci_hi"),
+    )
+    p = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        davg("value").alias("mean_value"),
+    )
+    return ci.join(F.broadcast(p), "event_type").select(
+        "event_type", "n_rows", "mean_value", "ci_lo", "ci_hi"
+    )
