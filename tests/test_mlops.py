@@ -374,3 +374,62 @@ def test_session_paths_gap_splitting_and_ordering(spark):
     assert out["purchase"].n_sessions == 1
     assert out["view"].n_sessions == 1
     assert set(out) == {"view>click", "purchase", "view"}
+
+
+# -------------------------------------------------------------- ngram_novelty
+
+
+def test_ngram_novelty_split_and_unseen_counting(spark):
+    # find ids on each side of the 80/20 Knuth split
+    K, MOD = 2654435761, 4294967296
+
+    def knuth(x):
+        e = x % MOD
+        return ((e // 65536) * K % MOD * 65536 + (e % 65536) * K) % MOD
+
+    train_ids = [i for i in range(1, 200) if knuth(i) % 100 < 80]
+    test_ids = [i for i in range(1, 200) if knuth(i) % 100 >= 80]
+    tr, te1, te2 = train_ids[0], test_ids[0], test_ids[1]
+    docs = _docs(
+        spark,
+        [
+            (tr, "a b c d"),          # train trigrams: 'a b c', 'b c d'
+            (te1, "a b c x"),         # 'a b c' seen, 'b c x' novel
+            (te2, "p q r s"),         # all novel
+        ],
+    )
+    out = {r.doc_id: r for r in _run("ngram_novelty", spark, {"documents": docs})}
+    assert set(out) == {te1, te2}
+    assert (out[te1].n_tri, out[te1].n_unseen) == (2, 1)
+    assert out[te1].novelty == 0.5
+    assert (out[te2].n_tri, out[te2].n_unseen) == (2, 2)
+    assert out[te2].novelty == 1.0
+
+
+# ---------------------------------------------------------- calibration_bins
+
+
+def test_calibration_bins_outcome_and_score(spark):
+    # one user, two events 30 min apart: y = [1, 0]; values 10 and 20
+    e = spark.createDataFrame(
+        [(1, 1, 0, 10.0), (2, 1, 1800, 20.0)],
+        "event_id: bigint, user_id: bigint, sec: bigint, value: double",
+    ).select(
+        "event_id", "user_id", F.lit("T").alias("event_type"), "value",
+        F.expr("timestamp_micros(sec * 1000000)")
+        .cast("timestamp_ntz").alias("ts"),
+    )
+    out = _run("calibration_bins", spark, {"events": e})
+    # mu = 15 (davg exact), s2 = 500, var = 500/2 - 225 = 25, std = 5
+    # z = -1 and +1 -> p = 1/(1+e^1), 1/(1+e^-1) ~ .2689, .7311
+    import math as _m
+
+    p_lo = 1 / (1 + _m.exp(1.0))
+    p_hi = 1 / (1 + _m.exp(-1.0))
+    rows = {r.bin: r for r in out}
+    assert set(rows) == {int(p_lo * 10), int(p_hi * 10)}
+    lo, hi = rows[int(p_lo * 10)], rows[int(p_hi * 10)]
+    # the early event (value 10, z=-1) has a successor within the hour
+    assert lo.obs_rate == 1.0 and hi.obs_rate == 0.0
+    assert lo.avg_score == round(round(p_lo * 1e6) / 1e6, 6)
+    assert hi.avg_score == round(round(p_hi * 1e6) / 1e6, 6)

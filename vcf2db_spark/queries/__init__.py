@@ -105,7 +105,8 @@ _PRIORITY_R05 = [
     "rank_fusion", "churn_label", "null_impute", "pmi_pairs",
     "hard_negatives", "quantile_normalize", "purge_audit", "winsorize",
     "log_odds_tokens", "embed_outliers", "twa_value", "whale_share",
-    "rfm_segments", "session_paths", "bootstrap_ci",
+    "rfm_segments", "session_paths", "bootstrap_ci", "ngram_novelty",
+    "calibration_bins",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

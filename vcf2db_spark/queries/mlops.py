@@ -1251,3 +1251,190 @@ def bootstrap_ci(spark, sf_dir):
     return ci.join(F.broadcast(p), "event_type").select(
         "event_type", "n_rows", "mean_value", "ci_lo", "ci_hi"
     )
+
+
+# --------------------------------------------------------------------------
+# Generalization / memorization metric — per-test-document n-gram
+# NOVELTY: the fraction of a held-out document's distinct trigrams
+# never seen in the training split. The eval every data pipeline runs
+# to detect train/test leakage and quantify memorization headroom.
+# --------------------------------------------------------------------------
+
+
+def _novelty_oracle():
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    h = knuth_hash_sql("doc_id", "//")
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, ({h}) % 100 < 80 AS is_train,
+             string_split_regex(trim(text), '\s+') AS l
+      FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, is_train,
+             l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS g
+      FROM (SELECT doc_id, is_train, l, unnest(range(1, len(l) - 1)) AS i
+            FROM toks)
+    ),
+    train_g AS (SELECT DISTINCT g FROM tri WHERE is_train),
+    test_g AS (SELECT doc_id, g FROM tri WHERE NOT is_train),
+    u AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unseen
+      FROM test_g ANTI JOIN train_g USING (g)
+      GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM test_g GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_tri, COALESCE(n_unseen, 0) AS n_unseen,
+           (ROUND(CAST(COALESCE(n_unseen, 0) AS DOUBLE)
+                  / CAST(n_tri AS DOUBLE), 6) + 0.0) AS novelty
+    FROM t LEFT JOIN u ON u.doc_id = t.doc_id
+    """
+
+
+@dq("ngram_novelty", oracle=_novelty_oracle())
+def ngram_novelty(spark, sf_dir):
+    """Trigram novelty of each held-out document vs the 80% train
+    split (Knuth-hash split — the split_leakage convention): distinct
+    per-doc trigrams form row-locally (indexed transform over the token
+    array, the ngram_lm idiom — no self-join), the train trigram
+    vocabulary is one distinct aggregate, and unseen test trigrams fall
+    out of a trigram-keyed LEFT ANTI join. All counts exact BIGINTs.
+    At 100 TB both sides of the anti join are n-gram streams partially
+    aggregated before the exchange — the join key is the trigram, so
+    the shuffle moves vocabulary, not documents; this is the same
+    postings-shaped join as contam_ngram, pointed at generalization
+    instead of contamination."""
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    d = table_wide(spark, sf_dir, "documents", "doc_id")
+    is_train = F.expr(knuth_hash_sql("doc_id", "DIV")) % 100 < 80
+    toks = d.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("l"),
+    )
+    tri = toks.select(
+        "doc_id",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, greatest(size(l) - 2, 0)),"
+                " (w, i) -> concat_ws(' ', w, l[i + 1], l[i + 2]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    train_g = tri.filter(F.col("is_train")).select("g").distinct()
+    test_g = tri.filter(~F.col("is_train")).select("doc_id", "g")
+    t = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    u = (
+        test_g.join(train_g, "g", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unseen"))
+    )
+    return t.join(u, "doc_id", "left").select(
+        "doc_id",
+        "n_tri",
+        F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+        z6(
+            F.coalesce(F.col("n_unseen"), F.lit(0)).cast("double")
+            / F.col("n_tri").cast("double")
+        ).alias("novelty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Model evaluation — calibration (reliability) bins for a toy logistic
+# score predicting "another event within the hour": per-decile average
+# score vs observed rate, the per-bin components of expected
+# calibration error (ECE). The operator is the content; the score is a
+# stand-in for any model column.
+# --------------------------------------------------------------------------
+
+
+@dq(
+    "calibration_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS uts
+      FROM events WHERE value IS NOT NULL
+    ),
+    y AS (
+      SELECT value,
+             CASE WHEN LEAD(uts) OVER (PARTITION BY user_id
+                                       ORDER BY uts, event_id) - uts
+                       < 3600000000 THEN 1 ELSE 0 END AS y
+      FROM s
+    ),
+    m AS (
+      SELECT {OAVG('value')} AS mu,
+             {OSUM6('value * value')} AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s
+    ),
+    p AS (
+      SELECT y,
+             1.0 / (1.0 + EXP(-((value - mu)
+                                / SQRT(s2 / n - mu * mu)))) AS p_hat
+      FROM y, m
+    )
+    SELECT LEAST(CAST(FLOOR(p_hat * 10) AS INT), 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {OAVG('p_hat')} AS avg_score,
+           (ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) + 0.0) AS obs_rate
+    FROM p GROUP BY 1
+    """,
+)
+def calibration_bins(spark, sf_dir):
+    """Reliability diagram: a logistic score over the value z-score
+    (global moments from fixed-point sums — mu is davg-exact, the
+    variance expression is written identically on both engines; EXP is
+    cross-engine-proven by survival_km/text_quality) predicting whether
+    the user's next event lands within the hour (lead window — real
+    temporal outcome). Scores bin by decile; each bin reports average
+    score vs observed rate — the ECE components. One user-keyed window
+    exchange + a broadcast 1-row moment table + one 10-group aggregate:
+    the whole evaluation is two map-side-combinable passes at any
+    scale."""
+    e = table_wide(spark, sf_dir, "events", "user_id").filter(
+        F.col("value").isNotNull()
+    )
+    uts = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    s = e.select("user_id", "event_id", "value", uts.alias("uts"))
+    wo = Window.partitionBy("user_id").orderBy("uts", "event_id")
+    y = s.select(
+        "value",
+        F.when(
+            F.lead("uts").over(wo) - F.col("uts") < 3_600_000_000, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    m = s.agg(
+        davg("value").alias("mu"),
+        dsum6(F.col("value") * F.col("value")).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(
+        F.col("s2") / F.col("n").cast("double") - F.col("mu") * F.col("mu")
+    )
+    p = y.crossJoin(F.broadcast(m)).select(
+        "y", (1.0 / (1.0 + F.exp(-z))).alias("p_hat")
+    )
+    return (
+        p.groupBy(
+            F.least(F.floor(F.col("p_hat") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg("p_hat").alias("avg_score"),
+            z6(
+                F.sum("y").cast("double") / F.count(F.lit(1))
+            ).alias("obs_rate"),
+        )
+    )
