@@ -433,3 +433,27 @@ def test_calibration_bins_outcome_and_score(spark):
     assert lo.obs_rate == 1.0 and hi.obs_rate == 0.0
     assert lo.avg_score == round(round(p_lo * 1e6) / 1e6, 6)
     assert hi.avg_score == round(round(p_hi * 1e6) / 1e6, 6)
+
+
+# ---------------------------------------------------------------- embed_drift
+
+
+def test_embed_drift_centroid_shift(spark):
+    # find ids on each side of the Knuth %2 split, then plant a known
+    # centroid gap: half-0 vectors at [0,0], half-1 at [3,4] -> L2 = 5
+    K, MOD = 2654435761, 4294967296
+
+    def knuth(x):
+        e = x % MOD
+        return ((e // 65536) * K % MOD * 65536 + (e % 65536) * K) % MOD
+
+    zeros = [i for i in range(1, 100) if knuth(i) % 2 == 0][:2]
+    ones = [i for i in range(1, 100) if knuth(i) % 2 == 1][:2]
+    vecs = [(i, 0, [0.0, 0.0]) for i in zeros] + [
+        (i, 0, [3.0, 4.0]) for i in ones
+    ]
+    out = _run("embed_drift", spark, {"embeddings": _embs(spark, vecs)})
+    assert len(out) == 1
+    r = out[0]
+    assert (r.label, r.n_a, r.n_b) == (0, 2, 2)
+    assert r.l2_shift == 5.0

@@ -106,7 +106,7 @@ _PRIORITY_R05 = [
     "hard_negatives", "quantile_normalize", "purge_audit", "winsorize",
     "log_odds_tokens", "embed_outliers", "twa_value", "whale_share",
     "rfm_segments", "session_paths", "bootstrap_ci", "ngram_novelty",
-    "calibration_bins",
+    "calibration_bins", "embed_drift",
 ]
 
 # r4's window = _PRIORITY_R04 (26) + _RECORDED_R01[1:25] (rename_project

@@ -1438,3 +1438,80 @@ def calibration_bins(spark, sf_dir):
             ).alias("obs_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding drift — per-label centroid shift between two corpus halves:
+# the vector-space member of the drift-monitor family (value-space
+# drift_psi/drift_ks, token-space corpus_kl). Catches encoder version
+# skew and population shift before a model consumes the vectors.
+# --------------------------------------------------------------------------
+
+
+def _embed_drift_oracle():
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    h = knuth_hash_sql("vec_id", "//")
+    return f"""
+    WITH cells AS (
+      SELECT vec_id, label, ({h}) % 2 AS half,
+             unnest(range(len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, pos,
+             {OAVG('CASE WHEN half = 0 THEN val END')} AS ca,
+             {OAVG('CASE WHEN half = 1 THEN val END')} AS cb,
+             CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+             CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+      FROM cells GROUP BY label, pos
+      HAVING COUNT(CASE WHEN half = 0 THEN 1 END) > 0
+         AND COUNT(CASE WHEN half = 1 THEN 1 END) > 0
+    )
+    SELECT label, CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           (ROUND(SQRT({OSUM6('(ca - cb) * (ca - cb)')}), 6) + 0.0)
+             AS l2_shift
+    FROM c GROUP BY label
+    """
+
+
+@dq("embed_drift", oracle=_embed_drift_oracle())
+def embed_drift(spark, sf_dir):
+    """L2 distance between each label's half-A and half-B centroids
+    (halves by Knuth hash of vec_id — deterministic, engine-identical).
+    Both half-centroids land on the SAME (label, pos) row via
+    conditional davg (one cell aggregate, no join/grid), the squared
+    differences reduce fixed-point per label, and labels missing a half
+    drop identically on both sides. Shapes: one cell-grain exchange to
+    labels×dims rows, then a labels-sized reduce — the drift monitor
+    costs one pass at any corpus size, the same conditional-aggregate
+    shape as drift_psi/corpus_kl."""
+    from vcf2db_spark.queries.training import knuth_hash_sql
+
+    e = table_wide(spark, sf_dir, "embeddings", "vec_id")
+    half = F.expr(knuth_hash_sql("vec_id", "DIV")) % 2
+    cells = e.select(
+        "label",
+        half.alias("half"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("label", "half", "pos", F.col("val").cast("double").alias("val"))
+    in_a = F.when(F.col("half") == 0, F.col("val"))
+    in_b = F.when(F.col("half") == 1, F.col("val"))
+    c = (
+        cells.groupBy("label", "pos")
+        .agg(
+            davg(in_a).alias("ca"),
+            davg(in_b).alias("cb"),
+            F.count(in_a).alias("na"),
+            F.count(in_b).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+    )
+    diff = F.col("ca") - F.col("cb")
+    return c.groupBy("label").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        z6(F.sqrt(dsum6(diff * diff))).alias("l2_shift"),
+    )
