@@ -113,18 +113,46 @@ _PRIORITY_R05 = [
 # was slot 50 of the r3 window, not r4's).
 _RECORDED_R04 = _PRIORITY_R04 + _RECORDED_R01[1:25]
 
+# r5's window = _PRIORITY_R05 (41) + _RECORDED_R01[25:34] (the next 9 r1
+# names filled the 50).
+_RECORDED_R05 = _PRIORITY_R05 + _RECORDED_R01[25:34]
+
+
+# Round-6 priority (VERDICT r5 item 4): lead with the queries whose plan
+# or expression CHANGED in r6 (rfm_segments boundary rewrite; the four
+# fact-broadcast-guard adoptions — tpch_q4 reorientation, tpch_q12 /
+# join_range SHUFFLE_HASH pins, bucketed_join MERGE pin), then the
+# STALEST records on the board: 16 names whose only driver record is
+# still r1 (the _RECORDED_R01 tail r5's window didn't reach), then the
+# 45 r2-only names in their r2 registration order. That's 66 candidates
+# for 50 slots — the r2 overflow (~16 names) carries to r7's refresh
+# block. Union r1–r5 = 208/208 recorded; every window name here has a
+# green latest record, so the union property holds regardless of where
+# the cap lands.
+_PRIORITY_R06 = [
+    # changed in round 6 (plan pins / rewrites — re-record first):
+    "rfm_segments", "tpch_q4", "tpch_q12", "join_range", "bucketed_join",
+    "nb_classify",
+    # latest record still r1 (recorded-oldest):
+    "contam_ngram", "scan_parquet", "filter_pred", "project_expr",
+    "join_inner", "join_star", "join_left", "join_semi", "join_anti",
+    "agg_group", "agg_distinct", "agg_rollup", "agg_cube", "agg_having",
+    "topk_order", "set_union",
+]
+
 
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R05)}
-    for i, name in enumerate(_RECORDED_R01[25:]):
-        order.setdefault(name, (1, i))  # only r1 records left → refresh first
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R06)}
+    reg_idx = {name: i for i, name in enumerate(QUERIES)}
+    # r2-only records (everything not in a later recorded set) refresh
+    # next, in registration order — these are the second-oldest rows.
+    for i, name in enumerate(_RECORDED_R05):
+        order.setdefault(name, (5, i))  # freshest records → back of line
+    for i, name in enumerate(_RECORDED_R04):
+        order.setdefault(name, (4, i))
     recorded_r03 = _PRIORITY_R03[:49] + _RECORDED_R03_EXTRA
     for i, name in enumerate(recorded_r03):
         order.setdefault(name, (3, i))
-    for i, name in enumerate(_RECORDED_R04):
-        order.setdefault(name, (4, i))  # freshest records → back of the line
-    reg_idx = {name: i for i, name in enumerate(QUERIES)}
-    # everything else was recorded green in r2 → between, registration order
     reordered = sorted(
         QUERIES.items(),
         key=lambda kv: order.get(kv[0], (2, reg_idx[kv[0]])),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from vcf2db_spark.functions.text import ws_tokens
 from vcf2db_spark.io import table, table_wide
+from vcf2db_spark.lifecycle import Lifecycle
 from vcf2db_spark.operators.similarity import dot as hof_dot
 from vcf2db_spark.registry import OAVG, OSUM6, davg, dq, dsum6, r6, z6
 
@@ -957,9 +958,12 @@ def whale_share(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # RFM segmentation — recency/frequency/monetary quintiles per user via
-# the DISTRIBUTED exact-NTILE operator (no global single-task window),
-# rolled up to segment sizes. The classic CRM / reward-model cohorting.
+# broadcast exact quintile BOUNDARIES over one fused range exchange
+# (no global single-task window, no per-metric rank passes), rolled up
+# to segment sizes. The classic CRM / reward-model cohorting.
 # --------------------------------------------------------------------------
+
+_RFM_LC = Lifecycle()
 
 
 @dq(
@@ -985,28 +989,118 @@ def whale_share(spark, sf_dir):
     """,
 )
 def rfm_segments(spark, sf_dir):
-    """RFM quintile segmentation: one per-user aggregate, then three
-    exact global NTILE(5) assignments via the distributed two-phase
-    ranking operator (range exchange + P²-bounded offset join — never a
-    single-task global sort; operators/ranking.py, the same machinery
-    win_ntile_dense plan-guards), rolled up to (r,f,m) segment counts
-    and fixed-point mean value. Ties break on user_id so every quintile
-    boundary is engine-identical."""
-    from vcf2db_spark.operators.ranking import with_ntile
+    """RFM quintile segmentation via broadcast quintile BOUNDARIES, not
+    three rank passes (the r5→r6 rewrite: 6 range-exchange stages → 1
+    size-dispatched boundary scan).
+
+    NTILE(5) ordered by (key, user_id) is a pure function of a row's
+    position relative to the four tile-boundary pairs, so: (1) persist
+    the user-grain aggregate (one row per user — bounded far below the
+    event grain; release-on-next-call lifecycle) and count it, which
+    both materializes the cache and gives the exact n that makes every
+    tile-end rank (t·⌊n/5⌋ + min(t, n mod 5)) a literal; (2) unpivot to
+    3n (metric, key, user_id) rows and pull the 12 boundary rows —
+    below 1M users a deliberate single-partition window over the cached
+    unpivot (the rank_and_ntile small-side idiom: ~45k rows at sf1,
+    where the two-phase machinery is pure scheduling overhead), above
+    it the metric-major two-phase global row_number (operators/
+    ranking.py range exchange; per-metric rank = rn − (metric−1)·n
+    since each metric contributes exactly n rows) filtered to the 12
+    literal global ranks; (3) collapse them to ONE broadcast row of
+    boundary structs; (4) assign all three tiles map-only on the cached
+    user grain by counting boundaries strictly below each row's
+    (key, user_id) struct. Nothing user-grain shuffles after the
+    boundary scan and the only driver-adjacent state is n and the
+    1-row boundary table — the shape that survives 100 TB. Ties break
+    on user_id so every boundary is engine-identical; empty top tiles
+    (n < 5) surface as NULL boundaries which the counter skips."""
+    from vcf2db_spark.operators.ranking import _row_number_parts
 
     e = table_wide(spark, sf_dir, "events", "user_id").filter(
         F.col("value").isNotNull()
     )
-    pu = e.groupBy("user_id").agg(
-        F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias(
-            "last_uts"
-        ),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100.0).cast("long")).alias("cents"),
+    _RFM_LC.release()
+    pu = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias(
+                "last_uts"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .persist()
     )
-    q = with_ntile(pu, ["last_uts", "user_id"], 5, alias="r_q")
-    q = with_ntile(q, ["n_events", "user_id"], 5, alias="f_q")
-    q = with_ntile(q, ["cents", "user_id"], 5, alias="m_q")
+    _RFM_LC.hold_df(pu)
+    n = pu.count()
+    base, big = n // 5, n % 5
+    ends = [t * base + min(t, big) for t in range(1, 5)]
+    metrics = [("r", "last_uts"), ("f", "n_events"), ("m", "cents")]
+    unpiv = pu.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("metric"),
+                        F.col(c).cast("long").alias("key"),
+                    )
+                    for i, (_tag, c) in enumerate(metrics)
+                ]
+            )
+        ).alias("mk"),
+    ).select(
+        F.col("mk.metric").alias("metric"),
+        F.col("mk.key").alias("key"),
+        "user_id",
+    )
+    if n <= 1_000_000:
+        one = unpiv.repartition(1).withColumn("_pid", F.spark_partition_id())
+        w = Window.partitionBy("_pid", "metric").orderBy("key", "user_id")
+        ranked = one.withColumn("_rnm", F.row_number().over(w).cast("bigint"))
+    else:
+        rn_df, _counts = _row_number_parts(
+            unpiv, ["metric", "key", "user_id"], "_grn", None
+        )
+        ranked = rn_df.withColumn(
+            "_rnm", F.col("_grn") - (F.col("metric") - 1) * F.lit(n)
+        )
+    bounds = ranked.filter(F.col("_rnm").isin(ends))
+    agg_cols = []
+    for i, (tag, _c) in enumerate(metrics):
+        for t in range(1, 5):
+            agg_cols.append(
+                F.max(
+                    F.when(
+                        (F.col("metric") == i + 1)
+                        & (F.col("_rnm") == F.lit(ends[t - 1])),
+                        F.struct(F.col("key"), F.col("user_id")),
+                    )
+                ).alias(f"_{tag}{t}")
+            )
+    brow = bounds.groupBy().agg(*agg_cols)
+
+    def tile(tag: str, col: str):
+        p = F.struct(F.col(col).cast("long").alias("key"), F.col("user_id"))
+        hits = [
+            F.when(
+                F.col(f"_{tag}{t}").isNotNull() & (p > F.col(f"_{tag}{t}")), 1
+            ).otherwise(0)
+            for t in range(1, 5)
+        ]
+        out = F.lit(1)
+        for h in hits:
+            out = out + h
+        return out.cast("bigint")
+
+    q = pu.crossJoin(F.broadcast(brow)).select(
+        tile("r", "last_uts").alias("r_q"),
+        tile("f", "n_events").alias("f_q"),
+        tile("m", "cents").alias("m_q"),
+        "cents",
+    )
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).alias("n_users"),
         davg(F.col("cents").cast("double") / 100.0).alias("avg_value"),

@@ -170,21 +170,27 @@ def tpch_q2(spark, sf_dir):
 )
 def tpch_q4(spark, sf_dir):
     """Q4 order-priority checking; "late line" is shipdate > orderdate+60d
-    (fixture has no commit/receipt dates). Semi join shuffles both sides
-    on the order key once; the priority aggregate is a 5-group partial
-    agg."""
+    (fixture has no commit/receipt dates). The leftsemi form forces the
+    UNFILTERED fact (lineitem) onto the build side — Catalyst broadcast
+    it (caught by tests/test_plan_broadcast.py, r6). The scale-correct
+    orientation broadcasts the 3-MONTH orders slice into a map-side
+    inner join that lineitem streams through, then reduces the (small)
+    matched set to order grain — only LATE lines of a 90-day window
+    ever shuffle, the semi semantics recovered by the per-order
+    aggregate. Same device as q21's semi+anti→per-order-aggregate."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
-    )
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
-        o.join(
-            li,
-            (o.o_orderkey == li.l_orderkey)
-            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
-            "leftsemi",
+        li.join(
+            F.broadcast(o),
+            (F.col("l_orderkey") == o.o_orderkey)
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
         )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n_late"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
@@ -534,7 +540,16 @@ def tpch_q12(spark, sf_dir):
     """Q12 shape with l_returnflag standing in for the missing
     l_shipmode: one fact⋈orders join on the order key, conditional
     counts partial-aggregated map-side into 3 groups."""
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # orders is a FACT: its pruned 2-column estimate lands under the
+    # broadcast threshold and Catalyst plans the driver-side hash build
+    # that dies at 100 TB (the join_star/q7/q9/q21 r5 class — this one
+    # caught by the permanent tests/test_plan_broadcast.py guard, r6).
+    # SHUFFLE_HASH exchanges both facts on the order key instead.
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))

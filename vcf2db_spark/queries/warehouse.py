@@ -548,8 +548,15 @@ def bucketed_join(spark, sf_dir):
     write_bucketed(o, to_, ("o_orderkey",), n_buckets=8)
     write_bucketed(li, tl, ("l_orderkey",), n_buckets=8)
     bo, bl = spark.table(to_), spark.table(tl)
+    # MERGE hint: the filtered orders bucket table is small enough that
+    # Catalyst would auto-broadcast it — which throws away the co-located
+    # bucket layout this query exists to demonstrate (and re-plans the
+    # driver-side hash build at real scale, where the table isn't small;
+    # caught by tests/test_plan_broadcast.py, r6). The hinted sort-merge
+    # join sees matching bucket specs and plans NO exchange on either
+    # side — the amortized-shuffle contract.
     return (
-        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -389,14 +389,23 @@ def join_range(spark, sf_dir):
     bucket to the join key (the left side exploded onto its bucket and the
     next, since a 60 s band spans at most two buckets) keeps the join
     hash-partitioned AND shrinks candidates to pairs within ~2 minutes of
-    each other; the exact band predicate then filters residue."""
+    each other; the exact band predicate then filters residue.
+
+    SHUFFLE_HASH pin (r6): unhinted, Catalyst's estimate for the
+    exploded side lands under the broadcast threshold at bench scales
+    and it broadcasts 2× the events table — the fact-broadcast class
+    tests/test_plan_broadcast.py guards against, and the plan that dies
+    at 100 TB. The hinted shuffled hash join on (user_id, bucket) also
+    measured FASTEST at both sf0.1 and sf1 (0.78 s vs 1.2 s broadcast /
+    0.87 s merge at sf1) — no sort on either side, AQE skew-split
+    applies."""
     e = table_wide(spark, sf_dir, "events", "user_id")
     bucket = (F.unix_timestamp("ts") / 60).cast("bigint")
     a = e.select(
         "user_id",
         F.col("ts").alias("a_ts"),
         F.explode(F.array(bucket, bucket + 1)).alias("bk"),
-    )
+    ).hint("shuffle_hash")
     b = e.select(
         F.col("user_id").alias("b_user"),
         F.col("ts").alias("b_ts"),
