@@ -223,3 +223,45 @@ def test_index_build_mode(spark, tmp_path):
     assert os.path.exists(gz + ".tbi")
     # the freshly built index now drives per-contig seek partitions
     assert read_vcf(spark, gz).rdd.getNumPartitions() == 2
+
+
+# ---- intra-contig partition splitting (VERDICT r5 item 5) ------------------
+
+
+def test_partition_chunks_disjoint_and_cover(vcf_paths):
+    _, gz = vcf_paths
+    idx = read_tbi(gz + ".tbi")
+    whole = idx.chunks("chr1")
+    groups = idx.partition_chunks("chr1", target_bytes=4096)
+    assert len(groups) > 1, "small target must split a multi-block contig"
+    flat = [r for g in groups for r in g]
+    # ordered, disjoint, non-empty
+    assert all(b < e for b, e in flat)
+    assert all(flat[i][1] <= flat[i + 1][0] for i in range(len(flat) - 1))
+    # exact cover of the unsplit ranges: same total span, same endpoints
+    assert flat[0][0] == whole[0][0] and flat[-1][1] == whole[-1][1]
+    merged = []
+    for b, e in flat:
+        if merged and b <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((b, e))
+    assert merged == [tuple(c) for c in whole]
+
+
+def test_intra_contig_split_rows_identical(spark, vcf_paths):
+    plain, gz = vcf_paths
+    whole = _collect_sorted(read_vcf(spark, plain))
+    split_df = read_vcf(spark, gz, target_partition_bytes=4096)
+    assert split_df.rdd.getNumPartitions() > 2, "must split beyond 1/contig"
+    assert _collect_sorted(split_df) == whole
+
+
+def test_intra_contig_split_with_pushdown(spark, vcf_paths):
+    plain, gz = vcf_paths
+    pred = "chrom = 'chr2' AND start >= 300000 AND start < 900000"
+    want = _collect_sorted(read_vcf(spark, plain).filter(pred))
+    got = _collect_sorted(
+        read_vcf(spark, gz, target_partition_bytes=2048).filter(pred)
+    )
+    assert got == want and len(got) > 0

@@ -76,6 +76,50 @@ def make_vcf(path: str, n: int, contigs: int, seed: int = 42) -> None:
                 )
 
 
+def run_split_ab(args) -> None:
+    """Single-contig bgzf parse: intra-contig splitting vs 1 task/contig.
+
+    Before r6 a single-contig file collapsed the whole parse onto ONE
+    core regardless of cluster size; tabix-linear-index splitting gives
+    it data-proportional parallelism. Reports tasks + wall time + rows
+    for both plans (rows must match exactly)."""
+    from vcf2db_spark.session import get_spark
+    from vcf2db_spark.sources.bgzf import compress_file
+    from vcf2db_spark.sources.tabix import index_vcf
+    from vcf2db_spark.sources.vcf import read_vcf
+
+    path = f"/tmp/bench_vcf_split_{args.n}.vcf"
+    if not os.path.exists(path):
+        make_vcf(path, args.n, contigs=1)
+    gz = path + ".gz"
+    if not os.path.exists(gz + ".tbi"):
+        compress_file(path, gz)
+        index_vcf(gz)
+
+    spark = get_spark("vcf-split-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"metric": "vcf_single_contig_split_ab", "n": args.n}
+    for label, target in (
+        ("one_task_per_contig", 0),
+        ("chunk_split", args.target_kb << 10),
+    ):
+        df = read_vcf(spark, gz, target_partition_bytes=target)
+        tasks = df.rdd.getNumPartitions()
+        t0 = time.perf_counter()
+        rows = df.count()
+        secs = time.perf_counter() - t0
+        out[label] = {
+            "tasks": tasks,
+            "seconds": round(secs, 2),
+            "rows": rows,
+            "variants_per_sec": round(rows / secs),
+        }
+    a, b = out["one_task_per_contig"], out["chunk_split"]
+    assert a["rows"] == b["rows"], "split changed row count!"
+    out["speedup"] = round(a["seconds"] / b["seconds"], 2)
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50_000)
@@ -86,7 +130,25 @@ def main() -> None:
         help="also produce the gemini-compatible .db artifact and report "
         "its end-to-end load rate (the reference's own headline metric)",
     )
+    ap.add_argument(
+        "--split-ab",
+        action="store_true",
+        help="bgzip+index a SINGLE-contig copy of the input and A/B the "
+        "parse with intra-contig chunk splitting on vs off (one task per "
+        "contig) — the VERDICT r5 item-5 scaling point",
+    )
+    ap.add_argument(
+        "--target-kb",
+        type=int,
+        default=256,
+        help="split target in COMPRESSED KB for --split-ab (small enough "
+        "to exercise splitting on a bench-sized file)",
+    )
     args = ap.parse_args()
+
+    if args.split_ab:
+        run_split_ab(args)
+        return
 
     from vcf2db_spark.pipeline import load_vcf
     from vcf2db_spark.session import get_spark

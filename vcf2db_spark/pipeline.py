@@ -47,6 +47,7 @@ def load_vcf(
     num_partitions: int | None = None,
     cache_parse: bool = False,
     decompose: str = "reject",
+    target_partition_bytes: int = 64 << 20,
 ) -> VCFTables:
     """``cache_parse=True`` persists the parsed stream so the downstream
     consumers (variant_id's range sampling, the variants sink, the impacts
@@ -61,6 +62,7 @@ def load_vcf(
         black_list=black_list,
         include_genotypes=include_genotypes and bool(header.samples),
         decompose=decompose,
+        target_partition_bytes=target_partition_bytes,
     )
     if cache_parse:
         raw = raw.persist()

