@@ -72,6 +72,10 @@ def main() -> int:
     import __spark_entry__ as E
     from vcf2db_spark.session import get_spark
 
+    # the differential COLLECTS full results for comparison — at sf4 the
+    # per-row queries (math_funcs: 24M lineitem rows) exceed the 1g
+    # default; this is a harness knob, not a query property
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
     spark = get_spark("vcf2db-check")
     qs, oracles = E.queries(), E.oracle_sql()
 

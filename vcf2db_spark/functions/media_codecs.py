@@ -16,9 +16,14 @@ formats a few hundred lines of numpy can parse exactly:
   (``b"FAKE" | u16 w | u16 h | u8 c | payload``), kept as the
   seed-stable fixture codec.
 
-Anything else (JPEG/PNG/MP4…) raises ``NotImplementedError`` — real
-entropy-coded formats genuinely need external libraries, and pretending
-otherwise would be a silent-wrong-answer factory.
+- **JPEG** (baseline sequential DCT, 8-bit Huffman, JFIF): the one
+  entropy-coded format implemented in-repo (functions/jpeg.py, r6) —
+  grayscale or YCbCr with power-of-two sampling factors, restart
+  markers honored; progressive/arithmetic/12-bit still raise.
+
+Anything else (PNG/MP4/progressive-JPEG…) raises
+``NotImplementedError`` — those genuinely need external libraries, and
+pretending otherwise would be a silent-wrong-answer factory.
 
 All functions are plain bytes→numpy (no Spark imports): they run inside
 Arrow-batched ``mapInPandas`` stages (functions/multimodal.py) where the
@@ -52,6 +57,8 @@ def sniff(blob: bytes) -> str:
         return "bmp"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "wav"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return ""
 
 
@@ -254,11 +261,18 @@ def _decode_wav(blob: bytes) -> np.ndarray:
 # dispatch
 # ---------------------------------------------------------------------------
 
+def _decode_jpeg(blob: bytes) -> np.ndarray:
+    from vcf2db_spark.functions.jpeg import decode_jpeg
+
+    return decode_jpeg(blob)
+
+
 _DECODERS = {
     "fake": _decode_fake,
     "ppm": _decode_ppm,
     "bmp": _decode_bmp,
     "wav": _decode_wav,
+    "jpeg": _decode_jpeg,
 }
 
 
@@ -270,9 +284,9 @@ def decode(blob: bytes) -> tuple[str, np.ndarray]:
     fmt = sniff(blob)
     if not fmt:
         raise NotImplementedError(
-            "unsupported media container (JPEG/PNG/MP4/... need PIL/ffmpeg, "
+            "unsupported media container (PNG/MP4/... need PIL/ffmpeg, "
             "which this environment does not ship); supported: "
-            "FAKE, PPM/PGM, BMP, WAV"
+            "FAKE, PPM/PGM, BMP, WAV, baseline JPEG"
         )
     return fmt, _DECODERS[fmt](blob)
 
@@ -292,4 +306,8 @@ def encode(fmt: str, arr: np.ndarray) -> bytes:
     if fmt == "wav":
         h, w, c = arr.shape
         return encode_wav(arr.reshape(h * w, c), bits=8)
+    if fmt == "jpeg":
+        from vcf2db_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise NotImplementedError(f"no encoder for {fmt!r}")

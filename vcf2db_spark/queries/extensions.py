@@ -311,12 +311,17 @@ def media_features(spark, sf_dir):
                 w = 16
                 n = max(1, raw.size // w)
                 cube = np.resize(raw, (n, w, 1))  # deterministic tile/pad
-                if did % 3 == 0:
+                if did % 4 == 0:
                     rows.append((did, "image_ppm", mc.encode_ppm(cube)))
-                elif did % 3 == 1:
+                elif did % 4 == 1:
                     rows.append((did, "image_bmp", mc.encode_bmp(cube)))
-                else:
+                elif did % 4 == 2:
                     rows.append((did, "audio_wav", mc.encode_wav(cube.reshape(n * w, 1), bits=8)))
+                else:
+                    # the r6 entropy-coded row: baseline JPEG, encoded AND
+                    # decoded by functions/jpeg.py (deterministic — fixed
+                    # tables, fixed quality)
+                    rows.append((did, "image_jpeg", mc.encode("jpeg", cube)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
     media = d.select("doc_id", "text").mapInPandas(

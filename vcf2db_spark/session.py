@@ -45,6 +45,13 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
         # broadcast builds that cost more than the shuffle they avoid.
         # Determinism: pin session TZ (fixtures carry naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
+        # Harness knob: the differential comparator collects full results;
+        # per-row queries at sf4 exceed the 1g default. Static conf —
+        # tools/check.py sets the env var before building the session.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         # Arrow for pandas_udf / toPandas round-trips.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource pushFilters (VCF source locus pruning).
