@@ -242,3 +242,33 @@ def test_jpeg_progressive_rejected():
         pytest.skip("spark sample images not present")
     with pytest.raises(NotImplementedError, match="baseline"):
         mc.decode(open(p, "rb").read())
+
+
+def test_jpeg_property_roundtrip_random_shapes():
+    """Randomized shapes/qualities: decode(encode(x)) keeps shape/dtype
+    and stays within the quantization error bound for smooth content."""
+    rng = np.random.default_rng(42)
+    for _ in range(8):
+        h = int(rng.integers(8, 50))
+        w = int(rng.integers(8, 50))
+        c = int(rng.choice([1, 3]))
+        base = int(rng.integers(30, 220))
+        # smooth ramp + small noise: JPEG-representable content
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            base + (xx + yy)[:, :, None] % 30 + rng.integers(-3, 4, (h, w, c)),
+            0, 255,
+        ).astype(np.uint8)
+        from vcf2db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == (h, w, c) and out.dtype == np.uint8
+        assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 6.0
+
+
+def test_jpeg_truncated_stream_raises_cleanly():
+    from vcf2db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    blob = encode_jpeg(np.full((16, 16, 1), 99, np.uint8))
+    with pytest.raises((NotImplementedError, Exception)):
+        decode_jpeg(blob[:20])  # header cut mid-segment must not hang
