@@ -119,3 +119,30 @@ def test_append_rejects_schema_drift(spark, root):
     bad = spark.range(5).select(F.col("id").alias("k"))  # missing v
     with pytest.raises(ValueError, match="schema mismatch"):
         lh.append(spark, root, bad)
+
+
+def test_table_changes_cdf(spark, root):
+    lh.create(spark, root, _mk(spark, 0, 1000).coalesce(1), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 1000, 2000).coalesce(1))
+    # 5 updates in the low file + 3 inserts past the high range: the key
+    # bounds span both files, so BOTH are rewritten — the feed must still
+    # emit ONLY the 8 changed rows (carried-along equal rows drop out)
+    batch = _mk(spark, 100, 105, bump=7.0).unionByName(
+        spark.range(3).select(
+            (F.col("id") + 2000).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+    )
+    lh.merge(spark, root, batch, key="k")
+    feed = lh.table_changes(spark, root, 1, 2, key="k").collect()
+    by = {}
+    for r in feed:
+        by.setdefault(r["_change"], []).append((r["k"], r["v"]))
+    assert sorted(by["insert"]) == [(2000, 0.0), (2001, 1.0), (2002, 2.0)]
+    assert sorted(by["update_postimage"]) == [
+        (k, k + 7.0) for k in range(100, 105)
+    ]
+    assert "delete" not in by  # no delete op in this history
+    # compaction produces NO changes: all rows carry over equal
+    lh.compact(spark, root, target_bytes=1 << 30)
+    assert lh.table_changes(spark, root, 2, 3, key="k").count() == 0

@@ -371,6 +371,56 @@ def compact(
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """Change data feed between two committed versions: per-key rows
+    tagged ``_change = insert | update_postimage | delete``. Computed
+    from the two pinned snapshots' FILE DIFF — files present in both
+    manifests carry no changes and are never read; only files added or
+    removed between the versions are scanned (COW writes whole files,
+    so every changed row lives in the file diff). At 100 TB a
+    point-merge's change feed reads the handful of rewritten files, not
+    either table snapshot. Join on the key splits the diff into
+    inserts / updates (value changed) / deletes."""
+    old_man, new_man = snapshot(root, v_from), snapshot(root, v_to)
+    old_set = {f["path"] for f in old_man["files"]}
+    new_set = {f["path"] for f in new_man["files"]}
+    schema = _schema_of(new_man)
+
+    def _scan(paths: set[str]) -> DataFrame:
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(root, p) for p in sorted(paths)]
+        )
+
+    removed = _scan(old_set - new_set)  # pre-images of changed rows
+    added = _scan(new_set - old_set)  # post-images of changed rows
+    non_key = [f.name for f in schema if f.name != key]
+    pre = removed.select(F.col(key), F.struct(*non_key).alias("__pre"))
+    post = added.select(F.col(key), F.struct(*non_key).alias("__post"))
+    joined = post.join(pre, on=key, how="full_outer")
+    # unchanged rows a COW rewrite carried along appear on BOTH sides
+    # with equal images — eqNullSafe drops them even with NULL fields
+    changed = joined.filter(
+        ~F.col("__pre").eqNullSafe(F.col("__post"))
+    )
+    img = F.coalesce(F.col("__post"), F.col("__pre"))  # delete → pre-image
+    return changed.select(
+        key,
+        *[img.getField(c).alias(c) for c in non_key],
+        F.when(F.col("__pre").isNull(), "insert")
+        .when(F.col("__post").isNull(), "delete")
+        .otherwise("update_postimage")
+        .alias("_change"),
+    )
+
+
 def vacuum(root: str, retain_versions: int = 1) -> int:
     """Delete data files referenced by NO retained version (the newest
     ``retain_versions`` manifests survive). Returns files removed."""
