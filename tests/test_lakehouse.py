@@ -146,3 +146,31 @@ def test_table_changes_cdf(spark, root):
     # compaction produces NO changes: all rows carry over equal
     lh.compact(spark, root, target_bytes=1 << 30)
     assert lh.table_changes(spark, root, 2, 3, key="k").count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_merge_history_matches_dict_replica(spark, tmp_path, seed):
+    """Randomized create/append/merge histories: after every commit the
+    table must equal a plain-dict replica of the same operations, and
+    every PRIOR version must still read its own at-commit state (the
+    snapshot-isolation property, checked across the whole history)."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"tbl{seed}")
+    replica: dict[int, float] = {k: float(k) for k in range(200)}
+    lh.create(spark, root, _mk(spark, 0, 200), stat_cols=("k",))
+    states = [dict(replica)]
+    for _step in range(4):
+        keys = sorted(rng.sample(range(400), rng.randint(1, 40)))
+        bump = float(rng.randint(1, 9)) * 1000.0
+        rows = [(k, k + bump) for k in keys]
+        batch = spark.createDataFrame(rows, "k: long, v: double")
+        lh.merge(spark, root, batch, key="k")
+        replica.update(dict(rows))
+        states.append(dict(replica))
+    for v, want in enumerate(states):
+        got = {
+            r["k"]: r["v"] for r in lh.read(spark, root, v).collect()
+        }
+        assert got == want, f"seed={seed} version={v}"
