@@ -20,6 +20,25 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 #: query → what to look for in its plan
 HEADLINERS = {
+    "rfm_segments": (
+        "The r6 rewrite (VERDICT r5 item 1): three global NTILE(5) passes "
+        "(six exchanges) became ONE exchange over the unpivoted "
+        "(metric, value, user) relation feeding ONE metric-partitioned "
+        "Window, whose 12 boundary rows collapse to a single broadcast "
+        "struct row; tile assignment is then a deliberate 1-row "
+        "BroadcastNestedLoopJoin + CASE arithmetic on the cached "
+        "user-grain relation. Expect: Exchange (unpivot) → Window "
+        "(partitioned by metric — never unpartitioned) → SortAggregate → "
+        "1-row BroadcastExchange; the user grain itself shuffles exactly "
+        "once, inside its own cached aggregate."
+    ),
+    "join_range": (
+        "Theta/range join with the r6 SHUFFLE_HASH pin. Expect: "
+        "ShuffledHashJoin on the equi key with the range predicate as the "
+        "join condition residual — not BroadcastNestedLoopJoin, and no "
+        "driver-side build of the fact projection (the broadcast plan "
+        "Catalyst picks unhinted at fixture scale inverts at real scale)."
+    ),
     "agg_group": (
         "Flagship TPC-H Q1 shape. Expect: parquet scan with PushedFilters "
         "on l_shipdate and a pruned ReadSchema (7 of 11 columns), partial "
