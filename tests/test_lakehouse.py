@@ -174,3 +174,27 @@ def test_merge_history_matches_dict_replica(spark, tmp_path, seed):
             r["k"]: r["v"] for r in lh.read(spark, root, v).collect()
         }
         assert got == want, f"seed={seed} version={v}"
+
+
+def test_merge_sparse_batch_skips_unhit_files(spark, root):
+    """A batch hitting both ENDS of the keyspace must not rewrite the
+    middle file (exact per-file hit detection, not [min,max]-span
+    overlap — the COW write-amplification worst case)."""
+    lh.create(spark, root, _mk(spark, 0, 1000).coalesce(1), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 1000, 2000).coalesce(1))
+    lh.append(spark, root, _mk(spark, 2000, 3000).coalesce(1))
+    mid = {
+        f["path"]
+        for f in lh.snapshot(root)["files"]
+        if f["stats"]["k"][0] == 1000
+    }
+    assert len(mid) == 1
+    batch = _mk(spark, 5, 10, bump=3.0).unionByName(
+        _mk(spark, 2990, 2995, bump=3.0)
+    )
+    lh.merge(spark, root, batch, key="k")
+    after = {f["path"] for f in lh.snapshot(root)["files"]}
+    assert mid <= after, "middle file must carry over un-rewritten"
+    got = lh.read(spark, root)
+    assert got.count() == 3000
+    assert got.filter("v = k + 3.0").count() == 10

@@ -278,14 +278,18 @@ def merge(
 ) -> int:
     """Copy-on-write MERGE: matched target rows take the update batch's
     non-key columns; unmatched update keys insert. Only data files whose
-    ``key`` stats overlap the batch's [min,max] key bounds are rewritten;
-    every other file entry carries into the new manifest verbatim (the
-    COW contract — at 100 TB a point-update rewrites a handful of files,
-    not the table)."""
+    ``key`` range actually CONTAINS an update key are rewritten (exact
+    per-file hit detection: the file ranges — file-count rows — are
+    broadcast against the update keys in a range join, so a sparse batch
+    touching both ends of the keyspace rewrites two files, not the span
+    between them); every other file entry carries into the new manifest
+    verbatim. Non-numeric key stats fall back to [min,max]-span overlap.
+    Driver materializations stay bounded: one 1-row bounds aggregate +
+    one hit list of at most file-count rows."""
     cur = snapshot(root)
     _check_schema(cur, updates, "merge")
-    # 1-row bounds aggregate of the update batch — the only driver
-    # materialization, bounded at exactly one row regardless of volume
+    # 1-row bounds aggregate of the update batch (empty-batch gate +
+    # the fallback pruning bound for non-numeric keys)
     bounds = updates.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
@@ -294,11 +298,41 @@ def merge(
                               "operation": "merge"})
     lo, hi = _stat_value(bounds["lo"]), _stat_value(bounds["hi"])
 
+    ranges = [
+        (i, e["stats"].get(key)) for i, e in enumerate(cur["files"])
+    ]
+    numeric = all(
+        st is None or isinstance(st[0], (int, float)) for _, st in ranges
+    )
+    if numeric and any(st is not None for _, st in ranges):
+        rng = spark.createDataFrame(
+            [(i, st[0], st[1]) for i, st in ranges if st is not None],
+            ["__idx", "__lo", "__hi"],
+        )
+        # hit list: ≤ file-count rows regardless of batch volume
+        hit = {
+            r["__idx"]
+            for r in updates.select(F.col(key).alias("__k"))
+            .join(
+                F.broadcast(rng),
+                (F.col("__k") >= F.col("__lo"))
+                & (F.col("__k") <= F.col("__hi")),
+            )
+            .select("__idx")
+            .distinct()
+            .collect()
+        }
+        overlapping = [
+            i in hit if st is not None else True for i, st in ranges
+        ]
+    else:  # span fallback: stats missing or JSON-stringified temporals
+        overlapping = [
+            st is None or not (st[0] > hi or st[1] < lo) for _, st in ranges
+        ]
+
     touched, untouched = [], []
-    for entry in cur["files"]:
-        st = entry["stats"].get(key)
-        overlaps = st is None or not (st[0] > hi or st[1] < lo)
-        (touched if overlaps else untouched).append(entry)
+    for entry, hit_flag in zip(cur["files"], overlapping):
+        (touched if hit_flag else untouched).append(entry)
 
     schema = _schema_of(cur)
     non_key = [f.name for f in schema if f.name != key]
