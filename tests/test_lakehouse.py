@@ -198,3 +198,34 @@ def test_merge_sparse_batch_skips_unhit_files(spark, root):
     got = lh.read(spark, root)
     assert got.count() == 3000
     assert got.filter("v = k + 3.0").count() == 10
+
+
+def test_optimize_zorder_prunes_box_predicates(spark, tmp_path):
+    """OPTIMIZE ZORDER BY (x, y): after clustering, a box predicate on
+    BOTH dimensions prunes most files via manifest stats; the same box
+    against the row-order layout prunes (almost) nothing on the second
+    dimension. Same rows either way."""
+    root = str(tmp_path / "ztbl")
+    # 64x64 grid in row-major order: x is the slow dimension, y cycles
+    df = spark.range(4096).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        (F.col("id") % 64).alias("y"),
+    )
+    lh.create(spark, root, df.repartitionByRange(16, "id"),
+              stat_cols=("x", "y"))
+    box = {"x": (8, 15), "y": (8, 15)}
+    _sel_row, skipped_roworder = lh.plan_files(root, box)
+    lh.compact(spark, root, target_bytes=1 << 10, zorder_cols=("x", "y"))
+    man = lh.snapshot(root)
+    assert man["operation"] == "zorder"
+    assert len(man["files"]) >= 8, "need several files for pruning to bite"
+    sel_z, skipped_z = lh.plan_files(root, box)
+    frac_z = skipped_z / (skipped_z + len(sel_z))
+    assert frac_z >= 0.5, f"zorder should skip most files, got {frac_z}"
+    assert skipped_z > skipped_roworder
+    got = (
+        lh.read_pruned(spark, root, box)
+        .filter("x between 8 and 15 and y between 8 and 15")
+        .count()
+    )
+    assert got == 64

@@ -379,25 +379,45 @@ def merge(
 
 
 def compact(
-    spark: SparkSession, root: str, target_bytes: int = 32 << 20
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 32 << 20,
+    zorder_cols: tuple[str, ...] = (),
 ) -> int:
     """OPTIMIZE: bin-pack the current snapshot into ceil(bytes/target)
-    files as a new commit. Prior versions keep reading the old files —
-    the log owns file lifetime (see ``vacuum``)."""
+    files as a new commit. With ``zorder_cols`` it is OPTIMIZE ZORDER BY:
+    rows are range-partitioned along the Morton key of those columns
+    (operators/layout.py — the stats cross-join keeps it one declarative
+    plan), so each output file covers a compact hyper-rectangle of the
+    key space and the manifest's min/max stats prune MULTI-column box
+    predicates, not just the sort leader. Prior versions keep reading
+    the old files — the log owns file lifetime (see ``vacuum``)."""
     cur = snapshot(root)
     paths = [os.path.join(root, f["path"]) for f in cur["files"]]
     nbytes = sum(os.path.getsize(p) for p in paths)
     n_out = max(1, math.ceil(nbytes / target_bytes))
     df = spark.read.schema(_schema_of(cur)).parquet(*paths)
-    packed = df.coalesce(n_out) if df.rdd.getNumPartitions() >= n_out else (
-        df.repartition(n_out)
-    )
+    if zorder_cols:
+        from vcf2db_spark.operators.layout import with_zorder_key
+
+        packed = (
+            with_zorder_key(df, list(zorder_cols), key_col="_zkey")
+            .repartitionByRange(n_out, "_zkey")
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    else:
+        packed = (
+            df.coalesce(n_out)
+            if df.rdd.getNumPartitions() >= n_out
+            else df.repartition(n_out)
+        )
     files = _write_data(packed, root, tuple(cur["stat_cols"]))
     return _commit(
         root,
         {
             "parent": cur["version"],
-            "operation": "compact",
+            "operation": "zorder" if zorder_cols else "compact",
             "schema": cur["schema"],
             "stat_cols": cur["stat_cols"],
             "files": files,
