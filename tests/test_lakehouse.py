@@ -229,3 +229,45 @@ def test_optimize_zorder_prunes_box_predicates(spark, tmp_path):
         .count()
     )
     assert got == 64
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → lakehouse: drain a multi-batch file stream into the
+    table, then prove the exactly-once contract — a replayed batch id is
+    a no-op, the txn watermark survives unrelated commits (compaction),
+    and a genuinely new batch id still lands."""
+    src = str(tmp_path / "src")
+    for i in range(3):  # three files → three micro-batches at 1 file/trigger
+        _mk(spark, i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    root = str(tmp_path / "sink_tbl")
+    lh.create(spark, root, _mk(spark, 0, 0), stat_cols=("k",))  # empty v0
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lh.stream_sink(root, "app1"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert lh.read(spark, root).count() == 300
+    last = lh.txn_version(root, "app1")
+    assert last >= 0
+    # replay of an already-committed batch: NO-OP
+    assert lh.append_stream_batch(root, _mk(spark, 0, 100), "app1", last) is None
+    assert lh.read(spark, root).count() == 300
+    # the watermark survives an unrelated commit (compaction)
+    lh.compact(spark, root, target_bytes=1 << 30)
+    assert lh.txn_version(root, "app1") == last
+    assert lh.append_stream_batch(root, _mk(spark, 0, 100), "app1", last) is None
+    # a NEW batch id commits; a second app has its own watermark
+    assert lh.append_stream_batch(
+        root, _mk(spark, 300, 310), "app1", last + 1
+    ) is not None
+    assert lh.read(spark, root).count() == 310
+    assert lh.txn_version(root, "app2") == -1

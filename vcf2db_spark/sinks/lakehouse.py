@@ -180,9 +180,23 @@ def create(
             "operation": "create",
             "schema": df.schema.jsonValue(),
             "stat_cols": list(stat_cols),
+            "txn": {},
             "files": files,
         },
     )
+
+
+def _child_manifest(cur: dict, operation: str, files: list[dict]) -> dict:
+    """Next-version manifest carrying schema, stat columns, and the
+    streaming txn watermarks forward from the parent snapshot."""
+    return {
+        "parent": cur["version"],
+        "operation": operation,
+        "schema": cur["schema"],
+        "stat_cols": cur["stat_cols"],
+        "txn": cur.get("txn", {}),
+        "files": files,
+    }
 
 
 def _schema_of(manifest: dict) -> StructType:
@@ -201,16 +215,7 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
     cur = snapshot(root)
     _check_schema(cur, df, "append")
     files = _write_data(df, root, tuple(cur["stat_cols"]))
-    return _commit(
-        root,
-        {
-            "parent": cur["version"],
-            "operation": "append",
-            "schema": cur["schema"],
-            "stat_cols": cur["stat_cols"],
-            "files": cur["files"] + files,
-        },
-    )
+    return _commit(root, _child_manifest(cur, "append", cur["files"] + files))
 
 
 def read(
@@ -294,8 +299,7 @@ def merge(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:  # empty batch → no-op commit
-        return _commit(root, {**cur, "parent": cur["version"],
-                              "operation": "merge"})
+        return _commit(root, _child_manifest(cur, "merge", cur["files"]))
     lo, hi = _stat_value(bounds["lo"]), _stat_value(bounds["hi"])
 
     ranges = [
@@ -366,16 +370,7 @@ def merge(
         root,
         tuple(cur["stat_cols"]),
     )
-    return _commit(
-        root,
-        {
-            "parent": cur["version"],
-            "operation": "merge",
-            "schema": cur["schema"],
-            "stat_cols": cur["stat_cols"],
-            "files": untouched + rewritten,
-        },
-    )
+    return _commit(root, _child_manifest(cur, "merge", untouched + rewritten))
 
 
 def compact(
@@ -415,14 +410,50 @@ def compact(
     files = _write_data(packed, root, tuple(cur["stat_cols"]))
     return _commit(
         root,
-        {
-            "parent": cur["version"],
-            "operation": "zorder" if zorder_cols else "compact",
-            "schema": cur["schema"],
-            "stat_cols": cur["stat_cols"],
-            "files": files,
-        },
+        _child_manifest(cur, "zorder" if zorder_cols else "compact", files),
     )
+
+
+def txn_version(root: str, app_id: str) -> int:
+    """Highest micro-batch id committed for ``app_id``, or -1. The txn
+    watermark lives in every manifest (carried forward by all commit
+    paths), so one snapshot read answers the replay question."""
+    if latest_version(root) < 0:
+        return -1
+    return int(snapshot(root).get("txn", {}).get(app_id, -1))
+
+
+def append_stream_batch(
+    root: str, df: DataFrame, app_id: str, batch_id: int
+) -> int | None:
+    """Exactly-once micro-batch append (the transactional-sink contract
+    Structured Streaming needs from foreachBatch): commit the batch's
+    rows AND the (app_id, batch_id) watermark in the SAME atomic
+    manifest publish. A replayed batch — stream restart after a sink
+    write but before the checkpoint advanced — sees batch_id ≤ the
+    recorded watermark and is a NO-OP, so at-least-once delivery from
+    the engine becomes exactly-once in the table. A CommitConflict from
+    a concurrent writer fails the micro-batch; the engine's retry then
+    replays into the idempotence check. Returns the committed version,
+    or None for a skipped replay."""
+    cur = snapshot(root)
+    if int(cur.get("txn", {}).get(app_id, -1)) >= batch_id:
+        return None
+    _check_schema(cur, df, "append_stream_batch")
+    files = _write_data(df, root, tuple(cur["stat_cols"]))
+    man = _child_manifest(cur, "stream_append", cur["files"] + files)
+    man["txn"] = {**man["txn"], app_id: batch_id}
+    return _commit(root, man)
+
+
+def stream_sink(root: str, app_id: str):
+    """``foreachBatch`` adapter: ``writeStream.foreachBatch(
+    stream_sink(root, app_id))``."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_stream_batch(root, batch_df, app_id, batch_id)
+
+    return _sink
 
 
 def table_changes(
