@@ -65,8 +65,9 @@ def test_wav_16bit_high_byte_view():
 
 
 def test_unknown_magic_raises():
-    with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
-        mc.decode(b"\x89PNG\r\n\x1a\n....")
+    # WebP: RIFF container but not WAVE — genuinely unsupported here
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mc.decode(b"RIFF\x00\x00\x00\x00WEBPVP8 ....")
 
 
 # ---- Spark stages over real containers -------------------------------------
@@ -272,3 +273,142 @@ def test_jpeg_truncated_stream_raises_cleanly():
     blob = encode_jpeg(np.full((16, 16, 1), 99, np.uint8))
     with pytest.raises((NotImplementedError, Exception)):
         decode_jpeg(blob[:20])  # header cut mid-segment must not hang
+
+
+# ---- 8-bit PNG (functions/png.py, r6) ---------------------------------------
+
+
+def test_png_roundtrip_exact_all_channel_counts():
+    """PNG is lossless: decode(encode(x)) must be byte-exact for gray,
+    gray+alpha, RGB, and RGBA cubes."""
+    for c in (1, 2, 3, 4):
+        arr = cube(37, 23, c, seed=c)
+        fmt, back = mc.decode(mc.encode("png", arr))
+        assert fmt == "png"
+        np.testing.assert_array_equal(back, arr)
+
+
+def test_png_all_filter_types_decode():
+    """Hand-build one PNG per scanline filter type (0-4) and check the
+    unfilter path against a numpy reference reconstruction."""
+    import struct
+    import zlib
+
+    from vcf2db_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(5)
+    h, w, ch = 6, 11, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    for ftype in range(5):
+        rows = []
+        prior = np.zeros(w * ch, np.int16)
+        for y in range(h):
+            line = img[y].reshape(-1).astype(np.int16)
+            if ftype == 0:
+                filt = line
+            elif ftype == 1:
+                left = np.zeros_like(line)
+                left[ch:] = line[:-ch]
+                filt = (line - left) & 0xFF
+            elif ftype == 2:
+                filt = (line - prior) & 0xFF
+            elif ftype == 3:
+                left = np.zeros_like(line)
+                left[ch:] = line[:-ch]
+                filt = (line - ((left + prior) >> 1)) & 0xFF
+            else:  # Paeth
+                left = np.zeros_like(line)
+                left[ch:] = line[:-ch]
+                upleft = np.zeros_like(prior)
+                upleft[ch:] = prior[:-ch]
+                from vcf2db_spark.functions.png import _paeth
+
+                filt = (line - _paeth(left, prior, upleft)) & 0xFF
+            rows.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+            prior = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(blob), img, f"filter {ftype}")
+
+
+def test_png_palette_expands():
+    import struct
+    import zlib
+
+    from vcf2db_spark.functions.png import decode_png
+
+    pal = np.array([[250, 0, 0], [0, 250, 0], [0, 0, 250]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    rows = b"".join(b"\x00" + bytes(r) for r in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(blob), pal[idx])
+
+
+def test_png_foreign_file_decodes():
+    """Decode PNGs written by third-party encoders (Spark's doc assets):
+    validates chunk framing + filter reconstruction against the wild."""
+    import glob
+    import os
+
+    paths = sorted(
+        glob.glob(
+            "/opt/spark-4.1.2-bin-hadoop3/python/docs/source/user_guide/"
+            "assets/*.png"
+        )
+    )[:3]
+    if not paths:
+        pytest.skip("spark doc assets not present")
+    for p in paths:
+        fmt, arr = mc.decode(open(p, "rb").read())
+        assert fmt == "png"
+        assert arr.ndim == 3 and arr.dtype == np.uint8
+        assert arr.shape[0] > 10 and arr.shape[1] > 10
+        # screenshots are mostly light UI chrome: sane intensity band
+        assert 40 < float(arr.mean()) < 255
+
+
+def test_png_16bit_rejected():
+    import struct
+    import zlib
+
+    from vcf2db_spark.functions.png import decode_png
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x00\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(blob)

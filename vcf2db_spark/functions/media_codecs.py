@@ -59,6 +59,8 @@ def sniff(blob: bytes) -> str:
         return "wav"
     if blob[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     return ""
 
 
@@ -267,12 +269,19 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     return decode_jpeg(blob)
 
 
+def _decode_png(blob: bytes) -> np.ndarray:
+    from vcf2db_spark.functions.png import decode_png
+
+    return decode_png(blob)
+
+
 _DECODERS = {
     "fake": _decode_fake,
     "ppm": _decode_ppm,
     "bmp": _decode_bmp,
     "wav": _decode_wav,
     "jpeg": _decode_jpeg,
+    "png": _decode_png,
 }
 
 
@@ -284,9 +293,9 @@ def decode(blob: bytes) -> tuple[str, np.ndarray]:
     fmt = sniff(blob)
     if not fmt:
         raise NotImplementedError(
-            "unsupported media container (PNG/MP4/... need PIL/ffmpeg, "
-            "which this environment does not ship); supported: "
-            "FAKE, PPM/PGM, BMP, WAV, baseline JPEG"
+            "unsupported media container (MP4/WebP/... need ffmpeg-class "
+            "codecs this environment does not ship); supported: "
+            "FAKE, PPM/PGM, BMP, WAV, baseline JPEG, 8-bit PNG"
         )
     return fmt, _DECODERS[fmt](blob)
 
@@ -310,4 +319,8 @@ def encode(fmt: str, arr: np.ndarray) -> bytes:
         from vcf2db_spark.functions.jpeg import encode_jpeg
 
         return encode_jpeg(arr)
+    if fmt == "png":
+        from vcf2db_spark.functions.png import encode_png
+
+        return encode_png(arr)
     raise NotImplementedError(f"no encoder for {fmt!r}")
