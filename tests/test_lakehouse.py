@@ -271,3 +271,44 @@ def test_stream_sink_exactly_once(spark, tmp_path):
     ) is not None
     assert lh.read(spark, root).count() == 310
     assert lh.txn_version(root, "app2") == -1
+
+
+def test_schema_evolution_add_column(spark, root):
+    """ALTER TABLE ADD COLUMN as an O(1)-metadata commit: no file is
+    rewritten, old rows read NULL for the new column, appends in the
+    widened shape land, and time travel to the pre-evolution version
+    still presents the narrow schema."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    files_before = [f["path"] for f in lh.snapshot(root)["files"]]
+    wide = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", DoubleType()),
+            StructField("tag", StringType(), nullable=True),
+        ]
+    )
+    lh.evolve_schema(root, wide)
+    assert [f["path"] for f in lh.snapshot(root)["files"]] == files_before
+    head = lh.read(spark, root)
+    assert head.schema.fieldNames() == ["k", "v", "tag"]
+    assert head.filter("tag IS NULL").count() == 100  # old rows backfill NULL
+    lh.append(
+        spark,
+        root,
+        spark.range(100, 110).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("double").alias("v"),
+            F.lit("new").alias("tag"),
+        ),
+    )
+    got = lh.read(spark, root)
+    assert got.count() == 110 and got.filter("tag = 'new'").count() == 10
+    assert lh.read(spark, root, 0).schema.fieldNames() == ["k", "v"]
+    # guardrails: reorder/retype/drop or non-appended columns are rejected
+    bad = StructType([StructField("v", DoubleType()), StructField("k", LongType())])
+    with pytest.raises(ValueError, match="prefix"):
+        lh.evolve_schema(root, bad)

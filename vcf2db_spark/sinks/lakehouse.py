@@ -414,6 +414,36 @@ def compact(
     )
 
 
+def evolve_schema(root: str, new_schema: StructType) -> int:
+    """Schema evolution (add-column): commit a WIDENED schema without
+    touching a single data file. The new schema must keep every existing
+    field (same name+type, same order) and only APPEND nullable fields;
+    reads reconcile old files through Spark's schema-on-read (missing
+    parquet columns surface as NULL — no backfill rewrite), and
+    time-traveling to a pre-evolution version still reads the narrow
+    schema. This is the O(1)-metadata ALTER TABLE ADD COLUMN a 100 TB
+    table needs."""
+    cur = snapshot(root)
+    old = [(f.name, f.dataType.simpleString()) for f in _schema_of(cur)]
+    new = [(f.name, f.dataType.simpleString()) for f in new_schema]
+    if new[: len(old)] != old:
+        raise ValueError(
+            f"evolve_schema only appends columns — existing prefix must "
+            f"be unchanged (table={old}, proposed={new})"
+        )
+    added = new_schema.fields[len(old):]
+    if not added:
+        raise ValueError("evolve_schema: no new columns proposed")
+    if any(not f.nullable for f in added):
+        raise ValueError(
+            "evolve_schema: appended columns must be nullable (existing "
+            "rows have no value to backfill)"
+        )
+    man = _child_manifest(cur, "evolve_schema", cur["files"])
+    man["schema"] = new_schema.jsonValue()
+    return _commit(root, man)
+
+
 def txn_version(root: str, app_id: str) -> int:
     """Highest micro-batch id committed for ``app_id``, or -1. The txn
     watermark lives in every manifest (carried forward by all commit
