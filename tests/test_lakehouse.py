@@ -312,3 +312,56 @@ def test_schema_evolution_add_column(spark, root):
     bad = StructType([StructField("v", DoubleType()), StructField("k", LongType())])
     with pytest.raises(ValueError, match="prefix"):
         lh.evolve_schema(root, bad)
+
+
+def test_concurrent_appends_no_lost_update(spark, root):
+    """Two writers appending through the same version race: appends
+    commute, so the loser must rebase on the winner's head and re-commit
+    — every row lands exactly once, no lost update, version count =
+    create + both appends."""
+    import threading
+
+    lh.create(spark, root, _mk(spark, 0, 10), stat_cols=("k",))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(lo):
+        try:
+            df = _mk(spark, lo, lo + 10)
+            barrier.wait()
+            lh.append(spark, root, df)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    ts = [threading.Thread(target=writer, args=(lo,)) for lo in (100, 200)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert lh.latest_version(root) == 2
+    got = sorted(r["k"] for r in lh.read(spark, root).collect())
+    assert got == list(range(0, 10)) + list(range(100, 110)) + list(
+        range(200, 210)
+    )
+
+
+def test_merge_conflict_surfaces_not_rebases(spark, root, monkeypatch):
+    """A commit that lands between a MERGE's snapshot read and its
+    publish invalidates the merge's read set — the merge must raise
+    CommitConflict (caller re-runs), never silently rebase."""
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    real_commit = lh._commit
+    fired = {"done": False}
+
+    def racing_commit(r, man):
+        if not fired["done"] and man.get("operation") == "merge":
+            fired["done"] = True
+            # a concurrent writer wins the version slot first
+            head = lh.snapshot(r)
+            real_commit(r, lh._child_manifest(head, "append", head["files"]))
+        return real_commit(r, man)
+
+    monkeypatch.setattr(lh, "_commit", racing_commit)
+    with pytest.raises(lh.CommitConflict):
+        lh.merge(spark, root, _mk(spark, 0, 5, bump=9.0), key="k")

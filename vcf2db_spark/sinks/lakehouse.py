@@ -210,12 +210,31 @@ def _check_schema(manifest: dict, df: DataFrame, op: str) -> None:
         raise ValueError(f"{op}: schema mismatch — table={want} batch={got}")
 
 
-def append(spark: SparkSession, root: str, df: DataFrame) -> int:
-    """Commit an append: previous files carry over, new files add on."""
+def append(
+    spark: SparkSession, root: str, df: DataFrame, max_retries: int = 5
+) -> int:
+    """Commit an append: previous files carry over, new files add on.
+
+    Appends COMMUTE with any concurrent commit (they only add files), so
+    a lost version race rebases on the new head and re-commits — the
+    data files are written exactly once, only the manifest loop repeats.
+    MERGE deliberately does NOT get this treatment: a concurrent commit
+    invalidates its read set, so merge() surfaces ``CommitConflict`` for
+    the caller to re-run (Delta's add-only-vs-rewrite conflict rule)."""
     cur = snapshot(root)
     _check_schema(cur, df, "append")
     files = _write_data(df, root, tuple(cur["stat_cols"]))
-    return _commit(root, _child_manifest(cur, "append", cur["files"] + files))
+    for attempt in range(max_retries + 1):
+        try:
+            return _commit(
+                root, _child_manifest(cur, "append", cur["files"] + files)
+            )
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            cur = snapshot(root)  # rebase on the winner's head
+            _check_schema(cur, df, "append")
+    raise AssertionError("unreachable")
 
 
 def read(
@@ -454,7 +473,8 @@ def txn_version(root: str, app_id: str) -> int:
 
 
 def append_stream_batch(
-    root: str, df: DataFrame, app_id: str, batch_id: int
+    root: str, df: DataFrame, app_id: str, batch_id: int,
+    max_retries: int = 5,
 ) -> int | None:
     """Exactly-once micro-batch append (the transactional-sink contract
     Structured Streaming needs from foreachBatch): commit the batch's
@@ -462,18 +482,28 @@ def append_stream_batch(
     manifest publish. A replayed batch — stream restart after a sink
     write but before the checkpoint advanced — sees batch_id ≤ the
     recorded watermark and is a NO-OP, so at-least-once delivery from
-    the engine becomes exactly-once in the table. A CommitConflict from
-    a concurrent writer fails the micro-batch; the engine's retry then
-    replays into the idempotence check. Returns the committed version,
-    or None for a skipped replay."""
+    the engine becomes exactly-once in the table. A lost version race
+    rebases on the new head like :func:`append` (re-checking the
+    watermark, in case the winner was another instance of this app).
+    Returns the committed version, or None for a skipped replay."""
     cur = snapshot(root)
     if int(cur.get("txn", {}).get(app_id, -1)) >= batch_id:
         return None
     _check_schema(cur, df, "append_stream_batch")
     files = _write_data(df, root, tuple(cur["stat_cols"]))
-    man = _child_manifest(cur, "stream_append", cur["files"] + files)
-    man["txn"] = {**man["txn"], app_id: batch_id}
-    return _commit(root, man)
+    for attempt in range(max_retries + 1):
+        man = _child_manifest(cur, "stream_append", cur["files"] + files)
+        man["txn"] = {**man["txn"], app_id: batch_id}
+        try:
+            return _commit(root, man)
+        except CommitConflict:
+            if attempt == max_retries:
+                raise
+            cur = snapshot(root)
+            if int(cur.get("txn", {}).get(app_id, -1)) >= batch_id:
+                return None  # the winner WAS this batch (another instance)
+            _check_schema(cur, df, "append_stream_batch")
+    raise AssertionError("unreachable")
 
 
 def stream_sink(root: str, app_id: str):
