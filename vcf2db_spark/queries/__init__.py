@@ -123,11 +123,11 @@ _RECORDED_R05 = _PRIORITY_R05 + _RECORDED_R01[25:34]
 # or expression CHANGED in r6 (rfm_segments boundary rewrite; the four
 # fact-broadcast-guard adoptions — tpch_q4 reorientation, tpch_q12 /
 # join_range SHUFFLE_HASH pins, bucketed_join MERGE pin), then the
-# two lakehouse queries ADDED in r6 (never recorded — must enter the
+# three lakehouse queries ADDED in r6 (never recorded — must enter the
 # window), then the STALEST records on the board: 16 names whose only
 # driver record is still r1 (the _RECORDED_R01 tail r5's window didn't
 # reach), then the 45 r2-only names in their r2 registration order.
-# That's 68 candidates for 50 slots — the r2 overflow (~18 names)
+# That's 69 candidates for 50 slots — the r2 overflow (19 names)
 # carries to r7's refresh block. Union r1–r5 = 208/208 recorded; every
 # window name here has a green latest record, so the union property
 # holds regardless of where the cap lands.
@@ -136,7 +136,7 @@ _PRIORITY_R06 = [
     "rfm_segments", "tpch_q4", "tpch_q12", "join_range", "bucketed_join",
     "nb_classify",
     # added in round 6 (lakehouse table format, VERDICT r5 missing #3):
-    "lakehouse_timetravel", "lakehouse_prune_scan",
+    "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     # latest record still r1 (recorded-oldest):
     "contam_ngram", "scan_parquet", "filter_pred", "project_expr",
     "join_inner", "join_star", "join_left", "join_semi", "join_anti",

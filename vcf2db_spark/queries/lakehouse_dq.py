@@ -168,3 +168,71 @@ def lakehouse_prune_scan(spark, sf_dir):
             dsum6("o_totalprice").alias("sum_price"),
         )
     )
+
+
+_CDF_LC = Lifecycle()
+
+
+@dq(
+    "lakehouse_changes",
+    oracle=f"""
+    WITH sl AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey % 11 = 0),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 50.0 AS new_price
+      FROM sl WHERE o_orderkey % 3 = 0),
+    ins AS (
+      SELECT o_orderkey + 900000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey % 11 = 1 AND o_orderkey % 131 = 0)
+    SELECT 'update_postimage' AS _change,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {OSUM6('new_price')} AS sum_price
+    FROM upd
+    UNION ALL
+    SELECT 'insert', CAST(COUNT(*) AS BIGINT), {OSUM6('o_totalprice')}
+    FROM ins
+    """,
+)
+def lakehouse_changes(spark, sf_dir):
+    """Change data feed as a declared query: create → COW merge, then
+    ``table_changes(v0, v1)`` aggregated per change type. The feed is
+    computed from the two manifests' FILE DIFF — only files the merge
+    rewrote are scanned, and rows the rewrite carried along UNCHANGED
+    drop out via the null-safe pre/post image comparison — so the
+    oracle recomputing the change set straight from the orders view
+    hash-matching proves the feed is exactly the logical delta: every
+    update post-image, every insert, nothing carried over. At 100 TB
+    this is CDC cost ∝ change volume, not table volume."""
+    from vcf2db_spark.sinks.lakehouse import table_changes
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 11 == 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    root = _fresh_root(_CDF_LC, "cdf")
+    lh.create(
+        spark,
+        root,
+        o.repartitionByRange(4, "o_orderkey"),
+        stat_cols=("o_orderkey",),
+    )
+    matched = o.withColumn("o_totalprice", F.col("o_totalprice") + 50.0).filter(
+        F.col("o_orderkey") % 3 == 0
+    )
+    inserts = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") % 11 == 1) & (F.col("o_orderkey") % 131 == 0))
+        .select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+        )
+    )
+    lh.merge(spark, root, matched.unionByName(inserts), key="o_orderkey")
+    feed = table_changes(spark, root, 0, 1, key="o_orderkey")
+    return feed.groupBy("_change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum6("o_totalprice").alias("sum_price"),
+    )
