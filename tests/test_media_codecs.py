@@ -412,3 +412,19 @@ def test_png_16bit_rejected():
     )
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_png(blob)
+
+
+def test_png_property_roundtrip_random_shapes():
+    """Randomized shapes/contents: PNG is lossless, so decode(encode(x))
+    must be byte-exact for every shape and channel count, including
+    1-pixel edges."""
+    rng = np.random.default_rng(7)
+    shapes = [(1, 1), (1, 17), (13, 1)] + [
+        (int(rng.integers(2, 80)), int(rng.integers(2, 80))) for _ in range(6)
+    ]
+    for h, w in shapes:
+        for c in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            fmt, back = mc.decode(mc.encode("png", arr))
+            assert fmt == "png"
+            np.testing.assert_array_equal(back, arr, f"{h}x{w}x{c}")
