@@ -145,13 +145,47 @@ _PRIORITY_R06 = [
 ]
 
 
+# r6's window = the 50 names CORRECTNESS_r06.json actually recorded
+# (_PRIORITY_R06's 25 + the first 25 r2-only names in registration order).
+_RECORDED_R06 = _PRIORITY_R06 + [
+    "media_features", "vocab_topk", "dedup_window", "oov_rate", "knn_exact",
+    "knn_graph", "set_intersect", "set_except", "case_bucket", "null_funcs",
+    "agg_grouping_sets", "pivot_crosstab", "subq_exists",
+    "agg_distinct_salted", "agg_conditional", "stream_dedup_wm",
+    "stream_watermark_append", "stream_session_stream",
+    "stream_stateful_totals", "stream_slide_stream", "stream_stream_join",
+    "stream_sink_parquet", "win_rank", "win_running", "win_moving",
+]
+
+# Round-7 priority (VERDICT r6 item 2): lead with the 19 queries whose
+# LATEST driver record is still r2-era — the exact overflow of r6's
+# window, recomputed from the union of CORRECTNESS_r01..r06 — plus the
+# queries ADDED or CHANGED in r7 (the lakehouse trio re-records because
+# the txlog moved to delta-manifest + checkpoint format; merge() NULL
+# and duplicate-key semantics changed per ADVICE r6). After this block
+# every remaining name's latest record is r3+ and refreshes
+# oldest-first: r3-recorded, then r4, r5, r6 (freshest) last.
+_PRIORITY_R07 = [
+    # latest record still r2 (the r6 overflow, in registration order):
+    "subq_in", "subq_scalar", "array_index_filter", "str_funcs",
+    "date_funcs", "math_funcs", "array_funcs", "json_extract",
+    "agg_percentile", "join_asof", "udf_scalar", "udaf_grouped",
+    "udtf_split", "join_interval", "annotate_overlap", "map_funcs",
+    "win_first_last", "win_ntile_dense", "win_range_frame",
+    # changed in round 7 (lakehouse delta-manifest txlog + merge fixes):
+    "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
+]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R06)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R07)}
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
-    # r2-only records (everything not in a later recorded set) refresh
-    # next, in registration order — these are the second-oldest rows.
+    # Refresh oldest-first: any name without a listed record (new r7
+    # queries) enters right after the priority block, then r3 → r6.
+    for i, name in enumerate(_RECORDED_R06):
+        order.setdefault(name, (6, i))  # freshest records → back of line
     for i, name in enumerate(_RECORDED_R05):
-        order.setdefault(name, (5, i))  # freshest records → back of line
+        order.setdefault(name, (5, i))
     for i, name in enumerate(_RECORDED_R04):
         order.setdefault(name, (4, i))
     recorded_r03 = _PRIORITY_R03[:49] + _RECORDED_R03_EXTRA
