@@ -107,7 +107,11 @@ def test_compact_bins_and_preserves(spark, root):
 def test_vacuum_drops_unreferenced_files(spark, root):
     lh.create(spark, root, _mk(spark, 0, 500).repartition(8), stat_cols=("k",))
     lh.compact(spark, root, target_bytes=1 << 30)
-    removed = lh.vacuum(root, retain_versions=1)
+    # default retention age guards in-flight writers: nothing this fresh
+    # may be reclaimed (ADVICE r6 — vacuum racing a staged-but-uncommitted
+    # writer must not delete its data files)
+    assert lh.vacuum(root, retain_versions=1) == 0
+    removed = lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)
     assert removed >= 8
     assert lh.read(spark, root).count() == 500  # head unaffected
     with pytest.raises(Exception):
@@ -346,6 +350,130 @@ def test_concurrent_appends_no_lost_update(spark, root):
     )
 
 
+def test_merge_null_update_values_overwrite(spark, root):
+    """ADVICE r6 (medium): a NULL in an update column must OVERWRITE the
+    old value — the coalesce-based merge silently kept it."""
+    lh.create(spark, root, _mk(spark, 0, 20), stat_cols=("k",))
+    batch = spark.createDataFrame([(5, None), (6, 99.0)], "k: long, v: double")
+    lh.merge(spark, root, batch, key="k")
+    got = {r["k"]: r["v"] for r in lh.read(spark, root).collect()}
+    assert got[5] is None and got[6] == 99.0 and got[7] == 7.0
+
+
+def test_merge_duplicate_update_keys_raise(spark, root):
+    """ADVICE r6 (medium): duplicate keys in the update batch multiply
+    matched target rows through the join — raise like Delta does."""
+    lh.create(spark, root, _mk(spark, 0, 20), stat_cols=("k",))
+    dup = spark.createDataFrame(
+        [(5, 1.0), (5, 2.0), (9, 3.0)], "k: long, v: double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        lh.merge(spark, root, dup, key="k")
+    assert lh.latest_version(root) == 0  # nothing committed
+    assert lh.read(spark, root).count() == 20
+
+
+def test_txlog_delta_checkpoint_bounded_cost(root, monkeypatch):
+    """VERDICT r6 item 1: 1,000 commits at the log layer (synthetic file
+    entries — the log is Spark-free). Asserts the three boundedness
+    contracts: (a) commit bytes stay delta-sized (independent of total
+    file count), (b) snapshot() reads one checkpoint + at most an
+    interval of delta manifests — never the whole history, (c)
+    latest_version probes forward from the checkpoint hint. Plus
+    exactness: the folded head and pre-checkpoint time travel equal a
+    serial dict replay of all 1,000 deltas."""
+    import os
+
+    schema = {"type": "struct", "fields": []}
+    lh._commit(
+        root,
+        {
+            "parent": -1,
+            "operation": "create",
+            "schema": schema,
+            "stat_cols": ["k"],
+            "txn": {},
+            "add": [{"path": "data/f0", "rows": 1, "stats": {}}],
+            "remove": [],
+        },
+    )
+    expect = ["data/f0"]
+    states = {0: list(expect)}
+    cur = lh._head_meta(root)
+    for i in range(1, 1001):
+        add = [{"path": f"data/f{i}", "rows": 1, "stats": {}}]
+        remove = [f"data/f{i - 50}"] if i % 7 == 0 and i >= 50 else []
+        lh._commit(root, lh._child_manifest(cur, "append", add, remove))
+        cur = lh._head_meta(root)
+        expect = [p for p in expect if p not in set(remove)] + [
+            e["path"] for e in add
+        ]
+        if i % 100 == 0:
+            states[i] = list(expect)
+
+    assert lh.latest_version(root) == 1000
+    head = lh.snapshot(root)
+    assert [e["path"] for e in head["files"]] == expect
+    assert len(expect) > 800  # the table really grew
+
+    # (a) delta manifests stay small while the table holds ~900 files
+    sizes = [
+        os.path.getsize(lh._manifest_path(root, v)) for v in range(990, 1001)
+    ]
+    assert max(sizes) < 1200, f"commit bytes grew with history: {sizes}"
+    # checkpoints exist on the interval and are the only O(files) objects
+    assert os.path.exists(lh._ckpt_path(root, 992))
+    assert lh._last_checkpoint_hint(root) >= 992
+
+    # (b) snapshot reads ≤ 1 checkpoint + interval deltas + head probe
+    reads = {"n": 0}
+    real = lh._read_json
+
+    def counting(path):
+        reads["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(lh, "_read_json", counting)
+    lh.snapshot(root, 1000)
+    assert reads["n"] <= lh.CHECKPOINT_INTERVAL + 3, reads["n"]
+    # (c) latest_version is hint + forward probes, not a full listing
+    reads["n"] = 0
+    assert lh.latest_version(root) == 1000
+    assert reads["n"] <= 2
+    monkeypatch.undo()
+
+    # time travel to pre-checkpoint versions replays exactly
+    for v, want in states.items():
+        assert [e["path"] for e in lh.snapshot(root, v)["files"]] == want
+
+
+def test_txlog_checkpointed_history_reads_with_spark(spark, tmp_path,
+                                                     monkeypatch):
+    """Checkpoint folding under REAL commits: shrink the interval so a
+    short create/append/merge/compact history crosses several
+    checkpoints, then every version must read its exact at-commit state
+    (including versions whose nearest checkpoint is above them)."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 3)
+    root = str(tmp_path / "ckpt_tbl")
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    counts = {0: 100}
+    lh.append(spark, root, _mk(spark, 100, 200))
+    counts[1] = 200
+    lh.merge(spark, root, _mk(spark, 0, 5, bump=500.0), key="k")
+    counts[2] = 200
+    lh.append(spark, root, _mk(spark, 200, 250))
+    counts[3] = 250
+    lh.compact(spark, root, target_bytes=1 << 30)
+    counts[4] = 250
+    lh.append(spark, root, _mk(spark, 250, 260))
+    counts[5] = 260
+    assert os.path.exists(lh._ckpt_path(root, 3))
+    for v, n in counts.items():
+        assert lh.read(spark, root, v).count() == n, f"version {v}"
+    assert lh.read(spark, root, 2).filter("v >= 500.0").count() == 5
+    assert lh.read(spark, root, 1).filter("v >= 500.0").count() == 0
+
+
 def test_merge_conflict_surfaces_not_rebases(spark, root, monkeypatch):
     """A commit that lands between a MERGE's snapshot read and its
     publish invalidates the merge's read set — the merge must raise
@@ -359,7 +487,7 @@ def test_merge_conflict_surfaces_not_rebases(spark, root, monkeypatch):
             fired["done"] = True
             # a concurrent writer wins the version slot first
             head = lh.snapshot(r)
-            real_commit(r, lh._child_manifest(head, "append", head["files"]))
+            real_commit(r, lh._child_manifest(head, "append", []))
         return real_commit(r, man)
 
     monkeypatch.setattr(lh, "_commit", racing_commit)

@@ -275,6 +275,53 @@ def test_jpeg_truncated_stream_raises_cleanly():
         decode_jpeg(blob[:20])  # header cut mid-segment must not hang
 
 
+def test_jpeg_restart_markers_decode_identically():
+    """ADVICE r6 (high): DRI/RSTn streams must decode to the SAME pixels
+    as the non-restart encode of the same image — the broken skip_rst
+    zero-filled every MCU after the first restart interval (max pixel
+    error 129 on a 2-MCU stream)."""
+    from vcf2db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for shape, c in [((40, 56), 3), ((33, 41), 1)]:
+        img = rng.integers(0, 256, shape + (c,), dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=90))
+        for dri in (1, 2, 5):
+            blob = encode_jpeg(img, quality=90, restart_interval=dri)
+            # the stream really contains RST markers (not a no-op knob)
+            n_rst = sum(
+                1
+                for i in range(len(blob) - 1)
+                if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+            )
+            assert n_rst >= 1
+            np.testing.assert_array_equal(decode_jpeg(blob), base)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """ADVICE r6 (low): legal 0xFF fill bytes (T.81 B.1.1.2) before a
+    header marker and before an RSTn must not desync parsing."""
+    from vcf2db_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 16, 1), 77, np.uint8)
+    blob = encode_jpeg(flat)
+    i = blob.index(b"\xff\xc0")
+    np.testing.assert_array_equal(
+        decode_jpeg(blob[:i] + b"\xff" + blob[i:]), flat
+    )
+    # fill byte ahead of a restart marker inside the entropy stream
+    img = _gradient(24, 24, 1)
+    blob = encode_jpeg(img, quality=95, restart_interval=1)
+    j = next(
+        i
+        for i in range(len(blob) - 1)
+        if blob[i] == 0xFF and 0xD0 <= blob[i + 1] <= 0xD7
+    )
+    np.testing.assert_array_equal(
+        decode_jpeg(blob[:j] + b"\xff" + blob[j:]), decode_jpeg(blob)
+    )
+
+
 # ---- 8-bit PNG (functions/png.py, r6) ---------------------------------------
 
 

@@ -239,11 +239,33 @@ class _BitReader:
         self.nbits = 0
 
     def skip_rst(self) -> None:
-        """Consume an RSTn marker between restart intervals."""
+        """Consume an RSTn marker between restart intervals.
+
+        ``_fill`` only latches ``self.marker`` when a read ran past the
+        pad bits into the marker; at a normal byte-aligned boundary the
+        reader stops BEFORE the 0xFF, so peek past any 0xFF fill bytes
+        (T.81 B.1.1.2) for 0xFF 0xD0–0xD7 and consume it (ADVICE r6:
+        the latched-only version silently zero-filled every MCU after
+        the first restart interval)."""
         self.align()
-        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
-            self.pos += 2
-            self.marker = None
+        if self.marker is not None:
+            if 0xD0 <= self.marker <= 0xD7:
+                self.pos += 2  # pos still sits on the 0xFF
+                self.marker = None
+            return
+        p = self.pos
+        while (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and self.data[p + 1] == 0xFF
+        ):
+            p += 1  # fill bytes before the marker
+        if (
+            p + 1 < len(self.data)
+            and self.data[p] == 0xFF
+            and 0xD0 <= self.data[p + 1] <= 0xD7
+        ):
+            self.pos = p + 2
 
 
 def _decode_huff(rd: _BitReader, dec: dict) -> int:
@@ -272,12 +294,17 @@ def _category(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """(h, w, 1|3) uint8 cube → baseline JFIF bytes.
 
     3-channel input is RGB → YCbCr (BT.601 full-range, the JFIF
     convention) with 4:2:0 chroma subsampling; 1-channel is a single-
-    component grayscale stream."""
+    component grayscale stream. ``restart_interval`` > 0 writes a DRI
+    segment and emits byte-aligned RSTn markers (DC predictors reset)
+    every that many MCUs — the error-resilience device real encoders
+    use, and the regression fixture for the decoder's restart path."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -345,6 +372,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
             code, ln = enc_ac[tid][0x00]
             wr.write(code, ln)
 
+    mcu_idx = 0
+
+    def maybe_restart() -> None:
+        # byte-align, emit RST(m mod 8), reset every DC predictor
+        if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+            wr.flush()
+            wr.out += bytes([0xFF, 0xD0 + (mcu_idx // restart_interval - 1) % 8])
+            for i in range(len(pred)):
+                pred[i] = 0
+
     if c == 3:
         yw = planes[0][0].shape[1] // 8  # luma blocks per row
         cw = planes[1][0].shape[1] // 8
@@ -352,13 +389,17 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         n_mcu_x = planes[0][0].shape[1] // 16
         for my in range(n_mcu_y):
             for mx in range(n_mcu_x):
+                maybe_restart()
                 for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
                     put_block(comp_zz[0][(2 * my + by) * yw + 2 * mx + bx], 0)
                 put_block(comp_zz[1][my * cw + mx], 1)
                 put_block(comp_zz[2][my * cw + mx], 2)
+                mcu_idx += 1
     else:
         for zz in comp_zz[0]:
+            maybe_restart()
             put_block(zz, 0)
+            mcu_idx += 1
     wr.flush()
 
     # -- markers --
@@ -383,6 +424,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         out += seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     scomps = b""
     for i in range(len(planes)):
         tid = 0 if i == 0 else 1
@@ -410,6 +453,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     while pos < len(blob):
         if blob[pos] != 0xFF:
             pos += 1
+            continue
+        if pos + 1 >= len(blob):
+            break
+        if blob[pos + 1] == 0xFF:
+            pos += 1  # 0xFF fill byte before a marker (T.81 B.1.1.2)
             continue
         marker = blob[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
