@@ -35,6 +35,8 @@ ALLOWED = {
     "pipeline.py": (1, "1-row VCF header text"),
     "queries/pipeline_ext.py": (2, "single query vector (vec_id = 0) for ANN demos"),
     "queries/vectors.py": (1, "(i,j) moment cells of a 16×16 covariance — 256-bounded"),
+    "queries/gemini_dq.py": (1, "cohort VCF generator keys — |supplier| = 10k·sf (DQ device)"),
+    "sinks/sqlite.py": (1, "stream=False opt-in drain: caller asserts cohort-sized table; default path streams partition-bounded"),
 }
 
 _SITE = re.compile(r"\.collect\(\)|\.toPandas\(\)|\.collectAsList\(")

@@ -474,6 +474,144 @@ def test_txlog_checkpointed_history_reads_with_spark(spark, tmp_path,
     assert lh.read(spark, root, 1).filter("v >= 500.0").count() == 0
 
 
+def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
+    """One seeded interleaving of append / MERGE / OPTIMIZE /
+    evolve_schema where a phantom writer steals the version slot ahead
+    of roughly half the commits (the real race, deterministically
+    scheduled). Asserts the three VERDICT r6 item-3 properties:
+    (a) every CommitConflict resolves per contract — appends/compacts
+        rebase internally, merges surface and re-run cleanly;
+    (b) the final snapshot equals a serial dict replay of the committed
+        operations in commit order (serializable history);
+    (c) vacuum never deletes a file a retained version references."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"conc{seed}")
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 3)
+
+    cols = ["v"]
+    replica: dict[int, dict[str, float | None]] = {}
+
+    def schema_str() -> str:
+        return "k: long, " + ", ".join(f"{c}: double" for c in cols)
+
+    def to_df(rows: dict[int, dict[str, float | None]]):
+        data = [
+            tuple([k] + [vals.get(c) for c in cols])
+            for k, vals in sorted(rows.items())
+        ]
+        return spark.createDataFrame(data, schema_str())
+
+    init = {k: {"v": float(k)} for k in range(10)}
+    lh.create(spark, root, to_df(init), stat_cols=("k",))
+    replica.update(init)
+    next_k = 10
+
+    # phantom slot-stealer: fires once per flagged op, on the FIRST
+    # commit attempt only — retries/re-runs then see a clean head
+    real_commit = lh._commit
+    pending = {"steal": False}
+
+    def stealing_commit(r, man):
+        if pending["steal"]:
+            pending["steal"] = False
+            head = lh._head_meta(r)
+            real_commit(r, lh._child_manifest(head, "append", []))
+        return real_commit(r, man)
+
+    monkeypatch.setattr(lh, "_commit", stealing_commit)
+
+    for _ in range(5):
+        op = rng.choices(
+            ["append", "merge", "compact", "evolve"],
+            weights=[4, 4, 1, 1],
+        )[0]
+        pending["steal"] = rng.random() < 0.5
+        if op == "append":
+            rows = {
+                k: {c: float(rng.randint(0, 99)) for c in cols}
+                for k in range(next_k, next_k + rng.randint(1, 4))
+            }
+            next_k += len(rows)
+            lh.append(spark, root, to_df(rows))
+            replica.update(rows)
+        elif op == "merge":
+            keys = rng.sample(
+                sorted(replica), min(len(replica), rng.randint(1, 5))
+            )
+            if rng.random() < 0.5:
+                keys.append(next_k)  # an insert alongside the updates
+                next_k += 1
+            rows = {
+                k: {
+                    c: (None if rng.random() < 0.2 else float(rng.randint(0, 99)))
+                    for c in cols
+                }
+                for k in keys
+            }
+            try:
+                lh.merge(spark, root, to_df(rows), key="k")
+            except lh.CommitConflict:
+                lh.merge(spark, root, to_df(rows), key="k")  # re-run per contract
+            for k, vals in rows.items():
+                replica[k] = dict(vals)
+        elif op == "compact":
+            try:
+                lh.compact(spark, root, target_bytes=1 << 30)
+            except lh.CommitConflict:  # rewrite read-set invalidated: re-run
+                lh.compact(spark, root, target_bytes=1 << 30)
+        else:
+            cols.append(f"c{len(cols) + 1}")
+            from pyspark.sql.types import StructType
+
+            wide = StructType.fromDDL(schema_str())
+            try:
+                lh.evolve_schema(root, wide)
+            except lh.CommitConflict:
+                lh.evolve_schema(root, wide)
+            for vals in replica.values():
+                vals.setdefault(cols[-1], None)
+
+    monkeypatch.setattr(lh, "_commit", real_commit)
+
+    # (b) final snapshot == serial replay of committed ops
+    got = {
+        r["k"]: {c: r[c] for c in cols}
+        for r in lh.read(spark, root).collect()
+    }
+    assert got == replica, f"seed={seed}"
+
+    # (c) vacuum keeps every file a retained version references
+    newest = lh.latest_version(root)
+    retained = set()
+    for v in range(max(0, newest - 2), newest + 1):
+        retained.update(f["path"] for f in lh.snapshot(root, v)["files"])
+    lh.vacuum(root, retain_versions=3, min_age_seconds=0.0)
+    missing = [p for p in retained if not os.path.exists(os.path.join(root, p))]
+    assert not missing, f"seed={seed} vacuumed live files: {missing}"
+    assert {
+        r["k"]: {c: r[c] for c in cols}
+        for r in lh.read(spark, root).collect()
+    } == replica
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_concurrency_property(spark, tmp_path, monkeypatch, seed):
+    _run_concurrency_seed(spark, tmp_path, monkeypatch, seed)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_LAKEHOUSE_SEEDS"),
+    reason="full 100-seed sweep is opt-in (SPARK_GRAFT_LAKEHOUSE_SEEDS=1); "
+    "seeds 0-9 run unconditionally above",
+)
+def test_concurrency_property_full_sweep(spark, tmp_path, monkeypatch):
+    for seed in range(10, 100):
+        _run_concurrency_seed(spark, tmp_path, monkeypatch, seed)
+        monkeypatch.undo()
+
+
 def test_merge_conflict_surfaces_not_rebases(spark, root, monkeypatch):
     """A commit that lands between a MERGE's snapshot read and its
     publish invalidates the merge's read set — the merge must raise

@@ -10,6 +10,7 @@ from vcf2db_spark.queries import (  # noqa: F401
     analytics,
     etl,
     extensions,
+    gemini_dq,
     graph,
     lakehouse_dq,
     mlops,
@@ -174,6 +175,8 @@ _PRIORITY_R07 = [
     "win_first_last", "win_ntile_dense", "win_range_frame",
     # changed in round 7 (lakehouse delta-manifest txlog + merge fixes):
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
+    # added in round 7 (gemini domain layer through the full pipeline):
+    "gemini_gtfilter",
 ]
 
 

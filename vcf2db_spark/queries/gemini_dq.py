@@ -1,0 +1,186 @@
+"""Gemini domain-layer driver row (VERDICT r6 item 4).
+
+The downstream query surface — ``GeminiEngine``'s ``--gt-filter``
+mini-language over genotype arrays, joined to the exploded
+``variant_impacts`` severity table — was golden-tested in pytest but
+invisible to the driver. This query makes it an oracle-backed row by
+generating a deterministic cohort VCF **from the supplier fixture's
+keys** (pure integer arithmetic a DuckDB oracle can replay), pushing it
+through the REAL pipeline end-to-end, and aggregating:
+
+  supplier keys → VCF text (CSQ annotations + 4-sample genotypes)
+    → ``load_vcf`` (A1 scan, A2 header schema, A5 per-row stats,
+       A6 CSQ explode, A7 top-severity)
+    → ``write_gemini_db`` (A10 batched transactional sink, A8 genotype
+       blob ENCODE)
+    → ``open_artifact`` (blob DECODE back to arrays)
+    → ``GeminiEngine.query(..., gt_filter=...)`` (B-surface §3 entry 3)
+
+A hash match therefore proves the whole chain preserves the generated
+genotype/annotation semantics bit-for-bit — not just that fixtures
+round-trip in unit tests.
+
+Scale notes: the generator materializes one VCF line per supplier row
+on the driver — bounded by |supplier| (10k·sf; the same cohort-sized
+assumption the reference makes holding a VCF's text). Everything after
+the text file is the ordinary distributed pipeline. The SQLite hop is
+the reference's own artifact format (single-node by design); at 100 TB
+the parquet sink replaces it — this row deliberately exercises the
+blob codec path.
+
+Reference parity: vcf2db.py's whole purpose is loading this shape for
+gemini's query CLI; gemini's gt-filter wildcard/severity idioms are the
+public query surface [U vcf2db README; gemini docs].
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from vcf2db_spark.io import table
+from vcf2db_spark.lifecycle import Lifecycle
+from vcf2db_spark.registry import dq
+
+_LC = Lifecycle()
+
+_HEADER = """\
+##fileformat=VCFv4.2
+##contig=<ID=chr1,length=248956422>
+##contig=<ID=chr2,length=242193529>
+##INFO=<ID=DP,Number=1,Type=Integer,Description="Total depth">
+##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations from Ensembl VEP. Format: Allele|Consequence|SYMBOL|Feature|BIOTYPE">
+##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4
+"""
+
+_PED = """\
+#family_id name paternal_id maternal_id sex phenotype
+f1 S1 0 0 1 2
+f1 S2 0 0 2 2
+f2 S3 0 0 1 1
+f2 S4 0 0 2 1
+"""
+
+# consequence records per e = k % 4; each record's own gemini severity
+# is fixed by operators/impacts.SEVERITY_ORDER (stop_gained→HIGH,
+# missense→MED, synonymous/intron→LOW) — the oracle replays this table.
+_CSQ_BY_E = {
+    0: ["synonymous_variant"],
+    1: ["missense_variant", "intron_variant"],
+    2: ["stop_gained", "missense_variant"],
+    3: ["intron_variant"],
+}
+
+
+def _genotype(k: int, i: int) -> str:
+    """Sample ``i`` (1-based) genotype cell for variant key ``k`` —
+    pure modular arithmetic so the oracle can recompute HET-ness."""
+    g = (k * 7 + 13 * i) % 16
+    d = (k + i) % 30 + 1
+    if g < 6:
+        return f"0/0:{d}"
+    if g < 11:
+        return f"0/1:{d}"
+    if g < 14:
+        return f"1/1:{d}"
+    return "./.:."
+
+
+def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
+    """Generate the deterministic cohort VCF + PED from supplier keys.
+    Driver memory is one int per supplier row (bounded: 10k·sf)."""
+    keys = sorted(
+        r["s_suppkey"]
+        for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+    )
+    _LC.release()
+    d = f"/tmp/vcf2db_gemini_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    _LC.hold_dir(d)
+    os.makedirs(d, exist_ok=True)
+    lines = []
+    for chrom_sel in (1, 0):  # chr1 = odd keys, chr2 = even, both sorted
+        for k in keys:
+            if k % 2 != chrom_sel:
+                continue
+            chrom = "chr1" if chrom_sel == 1 else "chr2"
+            csq = ",".join(
+                f"G|{cons}|G{k % 5}|T{j}|protein_coding"
+                for j, cons in enumerate(_CSQ_BY_E[k % 4])
+            )
+            gts = "\t".join(_genotype(k, i) for i in (1, 2, 3, 4))
+            lines.append(
+                f"{chrom}\t{k}\t.\tA\tG\t50.0\tPASS\t"
+                f"DP={(k % 50) + 5};CSQ={csq}\tGT:DP\t{gts}"
+            )
+    vcf = os.path.join(d, "cohort.vcf")
+    ped = os.path.join(d, "cohort.ped")
+    with open(vcf, "w") as fh:
+        fh.write(_HEADER + "\n".join(lines) + "\n")
+    with open(ped, "w") as fh:
+        fh.write(_PED)
+    return vcf, ped
+
+
+@dq(
+    "gemini_gtfilter",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier
+      WHERE ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
+        AND ((s_suppkey + 2) % 30) + 1 >= 5
+    )
+    SELECT sev.severity AS severity,
+           CAST(COUNT(*) AS BIGINT) AS n_impacts,
+           CAST(COUNT(DISTINCT q.k) AS BIGINT) AS n_variants,
+           CAST(SUM((q.k % 50) + 5) AS BIGINT) AS sum_dp
+    FROM q JOIN (
+      VALUES (0,'LOW'), (1,'MED'), (1,'LOW'),
+             (2,'HIGH'), (2,'MED'), (3,'LOW')
+    ) sev(e, severity) ON sev.e = q.k % 4
+    GROUP BY sev.severity ORDER BY severity
+    """,
+)
+def gemini_gtfilter(spark, sf_dir):
+    """gemini-style affected-sample HET query joined to the severity
+    table, through the full artifact round trip (see module docstring).
+    The gt-filter compiles to element_at Catalyst expressions (no UDF);
+    S2 is HET iff (7k+26) mod 16 ∈ [6,10] with depth (k+2) mod 30 + 1 —
+    the oracle replays the generator arithmetic against supplier."""
+    from vcf2db_spark.gemini import GeminiEngine
+    from vcf2db_spark.pipeline import load_vcf, open_artifact
+    from vcf2db_spark.sinks.sqlite import write_gemini_db
+
+    vcf, ped = _write_cohort_vcf(spark, sf_dir)
+    t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2)
+    db = os.path.join(os.path.dirname(vcf), "cohort.db")
+    # the sqlite sink drains into ONE serial connection; stream=False
+    # (driver bound = |supplier| cohort rows, stated above) skips the
+    # iterator server's per-call stall that dominates at this scale.
+    # No coalesce(1): collect() gathers partitions in parallel, while
+    # coalescing a Python-sourced local relation serializes its slices
+    # through one worker (measured 4 s on the 4-row samples table)
+    write_gemini_db(
+        db,
+        {
+            "variants": t.variants,
+            "variant_impacts": t.variant_impacts,
+            "samples": t.samples,
+            "vcf_header": t.vcf_header,
+        },
+        stream=False,
+    )
+    eng = GeminiEngine(spark, open_artifact(spark, db))
+    return eng.query(
+        """
+        SELECT i.impact_severity AS severity,
+               CAST(COUNT(*) AS BIGINT) AS n_impacts,
+               CAST(COUNT(DISTINCT v.variant_id) AS BIGINT) AS n_variants,
+               CAST(SUM(v.dp) AS BIGINT) AS sum_dp
+        FROM variants v
+        JOIN variant_impacts i ON v.variant_id = i.variant_id
+        GROUP BY i.impact_severity ORDER BY severity
+        """,
+        gt_filter="gt_types.S2 == HET and gt_depths.S2 >= 5",
+    )

@@ -109,6 +109,7 @@ def write_sqlite_table(
     table: str,
     batch_size: int = 50_000,
     legacy: bool = True,
+    stream: bool = True,
 ) -> int:
     """Stream one DataFrame into one SQLite table. Returns rows written.
 
@@ -126,7 +127,17 @@ def write_sqlite_table(
 
     n = 0
     batch: list[tuple] = []
-    for row in ser.toLocalIterator(prefetchPartitions=True):
+    # stream=False: collect() instead of the partition iterator — for
+    # tables the CALLER asserts are cohort-sized (the iterator server
+    # costs a multi-second per-call stall on this PySpark even for
+    # 1-row plans, and df.rdd-based auto-detection executes the plan's
+    # exchanges just to count partitions). The default streams with a
+    # two-partition driver-memory bound.
+    if stream:
+        rows_iter = ser.toLocalIterator(prefetchPartitions=True)
+    else:
+        rows_iter = iter(ser.collect())
+    for row in rows_iter:
         batch.append(tuple(row))
         if len(batch) >= batch_size:
             con.executemany(insert, batch)
@@ -146,6 +157,7 @@ def write_gemini_db(
     batch_size: int = 50_000,
     legacy: bool = True,
     indexes: dict[str, Iterable[tuple[str, ...]]] | None = None,
+    stream: bool = True,
 ) -> dict[str, int]:
     """Write the four-table gemini artifact (variants / variant_impacts /
     samples / vcf_header + any expanded_* tables) to ``db_path``.
@@ -160,7 +172,10 @@ def write_gemini_db(
         for pragma in LOAD_PRAGMAS:
             con.execute(pragma)
         counts = {
-            name: write_sqlite_table(con, df, name, batch_size=batch_size, legacy=legacy)
+            name: write_sqlite_table(
+                con, df, name,
+                batch_size=batch_size, legacy=legacy, stream=stream,
+            )
             for name, df in tables.items()
         }
         idx = DEFAULT_INDEXES if indexes is None else indexes
