@@ -7,12 +7,16 @@ the one format real multimodal pipelines actually ship (VERDICT r5 item
 - encoder: grayscale (1 component) or YCbCr 4:2:0 (3 components),
   Annex K quantization tables scaled by IJG quality, Annex K Huffman
   tables, JFIF APP0, byte stuffing;
-- decoder: any baseline SOF0 stream with ≤4 components, 8×8-aligned
+- decoder: any baseline SOF0/SOF1 stream with ≤4 components, 8×8-aligned
   sampling factors (1×1, 2×1, 1×2, 2×2), DQT/DHT accumulated across
-  segments, DRI/RSTn restart markers honored.
+  segments, DRI/RSTn restart markers honored — and PROGRESSIVE (SOF2)
+  streams (r7): spectral selection + successive approximation per
+  T.81 G.1.2 (DC first/refine, AC first/refine with EOB runs), scans
+  accumulated into per-component coefficient buffers and reconstructed
+  once at EOI.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes raise NotImplementedError — that stays an honest boundary.
+Arithmetic coding, 12-bit precision and hierarchical modes raise
+NotImplementedError — that stays an honest boundary.
 
 Everything is bytes→numpy with no Spark imports, same contract as
 functions/media_codecs.py: these run per-file inside Arrow-batched
@@ -295,16 +299,25 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 1|3) uint8 cube → baseline JFIF bytes.
+    """(h, w, 1|3) uint8 cube → baseline (or progressive) JFIF bytes.
 
     3-channel input is RGB → YCbCr (BT.601 full-range, the JFIF
     convention) with 4:2:0 chroma subsampling; 1-channel is a single-
     component grayscale stream. ``restart_interval`` > 0 writes a DRI
     segment and emits byte-aligned RSTn markers (DC predictors reset)
     every that many MCUs — the error-resilience device real encoders
-    use, and the regression fixture for the decoder's restart path."""
+    use, and the regression fixture for the decoder's restart path.
+
+    ``progressive=True`` emits an SOF2 spectral-selection scan script
+    (one interleaved DC scan, then one full-band AC scan per component,
+    Al=0 throughout) — the SAME quantized coefficients as the baseline
+    stream rearranged across scans, so both decode to identical pixels;
+    it is the regression fixture for the progressive decoder."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -342,7 +355,7 @@ def encode_jpeg(
     wr = _BitWriter()
     pred = [0] * len(planes)
 
-    def put_block(zz: np.ndarray, ci: int) -> None:
+    def put_dc(zz: np.ndarray, ci: int) -> None:
         tid = 0 if ci == 0 else 1
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
@@ -351,6 +364,12 @@ def encode_jpeg(
         wr.write(code, ln)
         if size:
             wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+
+    def put_ac(zz: np.ndarray, ci: int) -> None:
+        # in a progressive full-band AC scan the end-of-block symbol is
+        # EOB0 — bit-identical to the baseline EOB, so this body serves
+        # both scan shapes
+        tid = 0 if ci == 0 else 1
         run = 0
         nz = np.nonzero(zz[1:])[0]
         last = nz[-1] + 1 if len(nz) else 0
@@ -372,6 +391,15 @@ def encode_jpeg(
             code, ln = enc_ac[tid][0x00]
             wr.write(code, ln)
 
+    def put_block(zz: np.ndarray, ci: int) -> None:
+        put_dc(zz, ci)
+        put_ac(zz, ci)
+
+    if progressive and restart_interval:
+        raise NotImplementedError(
+            "restart markers in progressive encode are not supported"
+        )
+
     mcu_idx = 0
 
     def maybe_restart() -> None:
@@ -382,25 +410,27 @@ def encode_jpeg(
             for i in range(len(pred)):
                 pred[i] = 0
 
-    if c == 3:
-        yw = planes[0][0].shape[1] // 8  # luma blocks per row
-        cw = planes[1][0].shape[1] // 8
-        n_mcu_y = planes[0][0].shape[0] // 16
-        n_mcu_x = planes[0][0].shape[1] // 16
-        for my in range(n_mcu_y):
-            for mx in range(n_mcu_x):
+    def run_dc_pass(dc_only: bool) -> None:
+        nonlocal mcu_idx
+        put = put_dc if dc_only else put_block
+        if c == 3:
+            yw = planes[0][0].shape[1] // 8  # luma blocks per row
+            cw = planes[1][0].shape[1] // 8
+            n_mcu_y = planes[0][0].shape[0] // 16
+            n_mcu_x = planes[0][0].shape[1] // 16
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    maybe_restart()
+                    for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                        put(comp_zz[0][(2 * my + by) * yw + 2 * mx + bx], 0)
+                    put(comp_zz[1][my * cw + mx], 1)
+                    put(comp_zz[2][my * cw + mx], 2)
+                    mcu_idx += 1
+        else:
+            for zz in comp_zz[0]:
                 maybe_restart()
-                for by, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                    put_block(comp_zz[0][(2 * my + by) * yw + 2 * mx + bx], 0)
-                put_block(comp_zz[1][my * cw + mx], 1)
-                put_block(comp_zz[2][my * cw + mx], 2)
+                put(zz, 0)
                 mcu_idx += 1
-    else:
-        for zz in comp_zz[0]:
-            maybe_restart()
-            put_block(zz, 0)
-            mcu_idx += 1
-    wr.flush()
 
     # -- markers --
     def seg(marker: int, payload: bytes) -> bytes:
@@ -414,7 +444,8 @@ def encode_jpeg(
     comps = b""
     for i, (sh, sv) in enumerate(sampling):
         comps += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
+    sof = 0xFFC2 if progressive else 0xFFC0
+    out += seg(sof, struct.pack(">BHHB", 8, h, w, len(planes)) + comps)
     for cls, tid, (bits, vals) in (
         (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
         (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
@@ -426,12 +457,48 @@ def encode_jpeg(
         )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    scomps = b""
-    for i in range(len(planes)):
-        tid = 0 if i == 0 else 1
-        scomps += bytes([i + 1, (tid << 4) | tid])
-    out += seg(0xFFDA, bytes([len(planes)]) + scomps + b"\x00\x3f\x00")
+
+    if not progressive:
+        run_dc_pass(dc_only=False)
+        wr.flush()
+        scomps = b""
+        for i in range(len(planes)):
+            tid = 0 if i == 0 else 1
+            scomps += bytes([i + 1, (tid << 4) | tid])
+        out += seg(0xFFDA, bytes([len(planes)]) + scomps + b"\x00\x3f\x00")
+        out += wr.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # progressive scan script: interleaved DC scan, then one full-band
+    # (Ss=1..Se=63, Al=0) AC scan per component over its own ceil grid
+    run_dc_pass(dc_only=True)
+    wr.flush()
+    scomps = b"".join(
+        bytes([i + 1, ((0 if i == 0 else 1) << 4) | (0 if i == 0 else 1)])
+        for i in range(len(planes))
+    )
+    out += seg(0xFFDA, bytes([len(planes)]) + scomps + b"\x00\x00\x00")
     out += wr.out
+    for ci in range(len(planes)):
+        wr = _BitWriter()
+        sh, sv = sampling[ci]
+        hmax = max(s for s, _ in sampling)
+        vmax = max(s for _, s in sampling)
+        hpix = -(-h * sv // vmax)  # component samples (T.81 A.1.1)
+        wpix = -(-w * sh // hmax)
+        hb = -(-hpix // 8)  # blocks-in-scan ceil grid (A.2.2)
+        wb = -(-wpix // 8)
+        stride = planes[ci][0].shape[1] // 8
+        for by in range(hb):
+            for bx in range(wb):
+                put_ac(comp_zz[ci][by * stride + bx], ci)
+        wr.flush()
+        tid = 0 if ci == 0 else 1
+        out += seg(
+            0xFFDA, bytes([1, ci + 1, (tid << 4) | tid]) + b"\x01\x3f\x00"
+        )
+        out += wr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -442,13 +509,16 @@ def encode_jpeg(
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes → (h, w, c) uint8 cube (c = 1 or 3)."""
+    """Baseline or progressive JFIF/JPEG bytes → (h, w, c) uint8 cube
+    (c = 1 or 3)."""
     if blob[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    prog: _ProgressiveState | None = None
     restart_interval = 0
     while pos < len(blob):
         if blob[pos] != 0xFF:
@@ -486,7 +556,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(cls, tid)] = _canonical_codes(bits, vals)[1]
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -495,22 +565,255 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker == 0xC2
+            if progressive:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0/SOF1) is supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise NotImplementedError("SOS before SOF0")
+                raise NotImplementedError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, t = body[1 + 2 * i], body[2 + 2 * i]
                 scan.append((cs, t >> 4, t & 0x0F))
-            return _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval)
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            if not progressive:
+                return _decode_scan(
+                    blob, pos, frame, scan, qt, huff, restart_interval
+                )
+            pos = prog.decode_scan(
+                blob, pos, scan, ss, se, a >> 4, a & 0x0F,
+                huff, restart_interval,
+            )
+    if progressive and prog is not None:
+        return prog.reconstruct(qt)
     raise NotImplementedError("no scan data found in JPEG stream")
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next true marker (not stuffing, not RSTn) at or
+    after ``pos`` — the end of a progressive scan's entropy data."""
+    while pos < len(data) - 1:
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= data[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for SOF2 scans (T.81 G.1.2): each scan
+    deposits a spectral band / approximation bit of every block; EOI
+    triggers one vectorized dequantize+IDCT reconstruction. Coefficients
+    are stored in ZIGZAG index order (the order scans address them)."""
+
+    def __init__(self, frame) -> None:
+        fh, fw, comps = frame
+        self.frame = frame
+        self.hmax = max(ch for _, ch, _, _ in comps)
+        self.vmax = max(cv for _, _, cv, _ in comps)
+        self.mcux = -(-fw // (8 * self.hmax))
+        self.mcuy = -(-fh // (8 * self.vmax))
+        self.by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+        self.coefs: dict[int, np.ndarray] = {}
+        self.eobrun = 0
+        for cid, ch, cv, _tq in comps:
+            self.coefs[cid] = np.zeros(
+                (self.mcuy * cv, self.mcux * ch, 64), dtype=np.int32
+            )
+
+    def _nonint_dims(self, cid: int) -> tuple[int, int]:
+        """Blocks-in-scan dims for a NON-interleaved scan (T.81 A.2.2):
+        the component's own ceil grid, which may be smaller than its
+        MCU-padded coefficient array."""
+        fh, fw, _ = self.frame
+        ch, cv, _ = self.by_id[cid]
+        wpix = -(-fw * ch // self.hmax)
+        hpix = -(-fh * cv // self.vmax)
+        return -(-hpix // 8), -(-wpix // 8)
+
+    # -- per-block primitives ------------------------------------------------
+
+    def _dc_first(self, rd, blk, dec, pred, cid, al):
+        size = _decode_huff(rd, dec)
+        diff = _extend(rd.read_bits(size), size)
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+
+    @staticmethod
+    def _dc_refine(rd, blk, al):
+        if rd.read_bit():
+            blk[0] |= 1 << al
+
+    def _ac_first(self, rd, blk, dec, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_huff(rd, dec)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                self.eobrun = (1 << r) - 1
+                if r:
+                    self.eobrun += rd.read_bits(r)
+                break
+            k += r
+            if k > se:
+                break  # corrupt run — clamp like libjpeg
+            blk[k] = _extend(rd.read_bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, rd, blk, dec, ss, se, al):
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k):
+            if rd.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(rd, dec)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += rd.read_bits(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions, no insert
+                else:
+                    val = p1 if rd.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    # -- one scan ------------------------------------------------------------
+
+    def decode_scan(
+        self, data, pos, scan, ss, se, ah, al, huff, restart_interval
+    ) -> int:
+        rd = _BitReader(data, pos)
+        pred = {cid: 0 for cid in self.by_id}
+        self.eobrun = 0
+        unit = 0  # MCU (interleaved) or block (non-interleaved) counter
+
+        def restart_boundary():
+            nonlocal pred
+            if restart_interval and unit and unit % restart_interval == 0:
+                rd.skip_rst()
+                pred = {cid: 0 for cid in self.by_id}
+                self.eobrun = 0
+
+        if ss == 0:  # DC scan — interleaved over the scan's components
+            if se != 0:
+                raise NotImplementedError("DC scan with Se != 0")
+            if len(scan) > 1:
+                for _my in range(self.mcuy):
+                    for _mx in range(self.mcux):
+                        restart_boundary()
+                        for cs, td, _ta in scan:
+                            ch, cv, _ = self.by_id[cs]
+                            arr = self.coefs[cs]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    blk = arr[_my * cv + by, _mx * ch + bx]
+                                    if ah == 0:
+                                        self._dc_first(
+                                            rd, blk, huff[(0, td)], pred, cs, al
+                                        )
+                                    else:
+                                        self._dc_refine(rd, blk, al)
+                        unit += 1
+            else:
+                cs, td, _ta = scan[0]
+                hb, wb = self._nonint_dims(cs)
+                arr = self.coefs[cs]
+                for by in range(hb):
+                    for bx in range(wb):
+                        restart_boundary()
+                        blk = arr[by, bx]
+                        if ah == 0:
+                            self._dc_first(rd, blk, huff[(0, td)], pred, cs, al)
+                        else:
+                            self._dc_refine(rd, blk, al)
+                        unit += 1
+        else:  # AC scan — always single-component, non-interleaved
+            if len(scan) != 1:
+                raise NotImplementedError("interleaved AC progressive scan")
+            cs, _td, ta = scan[0]
+            hb, wb = self._nonint_dims(cs)
+            arr = self.coefs[cs]
+            dec = huff[(1, ta)]
+            for by in range(hb):
+                for bx in range(wb):
+                    restart_boundary()
+                    blk = arr[by, bx]
+                    if ah == 0:
+                        self._ac_first(rd, blk, dec, ss, se, al)
+                    else:
+                        self._ac_refine(rd, blk, dec, ss, se, al)
+                    unit += 1
+        return _next_marker(data, rd.pos)
+
+    # -- final reconstruction ------------------------------------------------
+
+    def reconstruct(self, qt) -> np.ndarray:
+        fh, fw, comps = self.frame
+        full = []
+        for cid, ch, cv, tq in comps:
+            arr = self.coefs[cid].astype(np.float64)
+            bh, bw = arr.shape[:2]
+            natural = arr[:, :, UNZIGZAG].reshape(bh, bw, 8, 8)
+            blk = natural * qt[tq][None, None, :, :]
+            px = np.einsum("ji,nmjk,kl->nmil", _C, blk, _C)
+            plane = (
+                px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8) + 128.0
+            )
+            if ch < self.hmax or cv < self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // cv, axis=0),
+                    self.hmax // ch, axis=1,
+                )
+            full.append(plane[:fh, :fw])
+        if len(full) == 1:
+            return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[:, :, None]
+        if len(full) == 3:
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        raise NotImplementedError(f"{len(full)}-component JPEG not supported")
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):

@@ -311,20 +311,29 @@ def media_features(spark, sf_dir):
                 w = 16
                 n = max(1, raw.size // w)
                 cube = np.resize(raw, (n, w, 1))  # deterministic tile/pad
-                if did % 5 == 0:
+                if did % 6 == 0:
                     rows.append((did, "image_ppm", mc.encode_ppm(cube)))
-                elif did % 5 == 1:
+                elif did % 6 == 1:
                     rows.append((did, "image_bmp", mc.encode_bmp(cube)))
-                elif did % 5 == 2:
+                elif did % 6 == 2:
                     rows.append((did, "audio_wav", mc.encode_wav(cube.reshape(n * w, 1), bits=8)))
-                elif did % 5 == 3:
+                elif did % 6 == 3:
                     # the r6 entropy-coded rows: baseline JPEG and 8-bit
                     # PNG, encoded AND decoded by functions/jpeg.py /
                     # functions/png.py (deterministic — fixed tables,
                     # fixed quality / lossless DEFLATE)
                     rows.append((did, "image_jpeg", mc.encode("jpeg", cube)))
-                else:
+                elif did % 6 == 4:
                     rows.append((did, "image_png", mc.encode("png", cube)))
+                else:
+                    # r7: SOF2 progressive scan script (spectral
+                    # selection), decoded by the same sniffing path
+                    from vcf2db_spark.functions.jpeg import encode_jpeg
+
+                    rows.append(
+                        (did, "image_jpeg_prog",
+                         encode_jpeg(cube, progressive=True))
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "kind", "content"])
 
     media = d.select("doc_id", "text").mapInPandas(
