@@ -61,10 +61,14 @@ def main() -> None:
     )
     from vcf2db_spark.session import get_spark
 
+    from vcf2db_spark.io import table_wide
+
     spark = get_spark("ann-scale")
     for sf in args.scales:
-        path = f"/root/repo/.bench_data/{sf}/embeddings.parquet"
-        emb = spark.read.parquet(path)
+        # table_wide: the fixtures are single-row-group parquet, so a raw
+        # scan runs 1 task and serializes the whole pipeline — the same
+        # footer-probe rescue every embedding DQ uses
+        emb = table_wide(spark, f"/root/repo/.bench_data/{sf}", "embeddings")
         n = emb.count()
         n_lists = max(8, int(round(math.sqrt(n))))
         step = max(1, n // 100)

@@ -16,12 +16,13 @@ formats a few hundred lines of numpy can parse exactly:
   (``b"FAKE" | u16 w | u16 h | u8 c | payload``), kept as the
   seed-stable fixture codec.
 
-- **JPEG** (baseline sequential DCT, 8-bit Huffman, JFIF): the one
-  entropy-coded format implemented in-repo (functions/jpeg.py, r6) —
-  grayscale or YCbCr with power-of-two sampling factors, restart
-  markers honored; progressive/arithmetic/12-bit still raise.
+- **JPEG** (baseline sequential + progressive DCT, 8-bit Huffman,
+  JFIF): implemented in-repo (functions/jpeg.py, r6 baseline + r7
+  progressive) — grayscale or YCbCr with power-of-two sampling
+  factors, restart markers honored, SOF2 spectral selection and
+  successive approximation decoded; arithmetic/12-bit still raise.
 
-Anything else (PNG/MP4/progressive-JPEG…) raises
+Anything else (WebP/MP4/AVIF…) raises
 ``NotImplementedError`` — those genuinely need external libraries, and
 pretending otherwise would be a silent-wrong-answer factory.
 
