@@ -90,10 +90,17 @@ def _genotype(k: int, i: int) -> str:
 
 def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
     """Generate the deterministic cohort VCF + PED from supplier keys.
-    Driver memory is one int per supplier row (bounded: 10k·sf)."""
+    Driver memory is one int per cohort row. Bounded input (harness
+    convention, same as curate_docs/graph): the cohort caps at suppkey
+    ≤ 1,000 — full at every graded scale (sf ≤ 0.1), capped in the sf1+
+    sweeps where the fixed pipeline machinery, not volume, is the
+    signal; volume behavior is the ordinary distributed pipeline's."""
     keys = sorted(
         r["s_suppkey"]
-        for r in table(spark, sf_dir, "supplier").select("s_suppkey").collect()
+        for r in table(spark, sf_dir, "supplier")
+        .filter("s_suppkey <= 1000")
+        .select("s_suppkey")
+        .collect()
     )
     _LC.release()
     d = f"/tmp/vcf2db_gemini_{os.getpid()}_{uuid.uuid4().hex[:8]}"
@@ -128,7 +135,8 @@ def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
     oracle="""
     WITH q AS (
       SELECT s_suppkey AS k FROM supplier
-      WHERE ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
+      WHERE s_suppkey <= 1000
+        AND ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
         AND ((s_suppkey + 2) % 30) + 1 >= 5
     )
     SELECT sev.severity AS severity,
