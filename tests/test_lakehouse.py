@@ -474,6 +474,59 @@ def test_txlog_checkpointed_history_reads_with_spark(spark, tmp_path,
     assert lh.read(spark, root, 1).filter("v >= 500.0").count() == 0
 
 
+def test_delete_cow_with_prune(spark, root):
+    """COW DELETE (r7): only stat-overlapping candidate files rewrite;
+    out-of-bounds files carry verbatim; prior versions keep the rows."""
+    lh.create(spark, root, _mk(spark, 0, 1000).coalesce(1), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 1000, 2000).coalesce(1))
+    lh.append(spark, root, _mk(spark, 2000, 3000).coalesce(1))
+    untouched = {
+        f["path"] for f in lh.snapshot(root)["files"]
+        if f["stats"]["k"][0] >= 1000
+    }
+    assert len(untouched) == 2
+    lh.delete(spark, root, "k % 2 = 0 AND k < 1000", prune={"k": (None, 999)})
+    after = {f["path"] for f in lh.snapshot(root)["files"]}
+    assert untouched <= after, "non-overlapping files must carry verbatim"
+    got = lh.read(spark, root)
+    assert got.count() == 2500
+    assert got.filter("k < 1000 AND k % 2 = 0").count() == 0
+    assert got.filter("k >= 1000").count() == 2000  # untouched rows intact
+    assert lh.read(spark, root, 2).count() == 3000  # time travel keeps them
+    # delete with no matches in candidates is still a valid commit
+    lh.delete(spark, root, "k = -1", prune={"k": (None, -1)})
+    assert lh.read(spark, root).count() == 2500
+
+
+def test_restore_is_metadata_only(spark, root):
+    """RESTORE (r7): the head becomes the target version's exact state
+    via a pure-metadata commit — no data file written; history intact;
+    vacuumed targets are refused."""
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 100, 200))
+    lh.merge(spark, root, _mk(spark, 0, 5, bump=900.0), key="k")
+    n_files_before = sum(
+        len(files) for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    v = lh.restore(root, 1)
+    n_files_after = sum(
+        len(files) for _, _, files in os.walk(os.path.join(root, "data"))
+    )
+    assert n_files_after == n_files_before  # metadata-only
+    assert v == 3 and lh.latest_version(root) == 3
+    head = lh.read(spark, root)
+    assert head.count() == 200 and head.filter("v >= 900").count() == 0
+    assert lh.read(spark, root, 2).filter("v >= 900").count() == 5  # audit
+    # restore across a compact re-adds the dropped file entries
+    lh.compact(spark, root, target_bytes=1 << 30)
+    lh.restore(root, 1)
+    assert lh.read(spark, root).count() == 200
+    # vacuumed target refused
+    lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        lh.restore(root, 2)
+
+
 def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
     """One seeded interleaving of append / MERGE / OPTIMIZE /
     evolve_schema where a phantom writer steals the version slot ahead

@@ -175,8 +175,9 @@ _PRIORITY_R07 = [
     "win_first_last", "win_ntile_dense", "win_range_frame",
     # changed in round 7 (lakehouse delta-manifest txlog + merge fixes):
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
-    # added in round 7 (gemini domain layer through the full pipeline):
-    "gemini_gtfilter",
+    # added in round 7 (gemini domain layer through the full pipeline;
+    # lakehouse COW DELETE + RESTORE verbs):
+    "gemini_gtfilter", "lakehouse_delete",
 ]
 
 

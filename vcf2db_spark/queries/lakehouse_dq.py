@@ -236,3 +236,66 @@ def lakehouse_changes(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         dsum6("o_totalprice").alias("sum_price"),
     )
+
+
+_DEL_LC = Lifecycle()
+
+
+@dq(
+    "lakehouse_delete",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey % 5 = 2)
+    SELECT 'after_delete' AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM s
+    WHERE NOT (o_orderdate < TIMESTAMP '1994-01-01' AND o_orderkey % 2 = 0)
+    UNION ALL
+    SELECT 'restored', CAST(COUNT(*) AS BIGINT), {OSUM6('o_totalprice')}
+    FROM s
+    """,
+)
+def lakehouse_delete(spark, sf_dir):
+    """COW DELETE + RESTORE as a declared query (r7): create the table
+    range-partitioned by date, DELETE a date-bounded predicate with the
+    manifest prune limiting the rewrite to stat-overlapping files, then
+    RESTORE the pre-delete version as a pure-metadata commit. The oracle
+    recomputes both logical states straight from the orders view, so a
+    hash match proves (a) the pruned COW rewrite deleted exactly the
+    predicate rows and carried every out-of-bounds file verbatim, and
+    (b) restore re-pointed the head at the original file set without
+    touching data. The GDPR-delete + rollback pair a training-data
+    table needs; at 100 TB the rewrite cost is bounded by the files the
+    predicate's column bounds overlap, and restore is O(manifest)."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 5 == 2)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    root = _fresh_root(_DEL_LC, "del")
+    lh.create(
+        spark,
+        root,
+        o.repartitionByRange(4, "o_orderdate"),
+        stat_cols=("o_orderkey", "o_orderdate"),
+    )
+    lh.delete(
+        spark,
+        root,
+        "o_orderdate < TIMESTAMP '1994-01-01' AND o_orderkey % 2 = 0",
+        prune={"o_orderdate": (None, "1994-01-01T00:00:00")},
+    )
+    after = lh.read(spark, root).agg(
+        F.lit("after_delete").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum6("o_totalprice").alias("sum_price"),
+    )
+    lh.restore(root, 0)
+    restored = lh.read(spark, root).agg(
+        F.lit("restored").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum6("o_totalprice").alias("sum_price"),
+    )
+    return after.unionByName(restored)

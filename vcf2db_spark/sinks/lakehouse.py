@@ -539,6 +539,79 @@ def merge(
     )
 
 
+def delete(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    prune: dict[str, tuple] | None = None,
+) -> int:
+    """Copy-on-write DELETE: remove rows matching ``predicate`` (a SQL
+    boolean expression) as a new commit — the GDPR / right-to-be-
+    forgotten verb a training-data table needs.
+
+    ``prune`` (optional ``{col: (lo, hi)}`` bounds implied by the
+    predicate) limits the rewrite to files whose stats overlap — the
+    same manifest-level planning as ``read_pruned``; files outside it
+    carry into the new manifest verbatim and are never read. Within the
+    candidate set, files that turn out to contain NO matching rows are
+    still rewritten (COW semantics keep this simple and exact; an
+    anti-join count per file would save them at the cost of a second
+    scan). Driver work stays manifest-sized."""
+    cur = snapshot(root)
+    if prune:
+        candidates, _ = plan_files(root, prune)
+        cand_paths = {e["path"] for e in candidates}
+    else:
+        cand_paths = {e["path"] for e in cur["files"]}
+    touched = [e for e in cur["files"] if e["path"] in cand_paths]
+    schema = _schema_of(cur)
+    if not touched:
+        return _commit(root, _child_manifest(cur, "delete", []))
+    src = spark.read.schema(schema).parquet(
+        *[os.path.join(root, e["path"]) for e in touched]
+    )
+    survivors = src.filter(f"NOT ({predicate})")
+    rewritten = _write_data(survivors, root, tuple(cur["stat_cols"]))
+    return _commit(
+        root,
+        _child_manifest(
+            cur, "delete", rewritten, remove=[e["path"] for e in touched]
+        ),
+    )
+
+
+def restore(root: str, version: int) -> int:
+    """RESTORE TABLE TO VERSION AS OF: commit the target version's file
+    list (and schema) as the NEW head — pure metadata, no file is read
+    or written (the delta records the file-set diff), and the history
+    in between stays intact for audit. The Delta RESTORE verb. Refuses
+    to restore a version whose data files were vacuumed away (the same
+    guard Delta applies)."""
+    target = snapshot(root, version)
+    cur = snapshot(root)
+    missing = [
+        e["path"]
+        for e in target["files"]
+        if not os.path.exists(os.path.join(root, e["path"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"restore: version {version} references vacuumed files "
+            f"(first: {missing[0]})"
+        )
+    cur_paths = {e["path"] for e in cur["files"]}
+    tgt_paths = {e["path"] for e in target["files"]}
+    man = _child_manifest(
+        cur,
+        "restore",
+        [e for e in target["files"] if e["path"] not in cur_paths],
+        remove=sorted(cur_paths - tgt_paths),
+    )
+    man["schema"] = target["schema"]
+    man["restored_version"] = version
+    return _commit(root, man)
+
+
 def compact(
     spark: SparkSession,
     root: str,
