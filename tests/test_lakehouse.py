@@ -527,6 +527,84 @@ def test_restore_is_metadata_only(spark, root):
         lh.restore(root, 2)
 
 
+def test_feed_stream_incremental_and_exactly_once(spark, tmp_path):
+    """lakehouse_feed streaming source (r7): one drain consumes the
+    whole history; a SECOND drain against the same checkpoint consumes
+    ONLY commits made in between (offsets = version ints in the engine
+    checkpoint); compaction adds are skipped (no logical change)."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    lh.create(spark, root, _mk(spark, 0, 50), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 50, 80))
+
+    def drain():
+        # parquet sink: the recoverable-checkpoint path (memory sink
+        # cannot resume), i.e. the real incremental-consumer shape
+        q = (
+            read_feed_stream(spark, root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    first = drain()
+    assert len(first) == 80
+    assert {r["_change"] for r in first} == {"insert"}
+    assert sorted({r["_commit_version"] for r in first}) == [0, 1]
+
+    # between drains: a compact (must NOT stream) and a real append
+    lh.compact(spark, root, target_bytes=1 << 30)
+    lh.append(spark, root, _mk(spark, 80, 90))
+    second = drain()
+    assert len(second) == 90, "restart must consume only the new commit"
+    new = [r for r in second if r["_commit_version"] > 1]
+    assert {r["_commit_version"] for r in new} == {3}
+    assert sorted(r["k"] for r in new) == list(range(80, 90))
+
+
+def test_feed_stream_schema_evolution_null_backfill(spark, tmp_path):
+    """Files written BEFORE an evolve_schema stream with NULL for the
+    appended column (schema pinned at stream start, cast per file)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+    from vcf2db_spark.streaming.pipelines import run_to_memory
+
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 10), stat_cols=("k",))
+    wide = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", DoubleType()),
+            StructField("w", DoubleType(), nullable=True),
+        ]
+    )
+    lh.evolve_schema(root, wide)
+    lh.append(
+        spark,
+        root,
+        spark.range(10, 15).selectExpr(
+            "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id*2 AS DOUBLE) AS w"
+        ),
+    )
+    out = run_to_memory(read_feed_stream(spark, root), "feed_evo").collect()
+    assert len(out) == 15
+    olds = [r for r in out if r["k"] < 10]
+    news = [r for r in out if r["k"] >= 10]
+    assert all(r["w"] is None for r in olds)
+    assert all(r["w"] == r["k"] * 2.0 for r in news)
+
+
 def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
     """One seeded interleaving of append / MERGE / OPTIMIZE /
     evolve_schema where a phantom writer steals the version slot ahead

@@ -19,9 +19,27 @@ generation (the release callbacks themselves are idempotent —
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import threading
+import weakref
 from collections.abc import Callable
+
+#: every Lifecycle registers here so interpreter exit releases the LAST
+#: generation too — release-on-next-call cannot fire after the final
+#: call of a process, which leaked one scratch dir per session per
+#: operator into /dev/shm (observed: ~1,800 dirs after a bench day)
+_REGISTRY: list[weakref.ref] = []
+
+
+def _release_all_at_exit() -> None:
+    for ref in _REGISTRY:
+        lc = ref()
+        if lc is not None:
+            lc.release()
+
+
+atexit.register(_release_all_at_exit)
 
 
 class Lifecycle:
@@ -31,6 +49,7 @@ class Lifecycle:
         self._held: list[Callable[[], None]] = []
         self._lock = threading.Lock()
         self.dirs: list[str] = []  # introspection (tests): held dir paths
+        _REGISTRY.append(weakref.ref(self))
 
     def release(self) -> None:
         """Release everything held from the previous call (idempotent)."""

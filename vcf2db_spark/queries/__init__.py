@@ -176,8 +176,9 @@ _PRIORITY_R07 = [
     # changed in round 7 (lakehouse delta-manifest txlog + merge fixes):
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     # added in round 7 (gemini domain layer through the full pipeline;
-    # lakehouse COW DELETE + RESTORE verbs):
-    "gemini_gtfilter", "lakehouse_delete",
+    # lakehouse COW DELETE + RESTORE verbs; the lakehouse_feed
+    # streaming SOURCE over the txlog):
+    "gemini_gtfilter", "lakehouse_delete", "stream_lakehouse_feed",
 ]
 
 

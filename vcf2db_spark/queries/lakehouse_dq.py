@@ -299,3 +299,66 @@ def lakehouse_delete(spark, sf_dir):
         dsum6("o_totalprice").alias("sum_price"),
     )
     return after.unionByName(restored)
+
+
+_FEED_LC = Lifecycle()
+
+
+@dq(
+    "stream_lakehouse_feed",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_custkey % 9 = 4)
+    SELECT 'insert' AS _change,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {OSUM6('o_totalprice')} AS sum_price
+    FROM s
+    UNION ALL
+    SELECT 'merge_postimage', CAST(COUNT(*) AS BIGINT),
+           {OSUM6("CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 25.0 ELSE o_totalprice END")}
+    FROM s
+    """,
+)
+def stream_lakehouse_feed(spark, sf_dir):
+    """Streaming READ of the lakehouse table (r7): the
+    ``lakehouse_feed`` custom streaming DataSource turns the txlog into
+    micro-batches — each commit's ADDED files, tagged by change type —
+    making the format a streaming SOURCE as well as an exactly-once
+    sink. The table history here is create → append → COW merge whose
+    update keys span every file's key range (so the merge rewrites the
+    whole table and its post-image is oracle-expressible without
+    assuming file boundaries). One availableNow drain consumes all
+    three commits; the aggregate per change tag hash-matches a DuckDB
+    replay of the same logical states — a TRUE-stream row with an exact
+    oracle, like stream_upsert. Offsets are version ints; partitions
+    read only delta manifests; files are read executor-side as arrow
+    batches (sources/lakehouse_feed.py)."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+    from vcf2db_spark.streaming.pipelines import run_to_memory
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 9 == 4)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+    )
+    root = _fresh_root(_FEED_LC, "feed")
+    cut = F.lit("1995-01-01").cast("timestamp")
+    lh.create(
+        spark, root, o.filter(F.col("o_orderdate") < cut),
+        stat_cols=("o_orderkey",),
+    )
+    lh.append(spark, root, o.filter(F.col("o_orderdate") >= cut))
+    upd = o.withColumn(
+        "o_totalprice", F.col("o_totalprice") + 25.0
+    ).filter(F.col("o_orderkey") % 4 == 0)
+    lh.merge(spark, root, upd, key="o_orderkey")
+    feed = read_feed_stream(spark, root)
+    drained = run_to_memory(feed, "lakehouse_feed_drain")
+    return (
+        drained.groupBy("_change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum6("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -14,6 +14,7 @@ batch twins in ``queries/extensions.py`` are the correctness oracles.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
 import shutil
@@ -30,6 +31,23 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampType,
+)
+
+# Ephemeral tmpfs scratch (checkpoints / drain state): cleared at the
+# START of each reuse (release-on-next-call) AND at interpreter exit —
+# the last call of a process has no next call, which leaked one dir per
+# session per drain into /dev/shm (~1,800 observed after a bench day).
+_EPHEMERAL_DIRS: set[str] = set()
+
+
+def _ephemeral_dir(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    _EPHEMERAL_DIRS.add(path)
+    return path
+
+
+atexit.register(
+    lambda: [shutil.rmtree(p, ignore_errors=True) for p in _EPHEMERAL_DIRS]
 )
 
 # Schema of the events fixture AFTER ts normalization (streaming file
@@ -332,8 +350,9 @@ def run_to_memory(
     # pure fixed cost for an ephemeral local drain (a real deployment
     # points this at durable object storage instead)
     if os.path.isdir("/dev/shm"):
-        ckpt = os.path.join("/dev/shm", f"vcf2db_ckpt_{name}_{os.getpid()}")
-        shutil.rmtree(ckpt, ignore_errors=True)
+        ckpt = _ephemeral_dir(
+            os.path.join("/dev/shm", f"vcf2db_ckpt_{name}_{os.getpid()}")
+        )
         writer = writer.option("checkpointLocation", ckpt)
     try:
         q = writer.start()
@@ -464,7 +483,9 @@ def upsert_latest_drain(
     # processes — can never clobber each other's live state.
     if os.path.isdir("/dev/shm"):
         tag = hashlib.md5(os.path.abspath(work_dir).encode()).hexdigest()[:12]
-        work_dir = os.path.join("/dev/shm", f"vcf2db_upsert_{os.getpid()}_{tag}")
+        work_dir = _ephemeral_dir(
+            os.path.join("/dev/shm", f"vcf2db_upsert_{os.getpid()}_{tag}")
+        )
     _release_upsert_dirs()
     shutil.rmtree(work_dir, ignore_errors=True)
     os.makedirs(work_dir, exist_ok=True)
