@@ -179,6 +179,7 @@ _PRIORITY_R07 = [
     # lakehouse COW DELETE + RESTORE verbs; the lakehouse_feed
     # streaming SOURCE over the txlog):
     "gemini_gtfilter", "lakehouse_delete", "stream_lakehouse_feed",
+    "gemini_denovo",
 ]
 
 

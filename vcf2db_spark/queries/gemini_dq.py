@@ -38,6 +38,8 @@ from __future__ import annotations
 import os
 import uuid
 
+from pyspark.sql import functions as F
+
 from vcf2db_spark.io import table
 from vcf2db_spark.lifecycle import Lifecycle
 from vcf2db_spark.registry import dq
@@ -55,11 +57,15 @@ _HEADER = """\
 #CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\tS4
 """
 
+# S1 is the AFFECTED child of S2 (father) × S3 (mother); S4 unrelated —
+# gives the inheritance engine one complete trio whose genotype
+# arithmetic the de_novo oracle can replay. gemini_gtfilter's result is
+# PED-independent (direct sample access, no phenotype selector).
 _PED = """\
 #family_id name paternal_id maternal_id sex phenotype
-f1 S1 0 0 1 2
-f1 S2 0 0 2 2
-f2 S3 0 0 1 1
+f1 S1 S2 S3 1 2
+f1 S2 0 0 1 1
+f1 S3 0 0 2 1
 f2 S4 0 0 2 1
 """
 
@@ -130,6 +136,37 @@ def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
     return vcf, ped
 
 
+def _build_engine(spark, sf_dir):
+    """Cohort artifact through the REAL pipeline: generate → load_vcf →
+    sqlite sink (blob encode) → open_artifact (blob decode) → engine.
+    Rebuilt per call (house convention — the DQ measures the machinery,
+    not a cache)."""
+    from vcf2db_spark.gemini import GeminiEngine
+    from vcf2db_spark.pipeline import load_vcf, open_artifact
+    from vcf2db_spark.sinks.sqlite import write_gemini_db
+
+    vcf, ped = _write_cohort_vcf(spark, sf_dir)
+    t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2)
+    db = os.path.join(os.path.dirname(vcf), "cohort.db")
+    # the sqlite sink drains into ONE serial connection; stream=False
+    # (driver bound = cohort rows, stated above) skips the iterator
+    # server's per-call stall that dominates at this scale. No
+    # coalesce(1): collect() gathers partitions in parallel, while
+    # coalescing a Python-sourced local relation serializes its slices
+    # through one worker (measured 4 s on the 4-row samples table)
+    write_gemini_db(
+        db,
+        {
+            "variants": t.variants,
+            "variant_impacts": t.variant_impacts,
+            "samples": t.samples,
+            "vcf_header": t.vcf_header,
+        },
+        stream=False,
+    )
+    return GeminiEngine(spark, open_artifact(spark, db))
+
+
 @dq(
     "gemini_gtfilter",
     oracle="""
@@ -156,30 +193,7 @@ def gemini_gtfilter(spark, sf_dir):
     The gt-filter compiles to element_at Catalyst expressions (no UDF);
     S2 is HET iff (7k+26) mod 16 ∈ [6,10] with depth (k+2) mod 30 + 1 —
     the oracle replays the generator arithmetic against supplier."""
-    from vcf2db_spark.gemini import GeminiEngine
-    from vcf2db_spark.pipeline import load_vcf, open_artifact
-    from vcf2db_spark.sinks.sqlite import write_gemini_db
-
-    vcf, ped = _write_cohort_vcf(spark, sf_dir)
-    t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2)
-    db = os.path.join(os.path.dirname(vcf), "cohort.db")
-    # the sqlite sink drains into ONE serial connection; stream=False
-    # (driver bound = |supplier| cohort rows, stated above) skips the
-    # iterator server's per-call stall that dominates at this scale.
-    # No coalesce(1): collect() gathers partitions in parallel, while
-    # coalescing a Python-sourced local relation serializes its slices
-    # through one worker (measured 4 s on the 4-row samples table)
-    write_gemini_db(
-        db,
-        {
-            "variants": t.variants,
-            "variant_impacts": t.variant_impacts,
-            "samples": t.samples,
-            "vcf_header": t.vcf_header,
-        },
-        stream=False,
-    )
-    eng = GeminiEngine(spark, open_artifact(spark, db))
+    eng = _build_engine(spark, sf_dir)
     return eng.query(
         """
         SELECT i.impact_severity AS severity,
@@ -191,4 +205,42 @@ def gemini_gtfilter(spark, sf_dir):
         GROUP BY i.impact_severity ORDER BY severity
         """,
         gt_filter="gt_types.S2 == HET and gt_depths.S2 >= 5",
+    )
+
+
+@dq(
+    "gemini_denovo",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier
+      WHERE s_suppkey <= 1000
+        AND ((s_suppkey * 7 + 13) % 16) BETWEEN 6 AND 10
+        AND ((s_suppkey * 7 + 26) % 16) < 6
+        AND ((s_suppkey * 7 + 39) % 16) < 6
+    )
+    SELECT CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM((k % 50) + 5) AS BIGINT) AS sum_dp
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def gemini_denovo(spark, sf_dir):
+    """Mendelian de-novo model as an oracle-backed driver row: the PED
+    declares S1 the affected child of S2 × S3, so
+    ``InheritanceEngine.de_novo()`` compiles child-HET ∧ parents-HOM_REF
+    over the decoded genotype arrays (pure element_at Catalyst
+    predicates — no UDF, no explode), and the generator arithmetic
+    (sample i HET ⇔ (7k+13i) mod 16 ∈ [6,10]; HOM_REF ⇔ < 6) lets the
+    DuckDB oracle replay the trio test straight from supplier keys.
+    Exercises A9 (PED trio resolution) + the inheritance surface on
+    blob-decoded genotypes end-to-end."""
+    eng = _build_engine(spark, sf_dir)
+    dn = eng.inheritance().de_novo()
+    return (
+        dn.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("dp").cast("bigint").alias("sum_dp"),
+        )
+        .orderBy("chrom")
     )
