@@ -36,6 +36,9 @@ class VCFTables:
     samples: DataFrame | None
     vcf_header: DataFrame
     header: VCFHeader
+    #: the persisted parse stage when ``cache_parse=True`` — callers own
+    #: its lifetime (``tables.cached.unpersist()`` when done)
+    cached: DataFrame | None = None
 
 
 def load_vcf(
@@ -88,6 +91,7 @@ def load_vcf(
         samples=samples,
         vcf_header=vcf_header_df,
         header=header,
+        cached=raw if cache_parse else None,
     )
 
 

@@ -146,7 +146,11 @@ def _build_engine(spark, sf_dir):
     from vcf2db_spark.sinks.sqlite import write_gemini_db
 
     vcf, ped = _write_cohort_vcf(spark, sf_dir)
-    t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2)
+    # cache_parse: variants + impacts + the variant-id offsets job all
+    # share ONE Python-parse pass; released on the NEXT call (Lifecycle,
+    # after the dir hold) or at interpreter exit
+    t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2, cache_parse=True)
+    _LC.hold_df(t.cached)
     db = os.path.join(os.path.dirname(vcf), "cohort.db")
     # the sqlite sink drains into ONE serial connection; stream=False
     # (driver bound = cohort rows, stated above) skips the iterator
