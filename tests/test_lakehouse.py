@@ -498,6 +498,19 @@ def test_delete_cow_with_prune(spark, root):
     assert lh.read(spark, root).count() == 2500
 
 
+def test_delete_null_predicate_rows_survive(spark, root):
+    """SQL DELETE three-valued semantics: rows where the predicate is
+    NULL are NOT matched and must survive (code-review r7 finding — a
+    bare NOT(pred) filter silently dropped them)."""
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 9.0), (3, None)], "k: long, v: double"
+    )
+    lh.create(spark, root, df, stat_cols=("k",))
+    lh.delete(spark, root, "v > 5.0")
+    got = sorted((r["k"], r["v"]) for r in lh.read(spark, root).collect())
+    assert got == [(0, 1.0), (1, None), (3, None)]
+
+
 def test_restore_is_metadata_only(spark, root):
     """RESTORE (r7): the head becomes the target version's exact state
     via a pure-metadata commit — no data file written; history intact;
@@ -568,6 +581,26 @@ def test_feed_stream_incremental_and_exactly_once(spark, tmp_path):
     new = [r for r in second if r["_commit_version"] > 1]
     assert {r["_commit_version"] for r in new} == {3}
     assert sorted(r["k"] for r in new) == list(range(80, 90))
+
+
+def test_feed_stream_delete_and_restore_tags(spark, tmp_path):
+    """COW delete post-images stream as delete_postimage; restore's
+    re-added files stream tagged restore."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+    from vcf2db_spark.streaming.pipelines import run_to_memory
+
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 30).coalesce(1), stat_cols=("k",))
+    lh.delete(spark, root, "k >= 20")
+    lh.restore(root, 0)
+    out = run_to_memory(read_feed_stream(spark, root), "feed_dr").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["_change"], []).append(r["k"])
+    assert sorted(by["insert"]) == list(range(30))
+    assert sorted(by["delete_postimage"]) == list(range(20))  # survivors
+    # restore re-added the ORIGINAL create file (dropped by the delete)
+    assert sorted(by["restore"]) == list(range(30))
 
 
 def test_feed_stream_schema_evolution_null_backfill(spark, tmp_path):
@@ -655,8 +688,8 @@ def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
 
     for _ in range(5):
         op = rng.choices(
-            ["append", "merge", "compact", "evolve"],
-            weights=[4, 4, 1, 1],
+            ["append", "merge", "compact", "evolve", "delete"],
+            weights=[4, 4, 1, 1, 2],
         )[0]
         pending["steal"] = rng.random() < 0.5
         if op == "append":
@@ -687,6 +720,15 @@ def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
                 lh.merge(spark, root, to_df(rows), key="k")  # re-run per contract
             for k, vals in rows.items():
                 replica[k] = dict(vals)
+        elif op == "delete":
+            m = rng.randint(3, 6)
+            pred = f"k % {m} = 0"
+            try:
+                lh.delete(spark, root, pred)
+            except lh.CommitConflict:  # rewrite read-set invalidated: re-run
+                lh.delete(spark, root, pred)
+            for k in [k for k in replica if k % m == 0]:
+                del replica[k]
         elif op == "compact":
             try:
                 lh.compact(spark, root, target_bytes=1 << 30)

@@ -180,6 +180,9 @@ _PRIORITY_R07 = [
     # streaming SOURCE over the txlog):
     "gemini_gtfilter", "lakehouse_delete", "stream_lakehouse_feed",
     "gemini_denovo",
+    # changed in round 7: media_features now emits 6 container kinds
+    # (adds image_jpeg_prog) — its r6 record is for the 5-kind output
+    "media_features",
 ]
 
 

@@ -44,7 +44,11 @@ from vcf2db_spark.io import table
 from vcf2db_spark.lifecycle import Lifecycle
 from vcf2db_spark.registry import dq
 
-_LC = Lifecycle()
+# one Lifecycle PER declared query (house contract): building one query
+# must not release the other's still-live artifacts (the returned plan
+# lazily reads its /tmp dir + cached parse until the caller collects)
+_GT_LC = Lifecycle()
+_DN_LC = Lifecycle()
 
 _HEADER = """\
 ##fileformat=VCFv4.2
@@ -94,7 +98,7 @@ def _genotype(k: int, i: int) -> str:
     return "./.:."
 
 
-def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
+def _write_cohort_vcf(spark, sf_dir: str, lc: Lifecycle) -> tuple[str, str]:
     """Generate the deterministic cohort VCF + PED from supplier keys.
     Driver memory is one int per cohort row. Bounded input (harness
     convention, same as curate_docs/graph): the cohort caps at suppkey
@@ -108,9 +112,9 @@ def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
         .select("s_suppkey")
         .collect()
     )
-    _LC.release()
+    lc.release()
     d = f"/tmp/vcf2db_gemini_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-    _LC.hold_dir(d)
+    lc.hold_dir(d)
     os.makedirs(d, exist_ok=True)
     lines = []
     for chrom_sel in (1, 0):  # chr1 = odd keys, chr2 = even, both sorted
@@ -136,7 +140,7 @@ def _write_cohort_vcf(spark, sf_dir: str) -> tuple[str, str]:
     return vcf, ped
 
 
-def _build_engine(spark, sf_dir):
+def _build_engine(spark, sf_dir, lc: Lifecycle):
     """Cohort artifact through the REAL pipeline: generate → load_vcf →
     sqlite sink (blob encode) → open_artifact (blob decode) → engine.
     Rebuilt per call (house convention — the DQ measures the machinery,
@@ -145,12 +149,12 @@ def _build_engine(spark, sf_dir):
     from vcf2db_spark.pipeline import load_vcf, open_artifact
     from vcf2db_spark.sinks.sqlite import write_gemini_db
 
-    vcf, ped = _write_cohort_vcf(spark, sf_dir)
+    vcf, ped = _write_cohort_vcf(spark, sf_dir, lc)
     # cache_parse: variants + impacts + the variant-id offsets job all
     # share ONE Python-parse pass; released on the NEXT call (Lifecycle,
     # after the dir hold) or at interpreter exit
     t = load_vcf(spark, vcf, ped_path=ped, num_partitions=2, cache_parse=True)
-    _LC.hold_df(t.cached)
+    lc.hold_df(t.cached)
     db = os.path.join(os.path.dirname(vcf), "cohort.db")
     # the sqlite sink drains into ONE serial connection; stream=False
     # (driver bound = cohort rows, stated above) skips the iterator
@@ -197,7 +201,7 @@ def gemini_gtfilter(spark, sf_dir):
     The gt-filter compiles to element_at Catalyst expressions (no UDF);
     S2 is HET iff (7k+26) mod 16 ∈ [6,10] with depth (k+2) mod 30 + 1 —
     the oracle replays the generator arithmetic against supplier."""
-    eng = _build_engine(spark, sf_dir)
+    eng = _build_engine(spark, sf_dir, _GT_LC)
     return eng.query(
         """
         SELECT i.impact_severity AS severity,
@@ -238,7 +242,7 @@ def gemini_denovo(spark, sf_dir):
     DuckDB oracle replay the trio test straight from supplier keys.
     Exercises A9 (PED trio resolution) + the inheritance surface on
     blob-decoded genotypes end-to-end."""
-    eng = _build_engine(spark, sf_dir)
+    eng = _build_engine(spark, sf_dir, _DN_LC)
     dn = eng.inheritance().de_novo()
     return (
         dn.groupBy("chrom")

@@ -344,11 +344,18 @@ def stream_lakehouse_feed(spark, sf_dir):
     )
     root = _fresh_root(_FEED_LC, "feed")
     cut = F.lit("1995-01-01").cast("timestamp")
+    # ONE file per commit: each file's o_orderkey [min,max] then spans
+    # (nearly) the whole cohort keyspace, so the merge's exact-hit
+    # detection rewrites BOTH files by construction — the structural
+    # guarantee the oracle's "post-image = whole table" replay needs
+    # (multi-file outputs could leave an unluckily-ranged file unhit)
     lh.create(
-        spark, root, o.filter(F.col("o_orderdate") < cut),
+        spark, root, o.filter(F.col("o_orderdate") < cut).coalesce(1),
         stat_cols=("o_orderkey",),
     )
-    lh.append(spark, root, o.filter(F.col("o_orderdate") >= cut))
+    lh.append(
+        spark, root, o.filter(F.col("o_orderdate") >= cut).coalesce(1)
+    )
     upd = o.withColumn(
         "o_totalprice", F.col("o_totalprice") + 25.0
     ).filter(F.col("o_orderkey") % 4 == 0)

@@ -273,7 +273,15 @@ def _commit(root: str, manifest: dict) -> int:
     finally:
         os.unlink(tmp)
     if version % CHECKPOINT_INTERVAL == 0:
-        _write_checkpoint(root, version)
+        # best-effort: the commit is already durably published — a
+        # failed checkpoint write (ENOSPC, permissions) must not make a
+        # SUCCEEDED commit look failed, or the caller's retry would
+        # write the batch twice. snapshot() scans past a missing
+        # checkpoint (and the next interval retries it).
+        try:
+            _write_checkpoint(root, version)
+        except OSError:
+            pass
     return version
 
 
@@ -559,7 +567,12 @@ def delete(
     scan). Driver work stays manifest-sized."""
     cur = snapshot(root)
     if prune:
-        candidates, _ = plan_files(root, prune)
+        # plan against the SAME pinned version we rewrite — a commit
+        # landing between the snapshot read and the plan must not let
+        # the candidate set diverge from the read set (the stale parent
+        # would still conflict at publish, but correctness should come
+        # from the plan, not the incidental conflict)
+        candidates, _ = plan_files(root, prune, version=cur["version"])
         cand_paths = {e["path"] for e in candidates}
     else:
         cand_paths = {e["path"] for e in cur["files"]}
@@ -570,7 +583,11 @@ def delete(
     src = spark.read.schema(schema).parquet(
         *[os.path.join(root, e["path"]) for e in touched]
     )
-    survivors = src.filter(f"NOT ({predicate})")
+    # survivors = rows where the predicate is NOT TRUE. Three-valued
+    # SQL: NOT(NULL) is NULL, so a bare NOT(pred) filter would silently
+    # drop rows where the predicate is NULL — DELETE must only remove
+    # rows it positively matches (SQL/Delta semantics)
+    survivors = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
     rewritten = _write_data(survivors, root, tuple(cur["stat_cols"]))
     return _commit(
         root,
@@ -818,11 +835,14 @@ def vacuum(
         for name in names:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)
-            if (
-                name.endswith(".parquet")
-                and rel not in live
-                and os.path.getmtime(full) <= cutoff
-            ):
-                os.unlink(full)
-                removed += 1
+            if name.endswith(".parquet") and rel not in live:
+                try:
+                    # a CONCURRENT vacuum may unlink between the walk
+                    # listing and the stat — already-gone is success,
+                    # not a reason to abort the sweep
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        removed += 1
+                except OSError:
+                    continue
     return removed

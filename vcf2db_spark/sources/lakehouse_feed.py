@@ -87,7 +87,16 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
             tag = _CHANGE_TAG.get(man.get("operation", ""))
             if tag is None:
                 continue  # compact/zorder/evolve: no logical change
-            for entry in man.get("add", man.get("files", ())):
+            if "add" not in man:
+                # a full-file-list manifest is NOT a delta — streaming
+                # it as adds would replay the whole table once per
+                # commit. Refuse loudly rather than duplicate silently.
+                raise ValueError(
+                    f"lakehouse_feed: manifest v{v} carries a full file "
+                    "list (pre-delta-txlog format) — the feed requires "
+                    "add/remove delta manifests"
+                )
+            for entry in man["add"]:
                 parts.append(
                     _FilePartition(self.root, entry["path"], v, tag)
                 )
