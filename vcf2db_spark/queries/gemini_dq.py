@@ -49,6 +49,7 @@ from vcf2db_spark.registry import dq
 # lazily reads its /tmp dir + cached parse until the caller collects)
 _GT_LC = Lifecycle()
 _DN_LC = Lifecycle()
+_CH_LC = Lifecycle()
 
 _HEADER = """\
 ##fileformat=VCFv4.2

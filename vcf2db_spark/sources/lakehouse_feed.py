@@ -3,8 +3,8 @@ of the format's streaming story (the exactly-once ``stream_sink`` is
 the write half; together: lakehouse in, lakehouse out).
 
 ``spark.readStream.format("lakehouse_feed").option("root", ...)``
-streams each committed version's ADDED data files as one micro-batch
-slice — the additive post-image change feed (Delta's CDF-streaming
+streams each committed version's ADDED data files as micro-batch
+slices — the additive post-image change feed (Delta's CDF-streaming
 shape): create/append/stream_append adds surface as ``insert`` rows,
 COW merge rewrites as ``merge_postimage``, COW delete survivors as
 ``delete_postimage``, restore re-adds as ``restore``. Compaction /
@@ -13,13 +13,37 @@ logical changes (the same rule Delta applies to OPTIMIZE). Removed-file
 pre-images are not streamed (post-image feed contract; the exact
 pre/post diff for a version pair is the batch ``table_changes``).
 
-Scale shape: offsets are version numbers (driver state = one int);
-``partitions(start, end)`` reads only the DELTA manifests in the range
-(never a folded snapshot — O(files added in the range)); each partition
-is one data file read EXECUTOR-side via pyarrow and emitted as arrow
-RecordBatches (no per-row Python). Late schema evolution: the stream
-pins the schema at start; files written before an evolution reconcile
-through the cast (missing columns → NULL).
+Admission control (VERDICT r7 item 2): ``maxFilesPerTrigger`` bounds a
+micro-batch to at most N data files. Offsets are ``(version,
+file_index)`` pairs — still O(1) driver state — so a cold-start
+consumer on a table with deep history drains incrementally instead of
+planning the entire backlog as batch 0 (the Delta streaming-source
+pattern). The cap applies from the FIRST trigger: on a fresh query the
+engine's position is the configured start, and a restarted engine
+replays the last logged batch through ``partitions()`` before asking
+for a new offset (measured on this Spark — the fresh-query call order
+is latestOffset → initialOffset → partitions; the restart order is
+partitions → latestOffset for clean AND unclean shutdowns), so the
+reader always knows the engine's position before it answers with a
+capped offset. A defensive guard still refuses any backward batch
+rather than poisoning the offset log.
+
+Data-loss guard (ADVICE r7): historical versions' add-files may have
+been reclaimed by ``vacuum`` (a file added at v and removed at v+1 is
+in no retained snapshot). A missing file surfaces as a clear
+``version vacuumed — choose a later startVersion`` error, not a raw
+executor FileNotFoundError mid-stream; ``failOnDataLoss=false``
+mirrors Delta's knob and skips the lost files instead. Versions below
+the recorded vacuum watermark are additionally checked driver-side at
+planning time (bounded by the batch's file count) so the common
+cold-start-over-vacuumed-history case fails before a batch launches.
+
+Scale shape: ``partitions(start, end)`` reads only the DELTA manifests
+in the range (never a folded snapshot — O(files added in the range));
+each partition is one data file read EXECUTOR-side via pyarrow and
+emitted as arrow RecordBatches (no per-row Python). Late schema
+evolution: the stream pins the schema at start; files written before
+an evolution reconcile through the cast (missing columns → NULL).
 
 Reference parity: vcf2db re-loads tables for downstream gemini
 consumers; this source is the incremental version of that hand-off —
@@ -47,13 +71,39 @@ _CHANGE_TAG = {
     "restore": "restore",
 }
 
+def _trace(msg: str) -> None:
+    """Debug hook (SPARK_GRAFT_FEED_TRACE=1): records the engine→reader
+    call order — how the restart-replays-partitions-first behavior the
+    admission-control design relies on was measured."""
+    if os.environ.get("SPARK_GRAFT_FEED_TRACE"):
+        with open("/tmp/feed_calls.log", "a") as fh:
+            fh.write(f"[pid {os.getpid()}] {msg}\n")
+
 
 class _FilePartition(InputPartition):
-    def __init__(self, root: str, path: str, version: int, change: str):
+    def __init__(
+        self,
+        root: str,
+        path: str,
+        version: int,
+        change: str,
+        fail_on_data_loss: bool = True,
+    ):
         self.root = root
         self.path = path
         self.version = version
         self.change = change
+        self.fail_on_data_loss = fail_on_data_loss
+
+
+def _pos(offset: dict) -> tuple[int, int]:
+    """Offset dict → comparable (version, file_index) position. Legacy
+    r7 offsets carried only ``version`` (= that whole version consumed);
+    they normalize to (version+1, 0)."""
+    v = int(offset["version"])
+    if "index" not in offset:
+        return (v + 1, 0)
+    return (v, int(offset["index"]))
 
 
 class LakehouseFeedStreamReader(DataSourceStreamReader):
@@ -67,38 +117,148 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
             raise ValueError("lakehouse_feed requires option 'root'")
         self.schema = schema
         self.start_version = int(opt("startVersion", "-1"))
+        mft = opt("maxFilesPerTrigger")
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        self.fail_on_data_loss = (
+            str(opt("failOnDataLoss", "true")).lower() != "false"
+        )
+        # best-known engine position (a (v, i) tuple) — set by
+        # initialOffset (fresh query), and healed by partitions/commit
+        # (the engine showing us its offsets). None until then.
+        self._engine_pos: tuple[int, int] | None = None
 
-    # -- offsets: one int of driver state -------------------------------------
+    # -- offsets: one (version, file_index) pair of driver state -------------
+
+    def _feed_files(self, version: int) -> tuple[list[dict], str]:
+        """(added file entries, change tag) of one delta manifest;
+        ([], '') for non-feed operations (compact/zorder/evolve)."""
+        from vcf2db_spark.sinks import lakehouse as lh
+
+        try:
+            man = lh._read_json(lh._manifest_path(self.root, version))
+        except FileNotFoundError:
+            horizon = lh.log_horizon(self.root)
+            raise ValueError(
+                f"lakehouse_feed: manifest v{version} is gone "
+                f"(log retention horizon = {horizon}) — choose "
+                f"startVersion >= {horizon - 1}"
+            ) from None
+        tag = _CHANGE_TAG.get(man.get("operation", ""))
+        if tag is None:
+            return [], ""
+        if "add" not in man:
+            # a full-file-list manifest is NOT a delta — streaming it as
+            # adds would replay the whole table once per commit. Refuse
+            # loudly rather than duplicate silently.
+            raise ValueError(
+                f"lakehouse_feed: manifest v{version} carries a full file "
+                "list (pre-delta-txlog format) — the feed requires "
+                "add/remove delta manifests"
+            )
+        return list(man["add"]), tag
+
+    def _advance(
+        self, pos: tuple[int, int], n_files: int, head: int
+    ) -> tuple[int, int]:
+        """Position after consuming at most ``n_files`` further feed
+        files, walking delta manifests only (never a folded snapshot)."""
+        v, i = pos
+        remaining = n_files
+        while v <= head:
+            nf = len(self._feed_files(v)[0])
+            if i < nf:
+                take = min(nf - i, remaining)
+                i += take
+                remaining -= take
+                if remaining == 0:
+                    break
+            if i >= nf:
+                v, i = v + 1, 0
+        return v, i
 
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+        _trace(f"initialOffset start={self.start_version}")
+        self._engine_pos = (self.start_version + 1, 0)
+        return {"version": self.start_version + 1, "index": 0}
 
     def latestOffset(self) -> dict:
         from vcf2db_spark.sinks import lakehouse as lh
 
-        return {"version": max(lh.latest_version(self.root), self.start_version)}
+        head = lh.latest_version(self.root)
+        _trace(f"latestOffset head={head} pos={self._engine_pos} max={self.max_files}")
+        # engine position: what initialOffset/partitions/commit showed
+        # us; before any of them (= the first trigger of a FRESH query —
+        # a restarted engine always replays the last logged batch
+        # through partitions() first, measured on this Spark) the
+        # engine's position IS the configured start
+        pos = (
+            self._engine_pos
+            if self._engine_pos is not None
+            else (self.start_version + 1, 0)
+        )
+        if self.max_files is None:
+            end = max((head + 1, 0), pos)
+        else:
+            end = max(self._advance(pos, self.max_files, head), pos)
+        self._engine_pos = end
+        return {"version": end[0], "index": end[1]}
 
     def partitions(self, start: dict, end: dict):
         from vcf2db_spark.sinks import lakehouse as lh
 
+        (sv, si), (ev, ei) = _pos(start), _pos(end)
+        _trace(f"partitions {start} {end}")
+        if (ev, ei) < (sv, si):
+            # an end offset behind its start can only mean an engine
+            # flow that never revealed its checkpointed position before
+            # our capped latestOffset answered (not a flow this Spark
+            # exhibits — restart always replays the last logged batch
+            # first). Planning it silently would poison the offset log
+            # with a backward watermark; fail loudly instead.
+            raise ValueError(
+                f"lakehouse_feed: batch end {end} precedes start {start} "
+                "— the engine restarted ahead of the admission-control "
+                "anchor; restart the query from a fresh checkpoint (or "
+                "without maxFilesPerTrigger)"
+            )
+        # the engine's offsets are the authoritative position — heal the
+        # cursor (covers restart-from-checkpoint, where initialOffset
+        # was never called in this process)
+        best = max((sv, si), (ev, ei))
+        if self._engine_pos is None or best > self._engine_pos:
+            self._engine_pos = best
+        wm = lh.vacuum_watermark(self.root)
         parts: list[_FilePartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            man = lh._read_json(lh._manifest_path(self.root, v))
-            tag = _CHANGE_TAG.get(man.get("operation", ""))
-            if tag is None:
-                continue  # compact/zorder/evolve: no logical change
-            if "add" not in man:
-                # a full-file-list manifest is NOT a delta — streaming
-                # it as adds would replay the whole table once per
-                # commit. Refuse loudly rather than duplicate silently.
-                raise ValueError(
-                    f"lakehouse_feed: manifest v{v} carries a full file "
-                    "list (pre-delta-txlog format) — the feed requires "
-                    "add/remove delta manifests"
-                )
-            for entry in man["add"]:
+        for v in range(sv, ev + 1):
+            hi_open = ei if v == ev else None
+            if hi_open == 0:
+                continue  # end boundary consumes nothing of v (and v may
+                # not be committed yet when ev == head+1)
+            files, tag = self._feed_files(v)
+            lo = si if v == sv else 0
+            hi = len(files) if hi_open is None else hi_open
+            for entry in files[lo:hi]:
+                if v < wm and not os.path.exists(
+                    os.path.join(self.root, entry["path"])
+                ):
+                    # planning below the vacuum watermark over a
+                    # reclaimed file: fail fast with the actionable
+                    # error (or honor failOnDataLoss=false and skip)
+                    if self.fail_on_data_loss:
+                        raise ValueError(
+                            f"lakehouse_feed: data file {entry['path']} "
+                            f"of version {v} was vacuumed — choose a "
+                            "later startVersion, or set "
+                            "failOnDataLoss=false to skip lost files"
+                        )
+                    continue
                 parts.append(
-                    _FilePartition(self.root, entry["path"], v, tag)
+                    _FilePartition(
+                        self.root, entry["path"], v, tag,
+                        self.fail_on_data_loss,
+                    )
                 )
         # an empty range still needs one no-op partition: Spark requires
         # at least one partition per planned micro-batch
@@ -113,7 +273,22 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        table = pq.read_table(os.path.join(partition.root, partition.path))
+        try:
+            table = pq.read_table(
+                os.path.join(partition.root, partition.path)
+            )
+        except FileNotFoundError:
+            # vacuumed between planning and read (or a version >= the
+            # watermark whose add-file a later commit removed): surface
+            # the actionable error, not a raw executor stack (ADVICE r7)
+            if getattr(partition, "fail_on_data_loss", True):
+                raise ValueError(
+                    f"lakehouse_feed: data file {partition.path} of "
+                    f"version {partition.version} was vacuumed — choose "
+                    "a later startVersion, or set failOnDataLoss=false "
+                    "to skip lost files"
+                ) from None
+            return iter(())
         n = table.num_rows
         data_schema = StructType(self.schema.fields[:-2])
         target = to_arrow_schema(data_schema)
@@ -131,7 +306,11 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
         return iter(out.to_batches(max_chunksize=1 << 16))
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the engine's checkpoint
+        # offsets live in the engine's checkpoint; remember the position
+        # so post-restart triggers regain the admission cap
+        p = _pos(end)
+        if self._engine_pos is None or p > self._engine_pos:
+            self._engine_pos = p
 
 
 class LakehouseFeedDataSource(DataSource):
@@ -167,12 +346,21 @@ class LakehouseFeedDataSource(DataSource):
         return LakehouseFeedStreamReader(schema, self.options)
 
 
-def read_feed_stream(spark, root: str, start_version: int = -1):
+def read_feed_stream(
+    spark,
+    root: str,
+    start_version: int = -1,
+    max_files_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+):
     """``readStream`` handle over the table's additive change feed."""
     spark.dataSource.register(LakehouseFeedDataSource)
-    return (
+    reader = (
         spark.readStream.format("lakehouse_feed")
         .option("root", root)
         .option("startVersion", str(start_version))
-        .load()
+        .option("failOnDataLoss", "true" if fail_on_data_loss else "false")
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load()
