@@ -99,7 +99,31 @@ def _genotype(k: int, i: int) -> str:
     return "./.:."
 
 
-def _write_cohort_vcf(spark, sf_dir: str, lc: Lifecycle) -> tuple[str, str]:
+def _genotype_comphet(k: int, i: int) -> str:
+    """Compound-het cohort genotypes (r8, VERDICT r7 item 3) — PHASED
+    separators, exercising the parser's ``|`` path end-to-end. The base
+    ``_genotype`` arithmetic couples the parents (g3 = g2+13 mod 16), so
+    mother-HET ∧ father-HOM_REF — the maternal origin comp_hets needs —
+    is unreachable; this variant decouples them: child S1 HET at
+    k%4≠0 sites; father HET where k%3∈{0,1}; mother HET where k%3∈{0,2}
+    — so k%3=1 sites are paternal-origin, k%3=2 maternal, k%3=0 both-HET
+    (origin ambiguous → excluded by the strict model, exercising the
+    exclusion path)."""
+    d = (k + i) % 30 + 1
+    if i == 1:
+        het = k % 4 != 0
+    elif i == 2:
+        het = k % 3 in (0, 1)
+    elif i == 3:
+        het = k % 3 in (0, 2)
+    else:
+        het = k % 2 == 0  # S4 unrelated — never in a trio
+    return f"0|1:{d}" if het else f"0|0:{d}"
+
+
+def _write_cohort_vcf(
+    spark, sf_dir: str, lc: Lifecycle, genotype=_genotype
+) -> tuple[str, str]:
     """Generate the deterministic cohort VCF + PED from supplier keys.
     Driver memory is one int per cohort row. Bounded input (harness
     convention, same as curate_docs/graph): the cohort caps at suppkey
@@ -127,7 +151,7 @@ def _write_cohort_vcf(spark, sf_dir: str, lc: Lifecycle) -> tuple[str, str]:
                 f"G|{cons}|G{k % 5}|T{j}|protein_coding"
                 for j, cons in enumerate(_CSQ_BY_E[k % 4])
             )
-            gts = "\t".join(_genotype(k, i) for i in (1, 2, 3, 4))
+            gts = "\t".join(genotype(k, i) for i in (1, 2, 3, 4))
             lines.append(
                 f"{chrom}\t{k}\t.\tA\tG\t50.0\tPASS\t"
                 f"DP={(k % 50) + 5};CSQ={csq}\tGT:DP\t{gts}"
@@ -141,7 +165,7 @@ def _write_cohort_vcf(spark, sf_dir: str, lc: Lifecycle) -> tuple[str, str]:
     return vcf, ped
 
 
-def _build_engine(spark, sf_dir, lc: Lifecycle):
+def _build_engine(spark, sf_dir, lc: Lifecycle, genotype=_genotype):
     """Cohort artifact through the REAL pipeline: generate → load_vcf →
     sqlite sink (blob encode) → open_artifact (blob decode) → engine.
     Rebuilt per call (house convention — the DQ measures the machinery,
@@ -150,7 +174,7 @@ def _build_engine(spark, sf_dir, lc: Lifecycle):
     from vcf2db_spark.pipeline import load_vcf, open_artifact
     from vcf2db_spark.sinks.sqlite import write_gemini_db
 
-    vcf, ped = _write_cohort_vcf(spark, sf_dir, lc)
+    vcf, ped = _write_cohort_vcf(spark, sf_dir, lc, genotype)
     # cache_parse: variants + impacts + the variant-id offsets job all
     # share ONE Python-parse pass; released on the NEXT call (Lifecycle,
     # after the dir hold) or at interpreter exit
@@ -252,4 +276,66 @@ def gemini_denovo(spark, sf_dir):
             F.sum("dp").cast("bigint").alias("sum_dp"),
         )
         .orderBy("chrom")
+    )
+
+
+@dq(
+    "gemini_comphet",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    ids AS (
+      SELECT k,
+             CAST(ROW_NUMBER() OVER (ORDER BY (k % 2 = 0), k) AS BIGINT)
+               AS vid
+      FROM q
+    ),
+    cand AS (
+      SELECT k % 5 AS gid, vid,
+             CASE WHEN k % 3 = 1 THEN 'P'
+                  WHEN k % 3 = 2 THEN 'M' END AS origin
+      FROM ids WHERE k % 4 <> 0
+    )
+    SELECT 'G' || CAST(p.gid AS VARCHAR) AS gene,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.vid) AS BIGINT) AS n_paternal,
+           CAST(COUNT(DISTINCT m.vid) AS BIGINT) AS n_maternal,
+           CAST(SUM(p.vid + m.vid) AS BIGINT) AS sum_ids
+    FROM cand p JOIN cand m
+      ON m.gid = p.gid AND p.origin = 'P' AND m.origin = 'M'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def gemini_comphet(spark, sf_dir):
+    """gemini ``comp_hets`` (strict unphased-candidate form) as the
+    third inheritance driver row (VERDICT r7 item 3): two HETs in the
+    SAME gene in the affected child, one of provable paternal and one of
+    provable maternal origin — per-site origin labeling via element_at
+    predicates, then the gene-keyed paternal×maternal join
+    (inheritance.py CompHetMixin; the join key is the gene, so the
+    shuffle is bounded by per-gene variant counts, never all-pairs).
+
+    The cohort uses the PHASED-separator generator (``_genotype_comphet``
+    — the parser's ``|`` path) with decoupled parental genotypes:
+    origins are paternal at k%3=1, maternal at k%3=2, ambiguous
+    (both-HET → excluded) at k%3=0. The oracle replays the origin
+    algebra straight from supplier keys and reconstructs variant_id as
+    the (chrom, pos) rank — ROW_NUMBER ordered odd-keys-first (chr1 <
+    chr2), matching assign_variant_id's two-phase locus-order counter —
+    so ``sum_ids`` pins the id assignment through the full sqlite
+    artifact round trip, not just the pair counts."""
+    eng = _build_engine(spark, sf_dir, _CH_LC, genotype=_genotype_comphet)
+    ch = eng.inheritance().compound_hets()
+    return (
+        ch.groupBy("gene")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("paternal_variant_id").alias("n_paternal"),
+            F.countDistinct("maternal_variant_id").alias("n_maternal"),
+            F.sum(F.col("paternal_variant_id") + F.col("maternal_variant_id"))
+            .cast("bigint")
+            .alias("sum_ids"),
+        )
+        .orderBy("gene")
     )
