@@ -29,6 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_PASSES = 3
 
+# Machinery-vs-oracle rows (VERDICT r7 item 8): the Spark side of each
+# runs a full build/sink/stream pipeline (generate->ETL->sqlite->reopen,
+# txlog commits, micro-batch drains) whose cost is ~fixed jobs at the
+# stage floor, while the DuckDB twin replays only the closing aggregate.
+# Versioned IN the artifact so the ex-machinery ratio is self-describing.
+MACHINERY_QUERIES = (
+    "gemini_gtfilter", "gemini_denovo", "gemini_comphet",
+    "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
+    "lakehouse_delete", "stream_lakehouse_feed", "stream_upsert",
+)
+
 
 def bench_duckdb(sf_dir: str, oracles: dict[str, str]) -> dict[str, float]:
     """Per-pass DuckDB timings (list per query) for every oracle SQL."""
@@ -105,9 +116,31 @@ def main() -> None:
         for n in sorted(timings)
     }
 
+    # post-sweep floor microbench (VERDICT r7 item 5): 50 one-row jobs
+    # with the session fully warm, so per-round floor drift is a recorded
+    # number instead of a host-band attribution
+    floor_runs = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_runs.append(time.perf_counter() - t0)
+    floor_sweep = {
+        "n": len(floor_runs),
+        "p50": round(statistics.median(floor_runs), 4),
+        "min": round(min(floor_runs), 4),
+        "max": round(max(floor_runs), 4),
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     oracle_total = round(sum(v for k, v in timings.items() if k in ORACLES), 4)
     duck_total = round(sum(duck.values()), 4)
+    machinery = [k for k in MACHINERY_QUERIES if k in ORACLES]
+    oracle_total_exm = round(
+        sum(v for k, v in timings.items() if k in ORACLES and k not in machinery), 4
+    )
+    duck_total_exm = round(
+        sum(v for k, v in duck.items() if k not in machinery), 4
+    )
     out = {
         "metric": "declared_query_wall_time_total",
         "value": round(sum(timings.values()), 4),
@@ -120,7 +153,16 @@ def main() -> None:
         "rows_only_total": round(sum(timings.values()) - oracle_total, 4),
         "duckdb_oracle_total": duck_total,
         "oracle_ratio": round(oracle_total / duck_total, 2) if duck_total else None,
+        # the same gate with the machinery-vs-oracle rows excluded (list
+        # versioned right here so the number is self-describing):
+        "machinery_queries": machinery,
+        "oracle_backed_total_ex_machinery": oracle_total_exm,
+        "duckdb_oracle_total_ex_machinery": duck_total_exm,
+        "oracle_ratio_ex_machinery": (
+            round(oracle_total_exm / duck_total_exm, 2) if duck_total_exm else None
+        ),
         "job_floor_sec": floor,
+        "job_floor_sweep": floor_sweep,
         "n_queries": len(timings),
         "passes": N_PASSES,
         "per_query": per_query,
@@ -144,7 +186,9 @@ def main() -> None:
         "oracle_backed_total": oracle_total,
         "duckdb_oracle_total": duck_total,
         "oracle_ratio": out["oracle_ratio"],
+        "oracle_ratio_ex_machinery": out["oracle_ratio_ex_machinery"],
         "job_floor_sec": floor,
+        "job_floor_p50": floor_sweep["p50"],
         "n_queries": len(timings),
         "passes": N_PASSES,
         "detail_file": "BENCH_DETAIL.json",

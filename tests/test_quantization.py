@@ -179,3 +179,106 @@ def test_embed_pca_project_matches_numpy_twin(spark):
         assert got[lab][0] == expected[lab][0]
         for g, e in zip(got[lab][1], expected[lab][1]):
             assert g == pytest.approx(e, abs=2e-6), (lab, got[lab], expected[lab])
+
+
+# -- round 8: IVFADC (IVF probe over PQ codes, asymmetric distance) ---------
+
+
+def test_pq_codes_shape_and_bandwidth(spark):
+    """Codes are exactly m tinyints per vector — the probe-bandwidth
+    claim (64-dim float64 = 512 B → m = 8 B) is structural, not
+    asserted from timing."""
+    from vcf2db_spark.operators.quantization import pq_codes_col
+
+    emb = table(spark, SF, "embeddings").limit(50)
+    cb = pq_train(emb, m=8, k=16, iters=1, sample=50)
+    rows = emb.select(
+        pq_codes_col(F.col("embedding"), cb).alias("codes")
+    ).collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_adc_cosine_tracks_exact_as_codebook_grows(spark):
+    """ADC cosine error against the exact cosine shrinks as k grows
+    (the reconstruction-quality monotonicity, through the ADC path)."""
+    from vcf2db_spark.operators.quantization import adc_cosine_col, pq_codes_col
+    from vcf2db_spark.operators.similarity import cosine
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_a"))
+    errs = {}
+    for k in (8, 64):
+        cb = pq_train(emb, m=8, k=k, iters=3, sample=100)
+        b = emb.select(
+            F.col("vec_id").alias("id"),
+            pq_codes_col(F.col("embedding"), cb).alias("_c"),
+            F.col("embedding").alias("_b"),
+        )
+        joined = a.join(b, "id").select(
+            F.abs(
+                adc_cosine_col(F.col("_a"), F.col("_c"), cb)
+                - F.round(cosine(F.col("_a"), F.col("_b")), 6)
+            ).alias("err")
+        )
+        errs[k] = joined.agg(F.avg("err")).collect()[0][0]
+    # self-pairs: exact cosine = 1.0; ADC error is pure reconstruction
+    assert errs[64] < errs[8]
+    assert errs[64] < 0.15
+
+
+def test_ivfadc_knn_join_contract_and_rerank(spark):
+    """ivfadc_knn_join keeps knn_join's output contract (k rows per id,
+    ties by neighbor id); the rerank tier returns EXACT cosines for its
+    final ranking (each reported pair's cosine equals the brute-force
+    cosine of that pair)."""
+    from vcf2db_spark.operators.similarity import cosine, ivfadc_knn_join
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 120)
+    out = ivfadc_knn_join(
+        emb, k=3, n_lists=4, probes=2, m=8, ksub=32, pq_sample=120,
+        rerank=9,
+    )
+    rows = out.collect()
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_id.values())
+    assert len(per_id) == 120
+    # reported cosines are the exact ones (rerank ran full precision)
+    a = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_x"))
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_y")
+    )
+    joined = (
+        out.join(a, "id").join(b, "neighbor_id")
+        .select(
+            "id", "neighbor_id", "cosine",
+            F.round(cosine(F.col("_x"), F.col("_y")), 6).alias("_exact"),
+        )
+        .collect()
+    )
+    assert all(abs(r["cosine"] - r["_exact"]) < 1e-9 for r in joined)
+
+
+def test_ivfadc_recall_floor(spark):
+    """Absolute quality floor for the driver-visible ivfadc_recall
+    ladder (rows-only by contract): at probes=3 the re-ranked IVFADC
+    recall@3 must stay within 0.05 of the float-probe knn_recall AND
+    above 0.85; ADC-only at probes=3 above 0.6 (the honest PQ penalty
+    on this near-random fixture, measured 0.71/0.93 vs float 0.95 at
+    sf0.01)."""
+    from vcf2db_spark.queries.pipeline_ext import ivfadc_recall, knn_recall
+
+    sf = "/root/testdata/sf0.01"
+    adc = {
+        (r["probes"], r["variant"]): r["recall_at_k"]
+        for r in ivfadc_recall(spark, sf).collect()
+    }
+    flt = {r["probes"]: r["recall_at_k"] for r in knn_recall(spark, sf).collect()}
+    assert adc[(3, "adc")] >= 0.6
+    assert adc[(3, "adc_rerank")] >= 0.85
+    assert flt[3] - adc[(3, "adc_rerank")] <= 0.05
+    # the ladder is monotone in probes for both variants
+    for v in ("adc", "adc_rerank"):
+        assert adc[(1, v)] <= adc[(2, v)] <= adc[(3, v)]

@@ -57,7 +57,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from vcf2db_spark.operators.similarity import (
-        ivf_assign_multi, knn_join, semantic_dedup,
+        ivf_assign_multi, ivfadc_knn_join, knn_join, semantic_dedup,
     )
     from vcf2db_spark.session import get_spark
 
@@ -100,6 +100,27 @@ def main() -> None:
         n_hit = exact.join(approx, ["id", "neighbor_id"], "left_semi").count()
         recall = n_hit / n_exact
 
+        # IVFADC (r8): same blocking, PQ-coded probe side + ADC scoring,
+        # top-9 exact rerank — the billion-scale probe layout; compare
+        # wall and recall to the float-vector knn_join at equal probes
+        adc_walls = []
+        for _ in range(args.passes):
+            t0 = time.time()
+            out_adc = ivfadc_knn_join(
+                emb, k=3, n_lists=n_lists, probes=2, m=8, ksub=128,
+                pq_sample=2048, rerank=9,
+            )
+            n_adc = out_adc.count()
+            adc_walls.append(time.time() - t0)
+        adc_wall = min(adc_walls)
+        approx_adc = ivfadc_knn_join(
+            emb, k=3, n_lists=n_lists, probes=2, m=8, ksub=128,
+            pq_sample=2048, rerank=9,
+        ).filter(F.col("id").isin(query_ids))
+        adc_hit = exact_topk_sample(spark, emb, query_ids, k=3).join(
+            approx_adc, ["id", "neighbor_id"], "left_semi"
+        ).count()
+
         sd_walls = []
         for _ in range(args.passes):
             t0 = time.time()
@@ -112,7 +133,9 @@ def main() -> None:
             f"(passes={sorted(round(w,2) for w in walls)}) rows={n_out} | "
             f"recall@3={recall:.4f} ({n_hit}/{n_exact}) | "
             f"sum|list|^2/n^2={pair_ratio:.5f} max_list={row['max_list']} "
-            f"lists={row['n_nonempty']} | semdedup wall={min(sd_walls):.2f}s "
+            f"lists={row['n_nonempty']} | ivfadc wall={adc_wall:.2f}s "
+            f"(passes={sorted(round(w,2) for w in adc_walls)}) rows={n_adc} "
+            f"recall@3={adc_hit}/{n_exact} | semdedup wall={min(sd_walls):.2f}s "
             f"kept={n_kept}",
             flush=True,
         )

@@ -419,3 +419,104 @@ def semantic_dedup(
         .distinct()
     )
     return emb.join(drops, id_col, "left_anti")
+
+
+def ivfadc_knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probes: int = 1,
+    m: int = 8,
+    ksub: int = 128,
+    pq_iters: int = 4,
+    pq_sample: int = 2048,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVFADC batch k-NN (VERDICT r7 item 6 — Jégou et al.'s IVF +
+    product-quantized asymmetric distance): the same IVF list blocking
+    as ``knn_join``, but the DATABASE side of the pair join carries m
+    one-byte PQ codes instead of the full vector — for a 64-dim float64
+    embedding that is 512 B → 8 B of probe bandwidth per candidate
+    (~64×), the standard billion-scale probe layout. Scoring is
+    asymmetric: the query side stays full precision; the candidate is
+    reconstructed from its codes per Arrow batch (one gather per
+    subspace + one rowwise dot — vectorized numpy, no per-row Python),
+    so the only approximation added over ``knn_join`` is the PQ
+    reconstruction error, which the ``ivfadc_recall`` ladder measures
+    against the exact twin at equal probe counts.
+
+    ``rerank > 0`` adds the IVFADC-R tier: the top ``rerank`` ADC
+    candidates per id are re-scored with FULL-precision cosine (a gather
+    join against the corpus — full vectors move for only ``rerank``
+    candidates per query, keeping the bandwidth bound) and the final
+    top-k comes from the exact scores; this recovers most of the PQ
+    reconstruction penalty on hard (near-random) distributions.
+
+    Output contract matches ``knn_join``: (id, neighbor_id, cosine) with
+    the ADC cosine (exact cosine when reranking), ``k`` rows per id,
+    ties by neighbor id.
+    """
+    from pyspark.sql import Window
+
+    from vcf2db_spark.operators.quantization import (
+        adc_cosine_col, pq_codes_col, pq_train,
+    )
+
+    codebooks = pq_train(
+        emb, m=m, k=ksub, iters=pq_iters, sample=pq_sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if probes > 1:
+        assigned, _ = ivf_assign_multi(
+            emb, n_lists, probes, id_col, vec_col, refine_iters
+        )
+    else:
+        assigned, _ = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
+    a = assigned.select(
+        F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
+    )
+    # the probe side: codes ONLY — the full vector never enters the join
+    b = assigned.select(
+        F.col("list_id"),
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes_col(F.col(vec_col), codebooks).alias("_cb"),
+    )
+    pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id",
+        "neighbor_id",
+        adc_cosine_col(F.col("_va"), F.col("_cb"), codebooks).alias("cosine"),
+    )
+    if probes > 1:
+        scored = scored.groupBy("id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    if not rerank:
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max(rerank, k))
+        .drop("_rn", "cosine")
+    )
+    qa = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_ra"))
+    qb = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_rb")
+    )
+    exact = cand.join(qa, "id").join(qb, "neighbor_id").select(
+        "id",
+        "neighbor_id",
+        F.round(cosine(F.col("_ra"), F.col("_rb")), 6).alias("cosine"),
+    )
+    return (
+        exact.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -186,13 +186,50 @@ _PRIORITY_R07 = [
 ]
 
 
+# r7's window = the 50 names CORRECTNESS_r07.json actually recorded
+# (_PRIORITY_R07's 27 + the first 23 still-r3 names in recorded_r03
+# order).
+_RECORDED_R07 = _PRIORITY_R07 + [
+    "pagerank", "incr_agg_maintain", "orc_roundtrip", "cogroup_asof",
+    "arrow_normalize", "sketch_distinct", "resample_locf",
+    "constraint_audit", "xml_extract", "search_bm25", "agg_collect",
+    "semdedup", "knn_recall", "tpch_q3", "tpch_q5", "tpch_q6",
+    "dedup_clusters", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11",
+]
+
+# Round-8 priority (VERDICT r7 item 4): the queries ADDED in r8 (the
+# gemini_comphet inheritance row; the ivfadc_recall ladder), then the 25
+# names whose LATEST driver record is still r3-era — recomputed from the
+# union of CORRECTNESS_r01..r07, exactly the cohort the r7 verdict
+# lists. After this block every remaining name's latest record is r4+
+# and refreshes oldest-first: r4-recorded, then r5, r6, r7 (freshest)
+# last — the window's tail picks up the earliest r4 names, so no latest
+# record will be older than r4 after this round's 50 rows land.
+_PRIORITY_R08 = [
+    # added in round 8:
+    "gemini_comphet", "ivfadc_recall",
+    # latest record still r3 (recorded-oldest, in r3 window order):
+    "rename_project", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "quant_int8", "pq_error", "cluster_kmeans",
+    "profile_columns", "shuffle_export", "seq_pack", "mix_weights",
+    "stream_upsert", "qualify_topn", "win_percentiles", "unpivot_melt",
+    "merge_upsert", "scd2_dim", "variant_extract",
+]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R07)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R08)}
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
-    # Refresh oldest-first: any name without a listed record (new r7
-    # queries) enters right after the priority block, then r3 → r6.
+    # Refresh oldest-first: any name without a listed record (new
+    # queries) enters right after the priority block, then r4 → r7.
+    # setdefault loops run NEWEST first so a multiply-recorded name
+    # sorts by its latest record.
+    for i, name in enumerate(_RECORDED_R07):
+        order.setdefault(name, (7, i))  # freshest records → back of line
     for i, name in enumerate(_RECORDED_R06):
-        order.setdefault(name, (6, i))  # freshest records → back of line
+        order.setdefault(name, (6, i))
     for i, name in enumerate(_RECORDED_R05):
         order.setdefault(name, (5, i))
     for i, name in enumerate(_RECORDED_R04):

@@ -1101,6 +1101,102 @@ def knn_recall(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), rows)
 
 
+@dq("ivfadc_recall")
+def ivfadc_recall(spark, sf_dir):
+    """IVFADC quality ladder (VERDICT r7 item 6): recall@3 of the
+    PQ-coded asymmetric-distance probe (operators/similarity.py::
+    ivfadc_knn_join's scoring — database side = m=8 one-byte codes,
+    ~64x probe-bandwidth cut vs the float64 vectors knn_join ships)
+    against the exact brute-force twin, at the SAME probe counts as
+    knn_recall — so the two ladders isolate exactly what PQ
+    reconstruction costs in recall at equal candidate generation.
+    One multi-probe assignment + one ADC scoring pass covers all three
+    rungs (the knn_recall folding device). Seeded-hash blocking →
+    rows-only; the absolute floor is pinned in
+    tests/test_quantization.py::test_ivfadc_recall_floor."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from vcf2db_spark.operators.quantization import (
+        adc_cosine_col, pq_codes_col, pq_train,
+    )
+    from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
+
+    exact = knn_exact(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
+
+    codebooks = pq_train(e, m=8, k=128, iters=4, sample=200)
+    assigned, _ = ivf_assign_multi(e, n_lists=8, probes=3, refine_iters=1)
+    a = assigned.filter(F.col("vec_id") < 50).select(
+        "list_id",
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("_va"),
+        F.col("_probe_rank").alias("_ra"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("vec_id").alias("neighbor_id"),
+        pq_codes_col(F.col("embedding"), codebooks).alias("_cb"),
+        F.col("_probe_rank").alias("_rb"),
+    )
+    pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "id",
+        "neighbor_id",
+        (F.greatest("_ra", "_rb") + 1).alias("_lvl"),
+        adc_cosine_col(F.col("_va"), F.col("_cb"), codebooks).alias("cosine"),
+    )
+    folded = scored.groupBy("id", "neighbor_id").agg(
+        F.min("_lvl").alias("_lvl"), F.max("cosine").alias("cosine")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    qa = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_ra"))
+    qb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_rb")
+    )
+
+    def _recall_row(approx, probes, variant):
+        hits = exact.join(approx, ["id", "neighbor_id"], "left_semi")
+        n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("_hit"))
+        return n_hit.crossJoin(F.broadcast(n_tot)).select(
+            F.lit(3).alias("k"),
+            F.lit(probes).alias("probes"),
+            F.lit(variant).alias("variant"),
+            F.col("_tot").alias("n_exact_pairs"),
+            F.round(F.col("_hit") / F.col("_tot"), 6).alias("recall_at_k"),
+        )
+
+    rows = []
+    for probes in (1, 2, 3):
+        lvl = folded.filter(F.col("_lvl") <= probes)
+        adc_top = (
+            lvl.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+        )
+        rows.append(_recall_row(adc_top, probes, "adc"))
+        # IVFADC-R: top-9 ADC candidates re-scored full-precision (full
+        # vectors gathered for 9 candidates/query only) — recovers the
+        # PQ reconstruction penalty at bounded extra bandwidth
+        cand = (
+            lvl.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 9)
+            .select("id", "neighbor_id")
+        )
+        rr = cand.join(qa, "id").join(qb, "neighbor_id").select(
+            "id",
+            "neighbor_id",
+            r6(cosine(F.col("_ra"), F.col("_rb"))).alias("cosine"),
+        )
+        rr_top = (
+            rr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+        )
+        rows.append(_recall_row(rr_top, probes, "adc_rerank"))
+    return reduce(lambda a_, b_: a_.unionByName(b_), rows)
+
+
 @dq("semdedup")
 def semdedup(spark, sf_dir):
     """SemDeDup-style embedding near-dup removal (drop the larger id of
