@@ -499,3 +499,26 @@ def test_png_property_roundtrip_random_shapes():
             fmt, back = mc.decode(mc.encode("png", arr))
             assert fmt == "png"
             np.testing.assert_array_equal(back, arr, f"{h}x{w}x{c}")
+
+
+def test_progressive_ac_run_overflow_consumes_magnitude_bits():
+    """ADVICE r7: _ac_first's corrupt-run clamp (k > se) must still
+    consume the s magnitude bits its Huffman symbol promised — libjpeg
+    semantics — or the bit reader desynchronizes for the rest of the
+    scan. Synthetic one-symbol table: code '10' → rs=0xF2 (run 15,
+    size 2); with ss=1, se=3 the run overflows and exactly 2+2 bits
+    must be consumed."""
+    from vcf2db_spark.functions.jpeg import _BitReader, _ProgressiveState
+
+    dec = {(2, 0b10): 0xF2}
+    # bits: '10' (huff) + '11' (2 magnitude bits) + '101010...' filler
+    data = bytes([0b10111010, 0b10101010])
+    rd = _BitReader(data, 0)
+    st = _ProgressiveState.__new__(_ProgressiveState)
+    st.eobrun = 0
+    blk = [0] * 64
+    st._ac_first(rd, blk, dec, ss=1, se=3, al=0)
+    assert blk == [0] * 64  # clamped — nothing written
+    # alignment: the next 4 bits are the filler '1010', not the
+    # magnitude bits (which a desynchronized reader would re-read)
+    assert rd.read_bits(4) == 0b1010

@@ -673,7 +673,12 @@ class _ProgressiveState:
                 break
             k += r
             if k > se:
-                break  # corrupt run — clamp like libjpeg
+                # corrupt run — clamp like libjpeg, but CONSUME the s
+                # magnitude bits the Huffman symbol promised first, or
+                # the bit reader desynchronizes for the rest of the
+                # scan on foreign/corrupt streams (ADVICE r7)
+                rd.read_bits(s)
+                break
             blk[k] = _extend(rd.read_bits(s), s) << al
             k += 1
 
