@@ -34,6 +34,9 @@ PYTHON_OK = {
     "knn_graph",
     "knn_recall",
     "semdedup",
+    # IVFADC: PQ encode + asymmetric-distance scoring = Arrow-batched
+    # numpy gather+dot by design (r8)
+    "ivfadc_recall",
     # PQ encode / k-means assignment = Arrow-batched numpy matmul by design
     "pq_error",
     "cluster_kmeans",
