@@ -1099,3 +1099,111 @@ def test_cross_process_concurrent_appends(tmp_path):
             head = {e["path"] for e in lh.snapshot(root)["files"]}
             assert head == paths | {"data/f0"}, f"seed={seed}: lost update"
             assert lh.latest_version(root) == 36
+
+
+def test_feed_max_bytes_per_trigger(spark, tmp_path):
+    """maxBytesPerTrigger (r8): manifests record per-file bytes; the
+    byte cap bounds each micro-batch (≥1 file so the stream always
+    progresses), and files/bytes caps compose — whichever binds first."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 10).coalesce(1), stat_cols=("k",))
+    for i in range(1, 4):
+        lh.append(spark, root, _mk(spark, 10 * i, 10 * (i + 1)).coalesce(1))
+    entries = lh.snapshot(root)["files"]
+    assert all(e["bytes"] > 0 for e in entries)
+
+    q = (
+        read_feed_stream(spark, root, max_bytes_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName("feed_mbt")
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM feed_mbt").collect()
+        assert sorted(r["k"] for r in rows) == list(range(40))
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(batches) >= 4  # 1-byte cap → one file per batch
+        assert all(p["numInputRows"] <= 10 for p in batches)
+    finally:
+        q.stop()
+
+
+def test_feed_from_expired_history_raises_clearly(spark, tmp_path,
+                                                  monkeypatch):
+    """A feed startVersion below the retention horizon surfaces the
+    horizon in the error, not a raw FileNotFoundError."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+    from vcf2db_spark.streaming.pipelines import run_to_memory
+
+    monkeypatch.setattr(lh, "CHECKPOINT_INTERVAL", 2)
+    root = str(tmp_path / "tbl")
+    lh.create(spark, root, _mk(spark, 0, 10).coalesce(1), stat_cols=("k",))
+    for i in range(1, 6):
+        lh.append(spark, root, _mk(spark, 10 * i, 10 * (i + 1)).coalesce(1))
+    lh.expire_log(root, retain_versions=2)  # horizon 4
+    with pytest.raises(Exception, match="retention horizon"):
+        run_to_memory(read_feed_stream(spark, root), "feed_exp").collect()
+    # starting at the horizon's delta window still streams
+    out = run_to_memory(
+        read_feed_stream(spark, root, start_version=3), "feed_exp2"
+    ).collect()
+    assert sorted(r["k"] for r in out) == list(range(40, 60))
+
+
+def _xproc_stream_writer(args):
+    """Replay-storm writer: every process tries to commit the SAME
+    (app, batch) sequence — the cross-process exactly-once claim of the
+    streaming sink's txn watermark (log layer; no Spark in children)."""
+    root, wid, n_batches = args
+    from vcf2db_spark.sinks import lakehouse as lh2
+
+    committed = []
+    for batch_id in range(n_batches):
+        while True:
+            cur = lh2._head_meta(root)
+            if int(cur.get("txn", {}).get("app", -1)) >= batch_id:
+                break  # another process won this batch — exactly-once skip
+            man = lh2._child_manifest(
+                cur, "stream_append",
+                [{"path": f"data/b{batch_id}_w{wid}", "rows": 1, "stats": {}}],
+            )
+            man["txn"] = {**man["txn"], "app": batch_id}
+            try:
+                lh2._commit(root, man)
+                committed.append(batch_id)
+                break
+            except lh2.CommitConflict:
+                continue  # re-read head; watermark check decides
+    return committed
+
+
+def test_cross_process_stream_batch_exactly_once(tmp_path):
+    """3 processes replay the SAME 10 micro-batch ids against one table
+    (the restart/replay storm): the (app, batch) watermark in the
+    atomic manifest publish must land every batch EXACTLY once across
+    processes — no batch duplicated, none lost. 10 seeds."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(3) as pool:
+        for seed in range(10):
+            root = str(tmp_path / f"sx{seed}")
+            _synthetic_history(root, 0)
+            results = pool.map(
+                _xproc_stream_writer, [(root, wid, 10) for wid in range(3)]
+            )
+            all_committed = sorted(b for sub in results for b in sub)
+            assert all_committed == list(range(10)), (
+                f"seed={seed}: batches not exactly-once: {all_committed}"
+            )
+            head = lh.snapshot(root)
+            batch_files = [
+                e["path"] for e in head["files"] if e["path"].startswith("data/b")
+            ]
+            assert len(batch_files) == 10, f"seed={seed}: {batch_files}"
+            assert int(head["txn"]["app"]) == 9

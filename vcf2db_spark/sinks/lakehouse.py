@@ -342,7 +342,12 @@ def _write_data(
         full = os.path.join(out, f)
         rows, stats = _footer_stats(full, stat_cols)
         entries.append(
-            {"path": os.path.join(rel_dir, f), "rows": rows, "stats": stats}
+            {
+                "path": os.path.join(rel_dir, f),
+                "rows": rows,
+                "bytes": os.path.getsize(full),
+                "stats": stats,
+            }
         )
     return entries
 
