@@ -748,7 +748,13 @@ def compact(
     the old files — the log owns file lifetime (see ``vacuum``)."""
     cur = snapshot(root)
     paths = [os.path.join(root, f["path"]) for f in cur["files"]]
-    nbytes = sum(os.path.getsize(p) for p in paths)
+    # size from manifest metadata when recorded (r8+) — on an object
+    # store an O(files) stat sweep is O(files) HEAD calls; only pre-r8
+    # entries without a bytes field fall back to a stat
+    nbytes = sum(
+        e["bytes"] if e.get("bytes") else os.path.getsize(os.path.join(root, e["path"]))
+        for e in cur["files"]
+    )
     n_out = max(1, math.ceil(nbytes / target_bytes))
     df = spark.read.schema(_schema_of(cur)).parquet(*paths)
     if zorder_cols:
