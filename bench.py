@@ -36,6 +36,7 @@ N_PASSES = 3
 # Versioned IN the artifact so the ex-machinery ratio is self-describing.
 MACHINERY_QUERIES = (
     "gemini_gtfilter", "gemini_denovo", "gemini_comphet",
+    "gemini_autorec", "gemini_mendelviol",
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     "lakehouse_delete", "stream_lakehouse_feed", "stream_upsert",
 )

@@ -123,3 +123,26 @@ def test_inheritance_via_engine(engine):
     # so models run and return empty — the wiring is what's under test
     assert inh.de_novo().count() == 0
     assert inh.trios and inh.trios[0].child == "NA002"
+
+
+def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
+    """gemini_autorec / gemini_mendelviol share ONE artifact build per
+    (process, sf_dir) — gemini's load-once-query-many pattern; the
+    rebuild cost is already measured by gemini_gtfilter/denovo on the
+    identical pipeline. A different sf_dir must rebuild (the old
+    generation's files are released)."""
+    from vcf2db_spark.queries import gemini_dq as G
+
+    calls: list[str] = []
+    real = G._build_engine
+
+    def counting(spark_, sf_dir_, lc, genotype=G._genotype):
+        calls.append(sf_dir_)
+        return real(spark_, sf_dir_, lc, genotype)
+
+    monkeypatch.setattr(G, "_build_engine", counting)
+    G._SH_ENGINES.clear()
+    assert G.gemini_autorec(spark, sf_dir).count() > 0
+    assert G.gemini_mendelviol(spark, sf_dir).count() > 0
+    assert calls == [sf_dir], "second model-scan row must reuse the build"
+    G._SH_ENGINES.clear()  # leave no cross-test cached engine behind

@@ -50,6 +50,7 @@ from vcf2db_spark.registry import dq
 _GT_LC = Lifecycle()
 _DN_LC = Lifecycle()
 _CH_LC = Lifecycle()
+_SH_LC = Lifecycle()  # shared by the model-scan rows (see _shared_engine)
 
 _HEADER = """\
 ##fileformat=VCFv4.2
@@ -200,6 +201,28 @@ def _build_engine(spark, sf_dir, lc: Lifecycle, genotype=_genotype):
     return GeminiEngine(spark, open_artifact(spark, db))
 
 
+_SH_ENGINES: dict[str, object] = {}
+
+
+def _shared_engine(spark, sf_dir: str):
+    """One artifact build per (process, sf_dir), SHARED by the model-scan
+    rows (``gemini_autorec`` / ``gemini_mendelviol``). gemini's real
+    usage pattern is load-once-query-many — a user opens one database
+    and runs every inheritance model against it — and the per-call
+    pipeline rebuild cost is already measured by gemini_gtfilter /
+    gemini_denovo on the IDENTICAL pipeline and generator, so these
+    rows measure the model query, not a fourth and fifth copy of the
+    build. A new sf_dir rebuilds (releasing the previous generation —
+    one Lifecycle, one live generation, house contract) and drops the
+    stale cache entry whose files that release reclaimed."""
+    eng = _SH_ENGINES.get(sf_dir)
+    if eng is None:
+        _SH_ENGINES.clear()  # the build below releases the old holds
+        eng = _build_engine(spark, sf_dir, _SH_LC)
+        _SH_ENGINES[sf_dir] = eng
+    return eng
+
+
 @dq(
     "gemini_gtfilter",
     oracle="""
@@ -338,4 +361,123 @@ def gemini_comphet(spark, sf_dir):
             .alias("sum_ids"),
         )
         .orderBy("gene")
+    )
+
+
+@dq(
+    "gemini_autorec",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier
+      WHERE s_suppkey <= 1000
+        AND ((s_suppkey * 7 + 13) % 16) BETWEEN 11 AND 13
+        AND ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
+        AND ((s_suppkey * 7 + 39) % 16) BETWEEN 6 AND 10
+    )
+    SELECT CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM((k % 50) + 5) AS BIGINT) AS sum_dp,
+           CAST(SUM(k - 1) AS BIGINT) AS sum_start
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def gemini_autorec(spark, sf_dir):
+    """gemini ``autosomal_recessive`` as the fourth inheritance driver
+    row (VERDICT r7 item 3 named it alongside comp_hets): affected child
+    HOM_ALT with both parents obligate-carrier HET — compiled to three
+    ``element_at`` Catalyst predicates over the blob-decoded genotype
+    arrays, no UDF. The oracle replays the model against the generator
+    arithmetic (sample i HOM_ALT ⇔ (7k+13i) mod 16 ∈ [11,13], HET ⇔
+    ∈ [6,10]) and pins positions through the round trip via
+    ``sum_start`` (start = pos − 1, the reference's 0-based schema).
+    Artifact build shared with gemini_mendelviol (see _shared_engine)."""
+    eng = _shared_engine(spark, sf_dir)
+    ar = eng.inheritance().autosomal_recessive()
+    return (
+        ar.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("dp").cast("bigint").alias("sum_dp"),
+            F.sum("start").cast("bigint").alias("sum_start"),
+        )
+        .orderBy("chrom")
+    )
+
+
+@dq(
+    "gemini_mendelviol",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    ids AS (
+      SELECT k,
+             CAST(ROW_NUMBER() OVER (ORDER BY (k % 2 = 0), k) AS BIGINT)
+               AS vid
+      FROM q
+    ),
+    g AS (
+      SELECT k, vid,
+        CASE WHEN (k * 7 + 13) % 16 < 6 THEN 0
+             WHEN (k * 7 + 13) % 16 < 11 THEN 1
+             WHEN (k * 7 + 13) % 16 < 14 THEN 3 ELSE 2 END AS c,
+        CASE WHEN (k * 7 + 26) % 16 < 6 THEN 0
+             WHEN (k * 7 + 26) % 16 < 11 THEN 1
+             WHEN (k * 7 + 26) % 16 < 14 THEN 3 ELSE 2 END AS f,
+        CASE WHEN (k * 7 + 39) % 16 < 6 THEN 0
+             WHEN (k * 7 + 39) % 16 < 11 THEN 1
+             WHEN (k * 7 + 39) % 16 < 14 THEN 3 ELSE 2 END AS m
+      FROM ids
+    ),
+    e AS (
+      SELECT k, vid,
+        CASE
+          WHEN f = 0 AND m = 0 AND c = 1 THEN 'plausible de novo'
+          WHEN f = 3 AND m = 3 AND c = 1 THEN 'plausible de novo'
+          WHEN f = 0 AND m = 0 AND c = 3 THEN 'implausible de novo'
+          WHEN f = 3 AND m = 3 AND c = 0 THEN 'implausible de novo'
+          WHEN ((f = 0 AND m = 3) OR (f = 3 AND m = 0)) AND c IN (0, 3)
+            THEN 'uniparental disomy'
+          WHEN f = 1 AND m = 0 AND c = 3 THEN 'loss of heterozygosity'
+          WHEN f = 1 AND m = 3 AND c = 0 THEN 'loss of heterozygosity'
+          WHEN m = 1 AND f = 0 AND c = 3 THEN 'loss of heterozygosity'
+          WHEN m = 1 AND f = 3 AND c = 0 THEN 'loss of heterozygosity'
+        END AS error
+      FROM g
+    )
+    SELECT error,
+           CAST(COUNT(*) AS BIGINT) AS n_sites,
+           CAST(SUM(k - 1) AS BIGINT) AS sum_start,
+           CAST(SUM(vid) AS BIGINT) AS sum_ids
+    FROM e WHERE error IS NOT NULL
+    GROUP BY error ORDER BY error
+    """,
+)
+def gemini_mendelviol(spark, sf_dir):
+    """gemini ``mendel_errors`` as the fifth inheritance driver row — the
+    VIOLATION class, not a candidate-gene model: every (variant, trio)
+    whose genotypes break Mendelian transmission, labeled with gemini's
+    four-way category (inheritance.py:232 — plausible/implausible de
+    novo, uniparental disomy, loss of heterozygosity). The engine scans
+    once with a constant-width struct array + explode (cost O(rows ×
+    trios) inside codegen, no per-trio union). The oracle recomputes the
+    three genotype codes from the generator bands ((7k+13i) mod 16 →
+    HOM_REF<6≤HET<11≤HOM_ALT<14≤UNKNOWN, cyvcf2 coding) and replays the
+    classification CASE verbatim; ``sum_ids`` replays assign_variant_id's
+    locus-order rank (odd keys = chr1 first) so the id assignment is
+    pinned through the sqlite artifact round trip. With this generator
+    three of the four classes are populated (implausible-de-novo needs
+    both parents in the SAME hom band, but the generator couples their
+    raw values 3 apart mod 16 — unreachable by construction; pytest
+    covers that class on a hand-built trio)."""
+    eng = _shared_engine(spark, sf_dir)
+    me = eng.inheritance().mendel_errors()
+    return (
+        me.groupBy("error")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.sum("start").cast("bigint").alias("sum_start"),
+            F.sum("variant_id").cast("bigint").alias("sum_ids"),
+        )
+        .orderBy("error")
     )
