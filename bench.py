@@ -38,7 +38,8 @@ MACHINERY_QUERIES = (
     "gemini_gtfilter", "gemini_denovo", "gemini_comphet",
     "gemini_autorec", "gemini_mendelviol",
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
-    "lakehouse_delete", "stream_lakehouse_feed", "stream_upsert",
+    "lakehouse_delete", "lakehouse_bloom_lookup", "stream_lakehouse_feed",
+    "stream_upsert",
 )
 
 

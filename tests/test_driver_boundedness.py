@@ -28,6 +28,8 @@ ALLOWED = {
     "operators/bpe.py": (1, "limit(1) argmax merge-pair per BPE iteration"),
     "operators/quantization.py": (1, "hash-ordered k-means seed sample (sample-size bounded)"),
     "operators/variants.py": (1, "per-partition count offsets — one row per partition"),
+    "operators/bloom.py": (1, "partial bloom bitmaps — ≤ partitions × files × cols rows of ≤128 KiB"),
+    "queries/lakehouse_dq.py": (1, "top-3 lookup keys for the bloom point-read demo (3 rows)"),
     "operators/similarity.py": (3, "IVF centroids (n_lists-bounded) ×2; centroid parquet read-back"),
     "gemini.py": (1, "sample NAMES for a wildcard selector (cohort-sample-bounded)"),
     "sources/bed.py": (1, "BED interval dim for broadcast (annotation-track-bounded)"),

@@ -1207,3 +1207,147 @@ def test_cross_process_stream_batch_exactly_once(tmp_path):
             ]
             assert len(batch_files) == 10, f"seed={seed}: {batch_files}"
             assert int(head["txn"]["app"]) == 9
+
+
+# ---- bloom-filter data skipping (r8) ----------------------------------------
+
+
+def _mk_scattered(spark, lo, hi, files=8):
+    """Rows whose k range spans EVERY file (hash-distributed on a second
+    column) — the shape min/max stats cannot prune for k equality."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 131).alias("g"),
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tag"),
+        )
+        .repartition(files, "g")
+    )
+
+
+def test_bloom_sidecars_skip_files_never_rows(spark, root):
+    """Point lookup on an unclustered key: stats keep everything, blooms
+    skip all-but-the-containing file(s), and the result stays exact."""
+    lh.create(
+        spark, root, _mk_scattered(spark, 0, 4000),
+        stat_cols=("k",), bloom_cols=("k",),
+    )
+    n_files = len(lh.snapshot(root)["files"])
+    assert n_files >= 4
+    kept, skipped_stats, skipped_bloom = lh.plan_files_bloom(root, {"k": 1234})
+    # stats are powerless here (every file spans the k range)...
+    assert skipped_stats == 0
+    # ...blooms drop almost everything (≈1% fp: allow 1 stray keep)
+    assert skipped_bloom >= n_files - 2
+    rows = lh.read_point(spark, root, {"k": 1234}).collect()
+    assert [(r["k"], r["g"]) for r in rows] == [(1234, 1234 % 131)]
+
+
+def test_bloom_no_false_negatives_randomized(spark, root):
+    """Every present key must be found — bloom skipping may only ever
+    drop files that DEFINITELY lack the key (the bloom contract)."""
+    import random
+
+    lh.create(
+        spark, root, _mk_scattered(spark, 0, 3000),
+        stat_cols=(), bloom_cols=("k", "tag"),
+    )
+    rng = random.Random(8)
+    keys = rng.sample(range(3000), 60)
+    for k in keys:
+        got = lh.read_point(spark, root, {"k": k}).collect()
+        assert len(got) == 1 and got[0]["k"] == k
+    # conjunctive probe: both columns must pass
+    got = lh.read_point(spark, root, {"k": 7, "tag": "t2"}).collect()
+    assert [(r["k"], r["tag"]) for r in got] == [(7, "t2")]
+    assert lh.read_point(spark, root, {"k": 7, "tag": "t3"}).count() == 0
+
+
+def test_bloom_absent_keys_skip_without_stats_help(spark, root):
+    """Keys inside the stats range but absent from the table: stats keep
+    every file; blooms must skip nearly all lookups outright."""
+    # only even keys exist — odd probes are in-range but absent
+    df = (
+        spark.range(0, 2000)
+        .select((F.col("id") * 2).alias("k"), (F.col("id") % 97).alias("g"))
+        .repartition(8, "g")
+    )
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    n_files = len(lh.snapshot(root)["files"])
+    kept_total = 0
+    probes = list(range(1, 400, 8))  # odd → absent
+    for k in probes:
+        kept, _, _ = lh.plan_files_bloom(root, {"k": k})
+        kept_total += len(kept)
+    # expectation is fp_rate × files per probe ≈ 0.01 × 8; allow 10× slack
+    assert kept_total <= max(4, int(0.1 * n_files * len(probes)))
+
+
+def test_bloom_carried_through_all_writers(spark, root):
+    """bloom_cols is table metadata: append / merge / delete / compact
+    all build sidecars for the files they write."""
+    lh.create(
+        spark, root, _mk_scattered(spark, 0, 1000, files=4),
+        stat_cols=("k",), bloom_cols=("k",),
+    )
+    lh.append(spark, root, _mk_scattered(spark, 1000, 1500, files=4))
+    upd = _mk_scattered(spark, 10, 20, files=1).withColumn(
+        "tag", F.lit("merged")
+    )
+    lh.merge(spark, root, upd, key="k")
+    lh.delete(spark, root, "k >= 1400")
+    lh.compact(spark, root)
+    man = lh.snapshot(root)
+    for e in man["files"]:
+        assert os.path.exists(
+            lh._bloom_sidecar_path(root, e["path"])
+        ), f"sidecar missing for {e['path']} after rewrite chain"
+    got = lh.read_point(spark, root, {"k": 15}).collect()
+    assert [(r["k"], r["tag"]) for r in got] == [(15, "merged")]
+    assert lh.read_point(spark, root, {"k": 1450}).count() == 0  # deleted
+
+
+def test_bloom_missing_sidecar_is_conservative(spark, root):
+    """A lost/never-built sidecar keeps the file — degraded pruning,
+    never a lost row (same contract as missing footer stats)."""
+    lh.create(
+        spark, root, _mk_scattered(spark, 0, 1000),
+        stat_cols=(), bloom_cols=("k",),
+    )
+    man = lh.snapshot(root)
+    victim = man["files"][0]["path"]
+    os.unlink(lh._bloom_sidecar_path(root, victim))
+    kept, _, _ = lh.plan_files_bloom(root, {"k": 123456789})  # absent key
+    assert [e["path"] for e in kept] == [victim]  # only the blind file stays
+    for k in (0, 1, 999):
+        assert lh.read_point(spark, root, {"k": k}).count() == 1
+
+
+def test_vacuum_reclaims_bloom_sidecars(spark, root):
+    lh.create(
+        spark, root, _mk_scattered(spark, 0, 500, files=4),
+        stat_cols=(), bloom_cols=("k",),
+    )
+    old_files = [e["path"] for e in lh.snapshot(root)["files"]]
+    lh.compact(spark, root)  # rewrites everything; old files unreferenced
+    removed = lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)
+    assert removed == len(old_files)
+    for p in old_files:
+        assert not os.path.exists(lh._bloom_sidecar_path(root, p))
+    # surviving files keep their sidecars and still probe
+    for e in lh.snapshot(root)["files"]:
+        assert os.path.exists(lh._bloom_sidecar_path(root, e["path"]))
+    assert lh.read_point(spark, root, {"k": 42}).count() == 1
+
+
+def test_bloom_tables_without_bloom_cols_unaffected(spark, root):
+    """No bloom_cols → no sidecars, no extra scan at write time, and the
+    probe degrades to stats-only planning."""
+    lh.create(spark, root, _mk_scattered(spark, 0, 500), stat_cols=("k",))
+    assert not os.path.isdir(os.path.join(root, "_bloom"))
+    kept, skipped_stats, skipped_bloom = lh.plan_files_bloom(root, {"k": 7})
+    assert skipped_bloom == 0 and len(kept) + skipped_stats == len(
+        lh.snapshot(root)["files"]
+    )
+    assert lh.read_point(spark, root, {"k": 7}).count() == 1

@@ -369,3 +369,69 @@ def stream_lakehouse_feed(spark, sf_dir):
             dsum6("o_totalprice").alias("sum_price"),
         )
     )
+
+
+_BLOOM_LC = Lifecycle()
+
+
+@dq(
+    "lakehouse_bloom_lookup",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_custkey % 13 = 6),
+    keys AS (
+      SELECT o_orderkey FROM s ORDER BY o_orderkey DESC LIMIT 3)
+    SELECT CAST(s.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(s.o_custkey) AS BIGINT) AS custkey,
+           {OSUM6('s.o_totalprice')} AS sum_price
+    FROM s JOIN keys USING (o_orderkey)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def lakehouse_bloom_lookup(spark, sf_dir):
+    """Bloom-filter data skipping (the Delta bloom-index pattern, r8):
+    the table is committed HASH-distributed on o_custkey, so every
+    file's o_orderkey [min, max] spans the keyspace and min/max stats
+    can prune NOTHING for an orderkey equality — the worst case for the
+    stats tier and the exact case the per-file bloom sidecars exist
+    for. Three point lookups (the cohort's top-3 orderkeys — a 3-row
+    driver collect) each plan through ``plan_files_bloom``: stats keep
+    all files, the bloom probe drops every file whose filter rules the
+    key out (~1% false positives, never a false negative), and the
+    row-level residual filter makes the result exact. The oracle
+    replays the lookups straight from the orders view, so a hash match
+    proves the skipping tier never loses a row.
+    tests/test_lakehouse.py asserts files are actually skipped, the
+    no-false-negative property over randomized keys, and sidecar
+    lifecycle (writers build them, vacuum reclaims them). At 100 TB
+    this is a point lookup reading ~1 file instead of the table."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 13 == 6)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    root = _fresh_root(_BLOOM_LC, "bl")
+    lh.create(
+        spark,
+        root,
+        o.repartition(8, "o_custkey"),
+        stat_cols=("o_orderkey",),
+        bloom_cols=("o_orderkey",),
+    )
+    keys = [
+        r["o_orderkey"]
+        for r in o.orderBy(F.col("o_orderkey").desc()).limit(3).collect()
+    ]
+    lookups = [lh.read_point(spark, root, {"o_orderkey": k}) for k in keys]
+    res = reduce(lambda a, b: a.unionByName(b), lookups)
+    return (
+        res.groupBy(F.col("o_orderkey").cast("bigint").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("o_custkey").cast("bigint").alias("custkey"),
+            dsum6("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -106,6 +106,17 @@ def _vacuum_wm_path(root: str) -> str:
     return os.path.join(_log_dir(root), "_vacuum_watermark")
 
 
+def _bloom_sidecar_path(root: str, rel_path: str) -> str:
+    """Bloom filters live in SIDECAR files mirroring the data layout
+    (``<root>/_bloom/<rel>.json``), not in manifests: a filter is
+    10 bits/key (KBs–128 KiB per file·column), so inlining it would blow
+    the delta-txlog commit-bytes bound the checkpoint design protects.
+    Sidecars are immutable alongside their data file and reclaimed with
+    it (``vacuum``). Delta stores its bloom index the same way — next to
+    the data, outside the log."""
+    return os.path.join(root, "_bloom", rel_path + ".json")
+
+
 def _read_json(path: str) -> dict:
     with open(path) as fh:
         return json.load(fh)
@@ -327,11 +338,19 @@ def _footer_stats(path: str, stat_cols: tuple[str, ...]) -> tuple[int, dict]:
 
 
 def _write_data(
-    df: DataFrame, root: str, stat_cols: tuple[str, ...]
+    df: DataFrame,
+    root: str,
+    stat_cols: tuple[str, ...],
+    bloom_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """Write ``df`` as a new immutable data directory; return file entries
     (path relative to root, rows, footer stats). Files become table data
-    only when a manifest referencing them is committed."""
+    only when a manifest referencing them is committed. With
+    ``bloom_cols``, a per-(file, column) bloom filter is built
+    EXECUTOR-side (operators/bloom.py — shuffle-free partial bitmaps,
+    driver receives only file-count-bounded filters) and written as a
+    sidecar next to the data, staged like the data files themselves:
+    live only once the manifest commits."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(root, rel_dir)
     df.write.mode("error").parquet(out)
@@ -349,6 +368,27 @@ def _write_data(
                 "stats": stats,
             }
         )
+    if bloom_cols and entries:
+        from vcf2db_spark.operators.bloom import bloom_params, build_file_blooms
+
+        params = {
+            os.path.basename(e["path"]): bloom_params(e["rows"])
+            for e in entries
+        }
+        blooms = build_file_blooms(
+            df.sparkSession,
+            [os.path.join(root, e["path"]) for e in entries],
+            tuple(bloom_cols),
+            params,
+        )
+        for e in entries:
+            per_file = blooms.get(os.path.basename(e["path"]))
+            if not per_file:
+                continue  # empty file — nothing to index, probe keeps it
+            side = _bloom_sidecar_path(root, e["path"])
+            os.makedirs(os.path.dirname(side), exist_ok=True)
+            with open(side, "w") as fh:
+                json.dump(per_file, fh)
     return entries
 
 
@@ -393,10 +433,14 @@ def create(
     root: str,
     df: DataFrame,
     stat_cols: tuple[str, ...] = (),
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
-    """Create the table as version 0 from ``df``."""
+    """Create the table as version 0 from ``df``. ``bloom_cols`` (the
+    delta.bloomFilter table-property analog) designates point-lookup
+    columns that every writer will index with per-file bloom sidecars —
+    carried in the manifest metadata like ``stat_cols``."""
     os.makedirs(root, exist_ok=True)
-    files = _write_data(df, root, stat_cols)
+    files = _write_data(df, root, stat_cols, bloom_cols)
     return _commit(
         root,
         {
@@ -404,6 +448,7 @@ def create(
             "operation": "create",
             "schema": df.schema.jsonValue(),
             "stat_cols": list(stat_cols),
+            "bloom_cols": list(bloom_cols),
             "txn": {},
             "add": files,
             "remove": [],
@@ -426,10 +471,15 @@ def _child_manifest(
         "operation": operation,
         "schema": cur["schema"],
         "stat_cols": cur["stat_cols"],
+        "bloom_cols": cur.get("bloom_cols", []),  # pre-bloom manifests: none
         "txn": cur.get("txn", {}),
         "add": list(add),
         "remove": list(remove),
     }
+
+
+def _bloom_cols_of(man: dict) -> tuple[str, ...]:
+    return tuple(man.get("bloom_cols", ()))
 
 
 def _schema_of(manifest: dict) -> StructType:
@@ -458,7 +508,7 @@ def append(
     the caller to re-run (Delta's add-only-vs-rewrite conflict rule)."""
     cur = _head_meta(root)
     _check_schema(cur, df, "append")
-    files = _write_data(df, root, tuple(cur["stat_cols"]))
+    files = _write_data(df, root, tuple(cur["stat_cols"]), _bloom_cols_of(cur))
     for attempt in range(max_retries + 1):
         try:
             return _commit(root, _child_manifest(cur, "append", files))
@@ -525,6 +575,73 @@ def read_pruned(
     if not paths:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*paths)
+
+
+def plan_files_bloom(
+    root: str,
+    equals: dict[str, object],
+    version: int | None = None,
+) -> tuple[list[dict], int, int]:
+    """Two-tier planning for EQUALITY lookups: min/max stats first (an
+    equality is the degenerate range [v, v]), then the per-file bloom
+    sidecars of the stats-surviving candidates. Returns (selected
+    entries, skipped by stats, skipped by bloom). Never a false
+    negative: a missing sidecar or unindexed column keeps the file.
+
+    Scale: the probe reads O(stats-surviving candidates) sidecar JSONs
+    driver-side — the same complexity class as the manifest fold
+    itself, and each read is KBs. For a point lookup on a key column
+    this is exactly the work that replaces a full-table scan; Delta
+    pushes the equivalent probe into its scan planning the same way."""
+    from vcf2db_spark.operators.bloom import bloom_contains
+
+    preds = {c: (v, v) for c, v in equals.items()}
+    selected, skipped_stats = plan_files(root, preds, version)
+    kept: list[dict] = []
+    skipped_bloom = 0
+    for e in selected:
+        side_path = _bloom_sidecar_path(root, e["path"])
+        try:
+            side = _read_json(side_path)
+        except (OSError, ValueError):
+            kept.append(e)  # no sidecar → conservative keep
+            continue
+        drop = False
+        for c, v in equals.items():
+            b = side.get(c)
+            if b is not None and not bloom_contains(b, v):
+                drop = True
+                break
+        if drop:
+            skipped_bloom += 1
+        else:
+            kept.append(e)
+    return kept, skipped_stats, skipped_bloom
+
+
+def read_point(
+    spark: SparkSession,
+    root: str,
+    equals: dict[str, object],
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup: bloom+stats-planned scan of the files that might
+    contain the key, with the equality predicate applied ROW-level too
+    (bloom prunes at file granularity; the residual filter makes the
+    result exact — parquet row-group pushdown handles the rest)."""
+    man = snapshot(root, version)
+    kept, _, _ = plan_files_bloom(root, equals, version)
+    schema = _schema_of(man)
+    cond = None
+    for c, v in equals.items():
+        term = F.col(c) == F.lit(v)
+        cond = term if cond is None else (cond & term)
+    if not kept:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, e["path"]) for e in kept]
+    )
+    return df.filter(cond) if cond is not None else df
 
 
 def merge(
@@ -639,6 +756,7 @@ def merge(
         merged.unionByName(inserts.select(key, *non_key)),
         root,
         tuple(cur["stat_cols"]),
+        _bloom_cols_of(cur),
     )
     # delta: remove only the rewritten (hit) files, add their
     # replacements — untouched entries carry through the fold verbatim
@@ -691,7 +809,9 @@ def delete(
     # drop rows where the predicate is NULL — DELETE must only remove
     # rows it positively matches (SQL/Delta semantics)
     survivors = src.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-    rewritten = _write_data(survivors, root, tuple(cur["stat_cols"]))
+    rewritten = _write_data(
+        survivors, root, tuple(cur["stat_cols"]), _bloom_cols_of(cur)
+    )
     return _commit(
         root,
         _child_manifest(
@@ -772,7 +892,9 @@ def compact(
             if df.rdd.getNumPartitions() >= n_out
             else df.repartition(n_out)
         )
-    files = _write_data(packed, root, tuple(cur["stat_cols"]))
+    files = _write_data(
+        packed, root, tuple(cur["stat_cols"]), _bloom_cols_of(cur)
+    )
     return _commit(
         root,
         _child_manifest(
@@ -841,7 +963,7 @@ def append_stream_batch(
     if int(cur.get("txn", {}).get(app_id, -1)) >= batch_id:
         return None
     _check_schema(cur, df, "append_stream_batch")
-    files = _write_data(df, root, tuple(cur["stat_cols"]))
+    files = _write_data(df, root, tuple(cur["stat_cols"]), _bloom_cols_of(cur))
     for attempt in range(max_retries + 1):
         man = _child_manifest(cur, "stream_append", files)
         man["txn"] = {**man["txn"], app_id: batch_id}
@@ -952,6 +1074,10 @@ def vacuum(
                     if os.path.getmtime(full) <= cutoff:
                         os.unlink(full)
                         removed += 1
+                        try:  # the file's bloom sidecar dies with it
+                            os.unlink(_bloom_sidecar_path(root, rel))
+                        except OSError:
+                            pass
                 except OSError:
                     continue
     # record the watermark: every version >= keep_from still has its
