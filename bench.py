@@ -36,7 +36,7 @@ N_PASSES = 3
 # Versioned IN the artifact so the ex-machinery ratio is self-describing.
 MACHINERY_QUERIES = (
     "gemini_gtfilter", "gemini_denovo", "gemini_comphet",
-    "gemini_autorec", "gemini_mendelviol",
+    "gemini_autorec", "gemini_mendelviol", "gemini_xlinked",
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     "lakehouse_delete", "lakehouse_bloom_lookup", "stream_lakehouse_feed",
     "stream_upsert",

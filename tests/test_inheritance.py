@@ -248,3 +248,138 @@ def test_mendel_errors_single_scan(me_engine):
     assert "BatchEvalPython" not in plan
     # one Generate (explode) over one scan — no union of per-trio subplans
     assert plan.count("Generate") == 1
+
+
+# ---- randomized differential vs a pure-Python twin --------------------------
+
+_GT_OF = {0: "0/0", 1: "0/1", 3: "1/1", 2: "./."}
+
+
+def _twin_models(rows, trios, sidx):
+    """Re-derive every model's start-set from the generated CODES with
+    plain Python — an independent restatement of the reconstructed
+    gemini semantics (inheritance.py module docstring). rows =
+    [(chrom, start, {sample: code})]; trios = [(child, father, mother,
+    child_sex, child_aff, father_aff, mother_aff)]."""
+
+    def carries(code, sex):
+        return code in (1, 3) if sex == 1 else code == 1
+
+    out = {m: set() for m in (
+        "de_novo", "autosomal_recessive", "autosomal_dominant",
+        "x_linked_de_novo", "x_linked_recessive", "x_linked_dominant",
+    )}
+    mendel = set()
+    for chrom, start, codes in rows:
+        on_x = chrom == "chrX"
+        for child, father, mother, csex, caff, faff, maff in trios:
+            c, f, m = codes[child], codes[father], codes[mother]
+            if caff:
+                if c == 1 and f == 0 and m == 0:
+                    out["de_novo"].add(start)
+                if c == 3 and f == 1 and m == 1:
+                    out["autosomal_recessive"].add(start)
+                if c == 1 and ((faff and f == 1) or (maff and m == 1)):
+                    out["autosomal_dominant"].add(start)
+                if on_x:
+                    if carries(c, csex) and f == 0 and m == 0:
+                        out["x_linked_de_novo"].add(start)
+                    if csex == 1:
+                        if carries(c, 1) and m == 1 and f == 0:
+                            out["x_linked_recessive"].add(start)
+                        mother_ok = maff and m == 1
+                        if carries(c, 1) and mother_ok:
+                            out["x_linked_dominant"].add(start)
+                    else:
+                        if c == 3 and m == 1 and f in (1, 3):
+                            out["x_linked_recessive"].add(start)
+                        mother_ok = maff and m == 1
+                        father_ok = faff and f in (1, 3)
+                        if carries(c, 2) and (mother_ok or father_ok):
+                            out["x_linked_dominant"].add(start)
+            err = None
+            if f == 0 and m == 0 and c == 1:
+                err = "plausible de novo"
+            elif f == 3 and m == 3 and c == 1:
+                err = "plausible de novo"
+            elif f == 0 and m == 0 and c == 3:
+                err = "implausible de novo"
+            elif f == 3 and m == 3 and c == 0:
+                err = "implausible de novo"
+            elif ((f == 0 and m == 3) or (f == 3 and m == 0)) and c in (0, 3):
+                err = "uniparental disomy"
+            elif f == 1 and m == 0 and c == 3:
+                err = "loss of heterozygosity"
+            elif f == 1 and m == 3 and c == 0:
+                err = "loss of heterozygosity"
+            elif m == 1 and f == 0 and c == 3:
+                err = "loss of heterozygosity"
+            elif m == 1 and f == 3 and c == 0:
+                err = "loss of heterozygosity"
+            if err is not None:
+                mendel.add((start, child, err))
+    return out, mendel
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_inheritance_models_randomized_differential(spark, tmp_path, seed):
+    """Two random trios + one unrelated sample, 120 random-genotype sites
+    across chr1/chrX (UNKNOWN calls included): every model and the
+    mendel scan must match the Python twin exactly — catches sample
+    indexing, chrom filtering, sex handling, and affected-status wiring
+    under shapes the goldens never pin."""
+    import random
+
+    rng = random.Random(seed)
+    samples = ["C1", "F1", "M1", "C2", "F2", "M2", "U1"]
+    sex = {"C1": rng.choice([1, 2]), "F1": 1, "M1": 2,
+           "C2": rng.choice([1, 2]), "F2": 1, "M2": 2, "U1": 2}
+    aff = {s: rng.random() < 0.5 for s in samples}
+    aff["C1"] = True  # at least one affected child keeps models non-vacuous
+    ped_lines = ["#family_id name paternal_id maternal_id sex phenotype"]
+    for fam, (ch, fa, mo) in (("f1", ("C1", "F1", "M1")),
+                              ("f2", ("C2", "F2", "M2"))):
+        for s, pa, ma in ((ch, fa, mo), (fa, "0", "0"), (mo, "0", "0")):
+            ped_lines.append(
+                f"{fam} {s} {pa} {ma} {sex[s]} {2 if aff[s] else 1}"
+            )
+    ped_lines.append(f"f3 U1 0 0 {sex['U1']} {2 if aff['U1'] else 1}")
+
+    rows = []
+    vcf_lines = []
+    for chrom in ("chr1", "chrX"):  # header order = locus order
+        for i in range(60):
+            pos = 100 + i
+            codes = {s: rng.choice((0, 1, 3, 2)) for s in samples}
+            rows.append((chrom, pos - 1, codes))
+            gts = "\t".join(_GT_OF[codes[s]] for s in samples)
+            vcf_lines.append(
+                f"{chrom}\t{pos}\t.\tA\tG\t50.0\tPASS\tDP=30\tGT\t{gts}"
+            )
+    header = (
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chr1,length=248956422>\n"
+        "##contig=<ID=chrX,length=156040895>\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(samples) + "\n"
+    )
+    vcf, ped = str(tmp_path / "rand.vcf"), str(tmp_path / "rand.ped")
+    open(vcf, "w").write(header + "\n".join(vcf_lines) + "\n")
+    open(ped, "w").write("\n".join(ped_lines) + "\n")
+
+    eng = InheritanceEngine(load_vcf(spark, vcf, ped_path=ped))
+    trios = [
+        ("C1", "F1", "M1", sex["C1"], aff["C1"], aff["F1"], aff["M1"]),
+        ("C2", "F2", "M2", sex["C2"], aff["C2"], aff["F2"], aff["M2"]),
+    ]
+    want, want_mendel = _twin_models(rows, trios, samples)
+    for model in want:
+        got = {r["start"] for r in getattr(eng, model)().select("start").collect()}
+        assert got == want[model], f"seed {seed}: {model} diverged"
+    got_mendel = {
+        (r["start"], r["child"], r["error"])
+        for r in eng.mendel_errors().collect()
+    }
+    assert got_mendel == want_mendel, f"seed {seed}: mendel_errors diverged"

@@ -122,8 +122,58 @@ def _genotype_comphet(k: int, i: int) -> str:
     return f"0|1:{d}" if het else f"0|0:{d}"
 
 
+_HEADER_X = _HEADER.replace(
+    '##contig=<ID=chr2,length=242193529>',
+    '##contig=<ID=chrX,length=156040895>',
+)
+
+# X-linked cohort PED: S1 is a MALE affected child; the mother S3 is
+# AFFECTED (x_linked_dominant requires a transmitting affected parent —
+# with both parents unaffected the model is vacuously empty)
+_PED_X = """\
+#family_id name paternal_id maternal_id sex phenotype
+f1 S1 S2 S3 1 2
+f1 S2 0 0 1 1
+f1 S3 0 0 2 2
+f2 S4 0 0 2 1
+"""
+
+
+def _genotype_x(k: int, i: int) -> str:
+    """X-cohort genotypes (r8): per-sample DECOUPLED residues so every
+    X model is reachable on the odd (chrX) keys — child (7k+13) mod 16,
+    father (3k+6), mother (9k+3); bands as `_genotype` (<6 HOM_REF,
+    <11 HET, <14 HOM_ALT, else unknown). On odd k mod 16: de novo hits
+    k≡9 (child carries, both parents HOM_REF), recessive k≡15 (carrier
+    mother, HOM_REF father), dominant k≡{11,13,15} (affected carrier
+    mother) — chosen by exhaustive enumeration; even (chr1) keys are
+    DECOYS the chrX filter must exclude."""
+    d = (k + i) % 30 + 1
+    if i == 1:
+        g = (k * 7 + 13) % 16
+    elif i == 2:
+        g = (k * 3 + 6) % 16
+    elif i == 3:
+        g = (k * 9 + 3) % 16
+    else:
+        g = (k * 11 + 4) % 16
+    if g < 6:
+        return f"0/0:{d}"
+    if g < 11:
+        return f"0/1:{d}"
+    if g < 14:
+        return f"1/1:{d}"
+    return "./.:."
+
+
 def _write_cohort_vcf(
-    spark, sf_dir: str, lc: Lifecycle, genotype=_genotype
+    spark,
+    sf_dir: str,
+    lc: Lifecycle,
+    genotype=_genotype,
+    header: str = _HEADER,
+    ped: str = _PED,
+    chroms: tuple[str, str] = ("chr1", "chr2"),
 ) -> tuple[str, str]:
     """Generate the deterministic cohort VCF + PED from supplier keys.
     Driver memory is one int per cohort row. Bounded input (harness
@@ -143,11 +193,11 @@ def _write_cohort_vcf(
     lc.hold_dir(d)
     os.makedirs(d, exist_ok=True)
     lines = []
-    for chrom_sel in (1, 0):  # chr1 = odd keys, chr2 = even, both sorted
+    for chrom_sel in (1, 0):  # chroms[0] = odd keys, chroms[1] = even
         for k in keys:
             if k % 2 != chrom_sel:
                 continue
-            chrom = "chr1" if chrom_sel == 1 else "chr2"
+            chrom = chroms[0] if chrom_sel == 1 else chroms[1]
             csq = ",".join(
                 f"G|{cons}|G{k % 5}|T{j}|protein_coding"
                 for j, cons in enumerate(_CSQ_BY_E[k % 4])
@@ -158,15 +208,23 @@ def _write_cohort_vcf(
                 f"DP={(k % 50) + 5};CSQ={csq}\tGT:DP\t{gts}"
             )
     vcf = os.path.join(d, "cohort.vcf")
-    ped = os.path.join(d, "cohort.ped")
+    ped_path = os.path.join(d, "cohort.ped")
     with open(vcf, "w") as fh:
-        fh.write(_HEADER + "\n".join(lines) + "\n")
-    with open(ped, "w") as fh:
-        fh.write(_PED)
-    return vcf, ped
+        fh.write(header + "\n".join(lines) + "\n")
+    with open(ped_path, "w") as fh:
+        fh.write(ped)
+    return vcf, ped_path
 
 
-def _build_engine(spark, sf_dir, lc: Lifecycle, genotype=_genotype):
+def _build_engine(
+    spark,
+    sf_dir,
+    lc: Lifecycle,
+    genotype=_genotype,
+    header: str = _HEADER,
+    ped: str = _PED,
+    chroms: tuple[str, str] = ("chr1", "chr2"),
+):
     """Cohort artifact through the REAL pipeline: generate → load_vcf →
     sqlite sink (blob encode) → open_artifact (blob decode) → engine.
     Rebuilt per call (house convention — the DQ measures the machinery,
@@ -175,7 +233,9 @@ def _build_engine(spark, sf_dir, lc: Lifecycle, genotype=_genotype):
     from vcf2db_spark.pipeline import load_vcf, open_artifact
     from vcf2db_spark.sinks.sqlite import write_gemini_db
 
-    vcf, ped = _write_cohort_vcf(spark, sf_dir, lc, genotype)
+    vcf, ped = _write_cohort_vcf(
+        spark, sf_dir, lc, genotype, header=header, ped=ped, chroms=chroms
+    )
     # cache_parse: variants + impacts + the variant-id offsets job all
     # share ONE Python-parse pass; released on the NEXT call (Lifecycle,
     # after the dir hold) or at interpreter exit
@@ -480,4 +540,80 @@ def gemini_mendelviol(spark, sf_dir):
             F.sum("variant_id").cast("bigint").alias("sum_ids"),
         )
         .orderBy("error")
+    )
+
+
+_XL_LC = Lifecycle()
+
+
+@dq(
+    "gemini_xlinked",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier
+      WHERE s_suppkey <= 1000 AND s_suppkey % 2 = 1
+    ),
+    b AS (
+      SELECT k,
+             (k * 7 + 13) % 16 AS r1,
+             (k * 3 + 6) % 16  AS r2,
+             (k * 9 + 3) % 16  AS r3
+      FROM q
+    ),
+    models AS (
+      SELECT 'x_linked_de_novo' AS model, k FROM b
+      WHERE r1 BETWEEN 6 AND 13 AND r2 < 6 AND r3 < 6
+      UNION ALL
+      SELECT 'x_linked_recessive', k FROM b
+      WHERE r1 BETWEEN 6 AND 13 AND r3 BETWEEN 6 AND 10 AND r2 < 6
+      UNION ALL
+      SELECT 'x_linked_dominant', k FROM b
+      WHERE r1 BETWEEN 6 AND 13 AND r3 BETWEEN 6 AND 10
+    )
+    SELECT model,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM((k % 50) + 5) AS BIGINT) AS sum_dp,
+           CAST(SUM(k - 1) AS BIGINT) AS sum_start
+    FROM models GROUP BY model ORDER BY model
+    """,
+)
+def gemini_xlinked(spark, sf_dir):
+    """The three gemini X-linked models as one driver row — the last
+    inheritance surface that was pytest-only (VERDICT r7 noted the
+    gemini_dq generator 'extends directly'; this is the chrX extension).
+    The cohort writes odd keys to chrX and even keys to chr1 as DECOYS:
+    the `_x_model` chrom IN-list (inheritance.py:147) must exclude them
+    even when their genotypes satisfy the band conditions, so the hash
+    match proves the X restriction, the sex-aware carries-alt test
+    (S1 is a MALE child: HET or HOM_ALT both count — hemizygous calling
+    conventions), AND the affected-transmitting-parent rule for
+    dominant (the _PED_X mother is affected; recessive ⊂ dominant here
+    by construction, with dominant strictly larger — k≡{11,13} mod 16
+    add mother-carrier sites whose father is not HOM_REF). The oracle
+    replays the decoupled residue algebra (child (7k+13), father
+    (3k+6), mother (9k+3) mod 16) straight from supplier keys. All
+    three models compile to element_at Catalyst predicates over the
+    blob-decoded arrays — no UDF, no explode."""
+    from functools import reduce
+
+    eng = _build_engine(
+        spark, sf_dir, _XL_LC,
+        genotype=_genotype_x, header=_HEADER_X, ped=_PED_X,
+        chroms=("chrX", "chr1"),
+    )
+    inh = eng.inheritance()
+    parts = [
+        inh.x_linked_de_novo(),
+        inh.x_linked_recessive(),
+        inh.x_linked_dominant(),
+    ]
+    allm = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        allm.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("dp").cast("bigint").alias("sum_dp"),
+            F.sum("start").cast("bigint").alias("sum_start"),
+        )
+        .orderBy("model")
     )
