@@ -1351,3 +1351,69 @@ def test_bloom_tables_without_bloom_cols_unaffected(spark, root):
         lh.snapshot(root)["files"]
     )
     assert lh.read_point(spark, root, {"k": 7}).count() == 1
+
+
+# ---- partial OPTIMIZE (r8: Delta minFileSize behavior) ----------------------
+
+
+def test_compact_is_partial_carries_packed_files(spark, root):
+    """OPTIMIZE must rewrite only under-sized files: the already-packed
+    file's manifest entry carries VERBATIM (same path on disk), and the
+    table still reads exactly once per row."""
+    lh.create(spark, root, _mk(spark, 0, 1000).coalesce(1), stat_cols=("k",))
+    big = lh.snapshot(root)["files"][0]
+    assert big["rows"] == 1000
+    # three small appends — the classic streaming small-files shape
+    for lo in (1000, 1010, 1020):
+        lh.append(spark, root, _mk(spark, lo, lo + 10).coalesce(1))
+    v = lh.compact(spark, root, target_bytes=1 << 30,
+                   min_file_bytes=big["bytes"])  # big file is "packed"
+    man = lh.snapshot(root, v)
+    paths = [e["path"] for e in man["files"]]
+    assert big["path"] in paths, "packed file must carry verbatim"
+    assert len(paths) == 2  # carried big + one packed bin
+    assert lh.read(spark, root).count() == 1030
+    assert lh.read(spark, root).select("k").distinct().count() == 1030
+
+
+def test_compact_nothing_to_pack_is_a_no_op(spark, root):
+    """<2 qualifying files → no commit at all (Delta: OPTIMIZE with no
+    work writes nothing), so the log doesn't grow with empty commits."""
+    lh.create(spark, root, _mk(spark, 0, 100).coalesce(1), stat_cols=("k",))
+    v0 = lh.latest_version(root)
+    assert lh.compact(spark, root, min_file_bytes=1) == v0
+    assert lh.latest_version(root) == v0
+
+
+def test_compact_zorder_remains_global(spark, root):
+    """ZORDER is a clustering change — every file rewrites regardless of
+    size (rows must relocate across the whole key space)."""
+    lh.create(
+        spark, root,
+        spark.range(0, 1000).select(
+            (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+        ).repartition(4),
+        stat_cols=("x", "y"),
+    )
+    old = {e["path"] for e in lh.snapshot(root)["files"]}
+    v = lh.compact(spark, root, target_bytes=1 << 10, zorder_cols=("x", "y"))
+    new = {e["path"] for e in lh.snapshot(root, v)["files"]}
+    assert not (old & new)
+
+
+def test_history_audit_rows(spark, root):
+    """DESCRIBE HISTORY: newest-first delta-manifest audit — operations,
+    add/remove counts, restore target; bounded by limit and horizon."""
+    lh.create(spark, root, _mk(spark, 0, 100).coalesce(1), stat_cols=("k",))
+    lh.append(spark, root, _mk(spark, 100, 150).coalesce(1))
+    lh.delete(spark, root, "k >= 140")
+    lh.restore(root, 1)
+    h = lh.history(root)
+    assert [r["operation"] for r in h] == [
+        "restore", "delete", "append", "create"
+    ]
+    assert h[0]["restored_version"] == 1
+    assert h[2]["n_added"] == 1 and h[2]["rows_added"] == 50
+    assert h[1]["n_removed"] >= 1
+    assert [r["version"] for r in lh.history(root, limit=2)] == [3, 2]
+    assert lh.history(str(root) + "_nope") == []

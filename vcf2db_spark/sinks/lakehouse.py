@@ -34,9 +34,12 @@ store with nothing but parquet files and a JSON transaction log:
 - **Copy-on-write MERGE** — only files whose key-range stats overlap the
   update batch are rewritten; untouched file entries carry into the new
   manifest verbatim (tests assert the paths are identical objects on disk).
-- **OPTIMIZE/compact** — bin-packs the current snapshot into
-  ``ceil(bytes/target)`` files as a new commit; old versions still read
-  the old files (the log owns file lifetime, not the writer).
+- **OPTIMIZE/compact** — bin-packs UNDER-SIZED files into
+  ``ceil(bytes/target)`` files as a new commit (partial, Delta's
+  minFileSize behavior: already-packed files carry verbatim, so an
+  OPTIMIZE pass costs O(small-file bytes), never a full-table rewrite);
+  old versions still read the old files (the log owns file lifetime,
+  not the writer).
 
 Driver-side work is manifest-sized (file COUNT, not data volume): footer
 reads, JSON, and one 1-row bounds aggregate per MERGE batch. Vacuuming
@@ -857,26 +860,52 @@ def compact(
     root: str,
     target_bytes: int = 32 << 20,
     zorder_cols: tuple[str, ...] = (),
+    min_file_bytes: int | None = None,
 ) -> int:
-    """OPTIMIZE: bin-pack the current snapshot into ceil(bytes/target)
-    files as a new commit. With ``zorder_cols`` it is OPTIMIZE ZORDER BY:
-    rows are range-partitioned along the Morton key of those columns
-    (operators/layout.py — the stats cross-join keeps it one declarative
-    plan), so each output file covers a compact hyper-rectangle of the
-    key space and the manifest's min/max stats prune MULTI-column box
-    predicates, not just the sort leader. Prior versions keep reading
-    the old files — the log owns file lifetime (see ``vacuum``)."""
+    """OPTIMIZE: bin-pack under-sized files into ceil(bytes/target) files
+    as a new commit.
+
+    Plain OPTIMIZE is PARTIAL (Delta's ``minFileSize`` behavior): only
+    files smaller than ``min_file_bytes`` (default = ``target_bytes``)
+    are rewritten; already-packed files carry into the new manifest
+    verbatim — at 100 TB an OPTIMIZE pass costs O(small-file bytes),
+    never a full-table rewrite (rewriting every file to fix a
+    small-files problem IS the small-files problem, at scale). Fewer
+    than two qualifying files → nothing to pack, NO commit, the current
+    version is returned unchanged.
+
+    With ``zorder_cols`` it is OPTIMIZE ZORDER BY and deliberately
+    GLOBAL: rows are range-partitioned along the Morton key
+    (operators/layout.py — the stats cross-join keeps it one
+    declarative plan), so each output file covers a compact
+    hyper-rectangle and manifest stats prune MULTI-column box
+    predicates; a clustering change relocates rows across every file by
+    definition. Prior versions keep reading the old files — the log
+    owns file lifetime (see ``vacuum``)."""
+
+    def _bytes(e: dict) -> int:
+        # size from manifest metadata when recorded (r8+) — on an object
+        # store an O(files) stat sweep is O(files) HEAD calls; only
+        # pre-r8 entries without a bytes field fall back to a stat
+        return (
+            e["bytes"]
+            if e.get("bytes")
+            else os.path.getsize(os.path.join(root, e["path"]))
+        )
+
     cur = snapshot(root)
-    paths = [os.path.join(root, f["path"]) for f in cur["files"]]
-    # size from manifest metadata when recorded (r8+) — on an object
-    # store an O(files) stat sweep is O(files) HEAD calls; only pre-r8
-    # entries without a bytes field fall back to a stat
-    nbytes = sum(
-        e["bytes"] if e.get("bytes") else os.path.getsize(os.path.join(root, e["path"]))
-        for e in cur["files"]
-    )
+    if zorder_cols:
+        touched = list(cur["files"])
+    else:
+        floor = target_bytes if min_file_bytes is None else min_file_bytes
+        touched = [e for e in cur["files"] if _bytes(e) < floor]
+        if len(touched) < 2:
+            return cur["version"]
+    nbytes = sum(_bytes(e) for e in touched)
     n_out = max(1, math.ceil(nbytes / target_bytes))
-    df = spark.read.schema(_schema_of(cur)).parquet(*paths)
+    df = spark.read.schema(_schema_of(cur)).parquet(
+        *[os.path.join(root, f["path"]) for f in touched]
+    )
     if zorder_cols:
         from vcf2db_spark.operators.layout import with_zorder_key
 
@@ -901,7 +930,7 @@ def compact(
             cur,
             "zorder" if zorder_cols else "compact",
             files,
-            remove=[e["path"] for e in cur["files"]],
+            remove=[e["path"] for e in touched],
         ),
     )
 
@@ -934,6 +963,37 @@ def evolve_schema(root: str, new_schema: StructType) -> int:
     man = _child_manifest(cur, "evolve_schema", [])
     man["schema"] = new_schema.jsonValue()
     return _commit(root, man)
+
+
+def history(root: str, limit: int | None = None) -> list[dict]:
+    """DESCRIBE HISTORY: newest-first commit audit rows — version,
+    operation, files added/removed (counts + rows added when recorded),
+    restored_version for RESTORE commits. Reads DELTA manifests only
+    (never folds a snapshot), newest → horizon, at most ``limit`` rows —
+    O(limit) driver-side JSON reads, bounded by retention either way.
+    The Delta DESCRIBE HISTORY verb; audit beyond the retention horizon
+    is gone by design (expire_log)."""
+    newest = latest_version(root)
+    if newest < 0:
+        return []
+    floor = log_horizon(root)
+    if limit is not None:
+        floor = max(floor, newest - limit + 1)
+    out = []
+    for v in range(newest, floor - 1, -1):
+        man = _read_json(_manifest_path(root, v))
+        add = man.get("add", man.get("files", []))
+        row = {
+            "version": v,
+            "operation": man.get("operation", "unknown"),
+            "n_added": len(add),
+            "n_removed": len(man.get("remove", [])),
+            "rows_added": sum(e.get("rows", 0) for e in add),
+        }
+        if "restored_version" in man:
+            row["restored_version"] = man["restored_version"]
+        out.append(row)
+    return out
 
 
 def txn_version(root: str, app_id: str) -> int:
