@@ -1417,3 +1417,60 @@ def test_history_audit_rows(spark, root):
     assert h[1]["n_removed"] >= 1
     assert [r["version"] for r in lh.history(root, limit=2)] == [3, 2]
     assert lh.history(str(root) + "_nope") == []
+
+
+def test_merge_scope_refined_by_bloom(spark, root):
+    """COW merge on a bloom-indexed UNCLUSTERED key: range containment
+    alone would rewrite every file (each file's [min,max] spans the
+    keyspace); the sidecar probe must narrow the rewrite to files that
+    actually contain an update key, with results exactly unchanged."""
+    df = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("g"),
+            F.lit("orig").alias("tag"),
+        )
+        .repartition(8, "g")
+    )
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    before = {e["path"] for e in lh.snapshot(root)["files"]}
+    assert len(before) == 8
+    # 3 update keys + 1 insert key — the keys land in ≤3 files
+    upd = spark.createDataFrame(
+        [(5, 0, "upd"), (700, 0, "upd"), (1400, 0, "upd"), (9999, 0, "new")],
+        "k long, g long, tag string",
+    )
+    lh.merge(spark, root, upd, key="k")
+    man = lh.snapshot(root)
+    carried = {e["path"] for e in man["files"]} & before
+    rewritten = len(before) - len(carried)
+    assert rewritten <= 4, f"bloom scope failed: rewrote {rewritten}/8"
+    # exactness: updates applied, insert present, everything else intact
+    got = {r["k"]: r["tag"] for r in lh.read(spark, root).collect()}
+    assert len(got) == 2001
+    assert got[5] == got[700] == got[1400] == "upd" and got[9999] == "new"
+    assert got[6] == "orig"
+
+
+def test_merge_bloom_refinement_never_loses_updates(spark, root):
+    """Randomized: every update key must land regardless of which files
+    the probe rules out (the no-false-negative contract end-to-end)."""
+    import random
+
+    rng = random.Random(13)
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") % 53).alias("g"))
+        .repartition(6, "g")
+    )
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    keys = rng.sample(range(1000), 25)
+    upd = spark.createDataFrame([(k, -1) for k in keys], "k long, g long")
+    lh.merge(spark, root, upd, key="k")
+    got = {r["k"]: r["g"] for r in lh.read(spark, root).collect()}
+    assert len(got) == 1000
+    for k in keys:
+        assert got[k] == -1, f"update for key {k} lost"
+    missed = [k for k in range(1000) if k not in keys and got[k] != k % 53]
+    assert not missed

@@ -133,6 +133,27 @@ def main() -> None:
         f"sidecar_bytes={side_bytes} ({side_bytes/n_files/1024:.1f} KiB/file) "
         f"build_with_bloom={t_build:.2f}s build_without={t_build_nb:.2f}s"
     )
+
+    # merge-scope A/B: a sparse 5-key merge into the hash-distributed
+    # table — range containment marks all files hit; the bloom probe
+    # should narrow the rewrite to the files truly containing a key
+    upd_keys = present[:5]
+    upd = (
+        li.filter(F.col("l_orderkey").isin(upd_keys))
+        .groupBy("l_orderkey")
+        .agg(F.min("l_partkey").alias("l_partkey"),
+             F.min("l_extendedprice").alias("l_extendedprice"))
+    )
+    for label, r in (("bloom", root), ("stats-only", root2)):
+        before = {e["path"] for e in lh.snapshot(r)["files"]}
+        t0 = time.time()
+        lh.merge(spark, r, upd, key="l_orderkey")
+        t_merge = time.time() - t0
+        after = {e["path"] for e in lh.snapshot(r)["files"]}
+        print(
+            f"merge[{label:10s}] rewrote {len(before - after)}/{len(before)} "
+            f"files in {t_merge:.2f}s"
+        )
     shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(root2, ignore_errors=True)
 

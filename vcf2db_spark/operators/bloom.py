@@ -174,6 +174,64 @@ def bloom_contains(bloom: dict, value) -> bool:
     return bool(np.all(hit != 0))
 
 
+def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
+    """Which filters match AT LEAST ONE key of ``keys_df[col]`` — the
+    COW-merge scope refinement: a file whose filter rejects every update
+    key provably contains none of them and need not be rewritten.
+
+    Executor-side over the (possibly huge) key batch: the filters are
+    broadcast (file-count × filter size — KBs each), each partition
+    hashes its unique keys ONCE (vectorized) and tests every
+    still-unmatched filter against the whole batch with numpy gathers;
+    filters drop out of the loop as soon as one key hits, so a batch
+    that touches every file exits after the first batches. The driver
+    collects at most one id per filter — file-count-bounded."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if not blooms_by_id:
+        return set()
+    prepared = {
+        i: (int(b["m"]), int(b["k"]), base64.b64decode(b["bits"]))
+        for i, b in blooms_by_id.items()
+    }
+    pb = spark.sparkContext.broadcast(prepared)
+
+    def gen(batches):
+        bits_cache: dict = {}
+        remaining = set(pb.value)
+        matched = []
+        for pdf in batches:
+            if not remaining:
+                break
+            vals = pdf[col].dropna().unique()
+            if not len(vals):
+                continue
+            h1, h2 = _hash_values(vals)
+            for fid in list(remaining):
+                m, k, raw = pb.value[fid]
+                bits = bits_cache.get(fid)
+                if bits is None:
+                    bits = bits_cache[fid] = np.frombuffer(raw, dtype=np.uint8)
+                i = np.arange(k, dtype=np.uint64)
+                idx = (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m - 1)
+                hit = bits[(idx >> np.uint64(3)).astype(np.int64)] & (
+                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
+                )
+                if bool(np.any(np.all(hit != 0, axis=1))):
+                    matched.append(fid)
+                    remaining.discard(fid)
+        if matched:
+            yield pd.DataFrame({"id": matched})
+
+    rows = (
+        keys_df.select(F.col(col))
+        .mapInPandas(gen, schema="id long")
+        .collect()
+    )
+    return {r["id"] for r in rows}
+
+
 def build_file_blooms(
     spark,
     paths: list[str],

@@ -661,8 +661,13 @@ def merge(
     touching both ends of the keyspace rewrites two files, not the span
     between them); every other file entry carries into the new manifest
     verbatim. Non-numeric key stats fall back to [min,max]-span overlap.
-    Driver materializations stay bounded: one 1-row bounds aggregate +
-    one hit list of at most file-count rows."""
+    When the key is bloom-indexed (``bloom_cols``), the hit set is
+    further REFINED by probing each candidate's sidecar filter against
+    the batch — range containment cannot help on an unclustered key
+    (every file covers every key), the bloom probe restores
+    write-amplification ∝ true containment. Driver materializations
+    stay bounded: one 1-row bounds aggregate + one hit list of at most
+    file-count rows + candidate sidecar reads (file-count KBs)."""
     cur = snapshot(root)
     _check_schema(cur, updates, "merge")
     # 1-row bounds aggregate of the update batch (empty-batch gate, the
@@ -717,6 +722,40 @@ def merge(
         overlapping = [
             st is None or not (st[0] > hi or st[1] < lo) for _, st in ranges
         ]
+
+    # Bloom refinement (r8): range containment proves a file's [min,max]
+    # COVERS some update key, not that the file CONTAINS one — on an
+    # unclustered key every file covers every key and a sparse merge
+    # would rewrite the whole table. When the merge key is bloom-indexed,
+    # probe each candidate's sidecar against the batch executor-side
+    # (operators/bloom.py probe_any_key — filters broadcast, keys hashed
+    # once per partition): files whose filter rejects EVERY update key
+    # provably contain none and carry verbatim. Missing sidecars stay
+    # hit — degraded scope, never a lost update.
+    if key in _bloom_cols_of(cur):
+        blooms_by_idx: dict[int, dict] = {}
+        for i, e in enumerate(cur["files"]):
+            if not overlapping[i]:
+                continue
+            try:
+                side = _read_json(_bloom_sidecar_path(root, e["path"]))
+            except (OSError, ValueError):
+                continue
+            b = side.get(key)
+            if b is not None:
+                blooms_by_idx[i] = b
+        if blooms_by_idx:
+            from vcf2db_spark.operators.bloom import probe_any_key
+
+            matched = probe_any_key(
+                spark,
+                updates.select(F.col(key).alias("__k")),
+                "__k",
+                blooms_by_idx,
+            )
+            for i in blooms_by_idx:
+                if i not in matched:
+                    overlapping[i] = False
 
     touched, untouched = [], []
     for entry, hit_flag in zip(cur["files"], overlapping):
