@@ -23,12 +23,12 @@ ALLOWED = {
     "streaming/pipelines.py": (1, "distinct bucket ids of ONE micro-batch (≤ n_buckets)"),
     "sinks/writers.py": (1, "1-row min/max aggregate for parquet footer stats"),
     "sinks/export.py": (3, "per-shard manifest stats — one row per shard (pmod-bounded)"),
-    "sinks/lakehouse.py": (2, "MERGE: 1-row key-bounds aggregate + per-file hit list (file-count-bounded)"),
+    "sinks/lakehouse.py": (3, "MERGE: 1-row key-bounds aggregate + per-file hit list; DELETE find-touched basenames (all file-count-bounded)"),
     "operators/dedup.py": (2, "limit(small_threshold+1) union-find probe; 1-row convergence sum per jump"),
     "operators/bpe.py": (1, "limit(1) argmax merge-pair per BPE iteration"),
     "operators/quantization.py": (1, "hash-ordered k-means seed sample (sample-size bounded)"),
     "operators/variants.py": (1, "per-partition count offsets — one row per partition"),
-    "operators/bloom.py": (1, "partial bloom bitmaps — ≤ partitions × files × cols rows of ≤128 KiB"),
+    "operators/bloom.py": (2, "per-file bloom bitmaps + any-key probe matches (both file-count-bounded)"),
     "queries/lakehouse_dq.py": (1, "top-3 lookup keys for the bloom point-read demo (3 rows)"),
     "operators/similarity.py": (3, "IVF centroids (n_lists-bounded) ×2; centroid parquet read-back"),
     "gemini.py": (1, "sample NAMES for a wildcard selector (cohort-sample-bounded)"),

@@ -1474,3 +1474,28 @@ def test_merge_bloom_refinement_never_loses_updates(spark, root):
         assert got[k] == -1, f"update for key {k} lost"
     missed = [k for k in range(1000) if k not in keys and got[k] != k % 53]
     assert not missed
+
+
+def test_delete_rewrites_only_files_with_matches(spark, root):
+    """Two-phase DELETE: the find-touched scan must narrow the rewrite
+    to files actually holding a matching row — stats-candidate files
+    with zero matches carry verbatim."""
+    df = (
+        spark.range(0, 800)
+        .select(F.col("id").alias("k"), (F.col("id") % 8).alias("g"))
+        .repartitionByRange(8, "g")  # equal g → same file; k spans files
+    )
+    lh.create(spark, root, df, stat_cols=("k",))
+    before = {e["path"] for e in lh.snapshot(root)["files"]}
+    assert len(before) >= 4
+    lh.delete(spark, root, "g = 3")  # all matching rows live in ONE file
+    man = lh.snapshot(root)
+    carried = {e["path"] for e in man["files"]} & before
+    assert len(before) - len(carried) == 1, "should rewrite exactly 1 file"
+    got = lh.read(spark, root)
+    assert got.count() == 700 and got.filter("g = 3").count() == 0
+    # no-match predicate → pure no-op delta commit, nothing rewritten
+    v = lh.delete(spark, root, "k > 100000")
+    assert {e["path"] for e in lh.snapshot(root, v)["files"]} == {
+        e["path"] for e in man["files"]
+    }

@@ -824,10 +824,12 @@ def delete(
     predicate) limits the rewrite to files whose stats overlap — the
     same manifest-level planning as ``read_pruned``; files outside it
     carry into the new manifest verbatim and are never read. Within the
-    candidate set, files that turn out to contain NO matching rows are
-    still rewritten (COW semantics keep this simple and exact; an
-    anti-join count per file would save them at the cost of a second
-    scan). Driver work stays manifest-sized."""
+    candidate set, a FIND-TOUCHED scan (Delta's two-phase DELETE) runs
+    the predicate once with pushdown and keeps only files that actually
+    contain a matching row — a predicate matching 0.1% of rows rewrites
+    the files holding that 0.1%, not every stats-overlapping candidate.
+    Driver work stays manifest-sized (the hit list is ≤ file-count
+    basenames)."""
     cur = snapshot(root)
     if prune:
         # plan against the SAME pinned version we rewrite — a commit
@@ -841,6 +843,24 @@ def delete(
         cand_paths = {e["path"] for e in cur["files"]}
     touched = [e for e in cur["files"] if e["path"] in cand_paths]
     schema = _schema_of(cur)
+    if touched:
+        # find-touched scan: which candidate files hold ≥1 matching row
+        # (part filenames carry a job UUID — basenames are unique)
+        cand_scan = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in touched]
+        )
+        hit_bases = {
+            os.path.basename(r["__f"])
+            for r in cand_scan.filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        }
+        touched = [
+            e for e in touched if os.path.basename(e["path"]) in hit_bases
+        ]
     if not touched:
         return _commit(root, _child_manifest(cur, "delete", []))
     src = spark.read.schema(schema).parquet(
