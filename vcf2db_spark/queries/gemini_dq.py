@@ -617,3 +617,110 @@ def gemini_xlinked(spark, sf_dir):
         )
         .orderBy("model")
     )
+
+
+@dq(
+    "gemini_burden",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier
+      WHERE s_suppkey <= 1000 AND s_suppkey % 4 IN (1, 2)
+    ),
+    c AS (
+      SELECT k, i FROM q, (VALUES (1), (2), (3), (4)) s(i)
+      WHERE ((k * 7 + 13 * i) % 16) BETWEEN 6 AND 13
+    )
+    SELECT 'G' || CAST(k % 5 AS VARCHAR) AS gene,
+           'S' || CAST(i AS VARCHAR) AS sample,
+           CAST(COUNT(*) AS BIGINT) AS n_variants
+    FROM c GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def gemini_burden(spark, sf_dir):
+    """``gemini burden`` (stats.py) as an oracle-backed driver row — the
+    stats tier was golden-tested but driver-invisible. Long-form
+    gene-burden counts over the SHARED `_genotype` artifact (same build
+    as gemini_autorec/mendelviol — load-once-query-many): qualifying
+    variants are those with a HIGH/MED transcript (CSQ classes e=k%4 ∈
+    {1,2} — missense / stop_gained, deduped per (variant, gene) so
+    multi-transcript variants count once), carriers are samples whose
+    decoded genotype is HET or HOM_ALT ((7k+13i) mod 16 ∈ [6,13]).
+    The oracle replays the severity table and carrier bands straight
+    from supplier keys, pinning the CSQ explode → severity → gt_long
+    carrier join end-to-end. Plan: severity filter prunes impacts
+    before the distinct; both join sides partition on variant_id."""
+    from vcf2db_spark.stats import burden
+
+    eng = _shared_engine(spark, sf_dir)
+    t = eng.tables
+    names = t.header.samples or []
+    return burden(t.variants, t.variant_impacts, names).orderBy(
+        "gene", "sample"
+    )
+
+
+@dq(
+    "gemini_roh",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    h AS (
+      SELECT 'S' || CAST(i AS VARCHAR) AS sample,
+             CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
+             k - 1 AS run_s, k AS run_e,
+             (((k * 7 + 13 * i) % 16) < 6
+              OR ((k * 7 + 13 * i) % 16) BETWEEN 11 AND 13) AS hom
+      FROM q, (VALUES (1), (2), (3), (4)) s(i)
+    ),
+    g AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY sample, chrom
+                           ORDER BY run_s, run_e)
+        - ROW_NUMBER() OVER (PARTITION BY sample, chrom, hom
+                             ORDER BY run_s, run_e) AS grp
+      FROM h
+    ),
+    runs AS (
+      SELECT sample, chrom, CAST(COUNT(*) AS BIGINT) AS n_snps,
+             CAST(MIN(run_s) AS BIGINT) AS run_start,
+             CAST(MAX(run_e) AS BIGINT) AS run_end
+      FROM g WHERE hom GROUP BY sample, chrom, grp
+    )
+    SELECT sample, chrom, n_snps, run_start, run_end,
+           CAST(run_end - run_start AS BIGINT) AS size_bp
+    FROM runs
+    WHERE n_snps >= 2 AND run_end - run_start >= 4
+    ORDER BY sample, chrom, run_start
+    """,
+)
+def gemini_roh(spark, sf_dir):
+    """``gemini roh`` (strict runs of homozygosity, stats.py:111) as an
+    oracle-backed driver row over the SHARED `_genotype` artifact: per
+    (sample, chrom), maximal stretches of consecutive HOM sites (any HET
+    or uncalled site breaks the run), via the Catalyst-only
+    gaps-and-islands (two row_number windows sharing one (sample,
+    chrom) shuffle). The oracle replays the IDENTICAL islands algebra
+    in DuckDB from supplier keys (sample i hom ⇔ (7k+13i) mod 16 <6 or
+    ∈[11,13]; site order = locus order within each chrom), returning
+    every run row — so the hash pins run boundaries, counts, and sizes,
+    not just aggregates. Thresholds are lowered (min_snps=2,
+    min_size_bp=4) because the generator's 16-cycle genotype pattern
+    breaks runs long before gemini's WGS-scale defaults (25 snps /
+    100 kb) — the windowing under test is threshold-independent."""
+    from vcf2db_spark.stats import roh
+
+    eng = _shared_engine(spark, sf_dir)
+    t = eng.tables
+    names = t.header.samples or []
+    return (
+        roh(t.variants, names, min_snps=2, min_size_bp=4)
+        .select(
+            "sample", "chrom",
+            F.col("n_snps").cast("bigint").alias("n_snps"),
+            F.col("run_start").cast("bigint").alias("run_start"),
+            F.col("run_end").cast("bigint").alias("run_end"),
+            F.col("size_bp").cast("bigint").alias("size_bp"),
+        )
+        .orderBy("sample", "chrom", "run_start")
+    )
