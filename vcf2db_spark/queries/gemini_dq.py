@@ -724,3 +724,52 @@ def gemini_roh(spark, sf_dir):
         )
         .orderBy("sample", "chrom", "run_start")
     )
+
+
+@dq(
+    "gemini_sfs",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    per AS (
+      SELECT k,
+        SUM(CASE WHEN r BETWEEN 6 AND 10 THEN 1
+                 WHEN r BETWEEN 11 AND 13 THEN 2 ELSE 0 END) AS n_alt,
+        SUM(CASE WHEN r >= 14 THEN 0 ELSE 1 END) AS n_called
+      FROM (SELECT k, ((k * 7 + 13 * i) % 16) AS r
+            FROM q, (VALUES (1), (2), (3), (4)) s(i)) t
+      GROUP BY k
+    ),
+    a AS (
+      SELECT CAST(n_alt AS DOUBLE) / (2 * n_called) AS aaf
+      FROM per WHERE n_called > 0
+    ),
+    b AS (
+      SELECT CAST(LEAST(FLOOR(aaf * 10), 9) AS INTEGER) AS bucket FROM a
+    )
+    SELECT bucket,
+           ROUND(CAST(bucket AS DOUBLE) / 10, 6) AS lo,
+           ROUND(CAST(bucket + 1 AS DOUBLE) / 10, 6) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def gemini_sfs(spark, sf_dir):
+    """``gemini stats --sfs`` as an oracle-backed driver row on the
+    SHARED artifact: the site-frequency spectrum histograms the
+    load-derived ``aaf`` column (A5 per-row derivation —
+    (num_het + 2·num_hom_alt)/(2·called) over the gt_types array, pure
+    higher-order functions). The oracle recomputes aaf per site from
+    the generator bands and re-buckets it with the identical
+    floor/least arithmetic — every aaf here is a dyadic-or-sixth
+    rational whose double representation both engines bucket
+    identically — so the hash pins A5's allele-frequency derivation
+    through the full blob round trip, which no prior row exercised."""
+    from vcf2db_spark.stats import site_frequency_spectrum
+
+    eng = _shared_engine(spark, sf_dir)
+    sfs = site_frequency_spectrum(eng.tables.variants)
+    return sfs.select(
+        "bucket", "lo", "hi", F.col("n").cast("bigint").alias("n")
+    ).orderBy("bucket")
