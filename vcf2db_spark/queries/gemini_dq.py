@@ -166,6 +166,25 @@ def _genotype_x(k: int, i: int) -> str:
     return "./.:."
 
 
+_BASES = "ACGT"
+
+
+def _refalt_fixed(k: int) -> tuple[str, str]:
+    return "A", "G"
+
+
+def _refalt_varied(k: int) -> tuple[str, str]:
+    """Deterministic ref/alt mix (shared-build cohort): ref cycles the
+    four bases by k mod 4; alt is the ((k//4) mod 3)-th of the OTHER
+    bases in A<C<G<T order — yields both transitions (A↔G, C↔T) and
+    transversions in a ratio the tstv/snp-counts oracles replay. The
+    five pre-existing shared-artifact oracles aggregate nothing over
+    ref/alt, so varying them is invisible to those rows."""
+    ref = _BASES[k % 4]
+    others = [b for b in _BASES if b != ref]
+    return ref, others[(k // 4) % 3]
+
+
 def _write_cohort_vcf(
     spark,
     sf_dir: str,
@@ -174,6 +193,7 @@ def _write_cohort_vcf(
     header: str = _HEADER,
     ped: str = _PED,
     chroms: tuple[str, str] = ("chr1", "chr2"),
+    refalt=_refalt_fixed,
 ) -> tuple[str, str]:
     """Generate the deterministic cohort VCF + PED from supplier keys.
     Driver memory is one int per cohort row. Bounded input (harness
@@ -203,8 +223,9 @@ def _write_cohort_vcf(
                 for j, cons in enumerate(_CSQ_BY_E[k % 4])
             )
             gts = "\t".join(genotype(k, i) for i in (1, 2, 3, 4))
+            ref, alt = refalt(k)
             lines.append(
-                f"{chrom}\t{k}\t.\tA\tG\t50.0\tPASS\t"
+                f"{chrom}\t{k}\t.\t{ref}\t{alt}\t50.0\tPASS\t"
                 f"DP={(k % 50) + 5};CSQ={csq}\tGT:DP\t{gts}"
             )
     vcf = os.path.join(d, "cohort.vcf")
@@ -224,6 +245,7 @@ def _build_engine(
     header: str = _HEADER,
     ped: str = _PED,
     chroms: tuple[str, str] = ("chr1", "chr2"),
+    refalt=_refalt_fixed,
 ):
     """Cohort artifact through the REAL pipeline: generate → load_vcf →
     sqlite sink (blob encode) → open_artifact (blob decode) → engine.
@@ -234,7 +256,8 @@ def _build_engine(
     from vcf2db_spark.sinks.sqlite import write_gemini_db
 
     vcf, ped = _write_cohort_vcf(
-        spark, sf_dir, lc, genotype, header=header, ped=ped, chroms=chroms
+        spark, sf_dir, lc, genotype, header=header, ped=ped, chroms=chroms,
+        refalt=refalt,
     )
     # cache_parse: variants + impacts + the variant-id offsets job all
     # share ONE Python-parse pass; released on the NEXT call (Lifecycle,
@@ -278,7 +301,7 @@ def _shared_engine(spark, sf_dir: str):
     eng = _SH_ENGINES.get(sf_dir)
     if eng is None:
         _SH_ENGINES.clear()  # the build below releases the old holds
-        eng = _build_engine(spark, sf_dir, _SH_LC)
+        eng = _build_engine(spark, sf_dir, _SH_LC, refalt=_refalt_varied)
         _SH_ENGINES[sf_dir] = eng
     return eng
 
@@ -773,3 +796,82 @@ def gemini_sfs(spark, sf_dir):
     return sfs.select(
         "bucket", "lo", "hi", F.col("n").cast("bigint").alias("n")
     ).orderBy("bucket")
+
+
+_REFALT_MAP_SQL = """(VALUES
+      (0, 0, 'A', 'C'), (0, 1, 'A', 'G'), (0, 2, 'A', 'T'),
+      (1, 0, 'C', 'A'), (1, 1, 'C', 'G'), (1, 2, 'C', 'T'),
+      (2, 0, 'G', 'A'), (2, 1, 'G', 'C'), (2, 2, 'G', 'T'),
+      (3, 0, 'T', 'A'), (3, 1, 'T', 'C'), (3, 2, 'T', 'G')
+    ) m(rm, j, ref, alt)"""
+
+
+@dq(
+    "gemini_tstv",
+    oracle=f"""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    ra AS (
+      SELECT m.ref, m.alt FROM q JOIN {_REFALT_MAP_SQL}
+      ON m.rm = k % 4 AND m.j = CAST((k - (k % 4)) / 4 AS BIGINT) % 3
+    ),
+    c AS (
+      SELECT
+        CAST(COUNT(CASE WHEN (ref = 'A' AND alt = 'G')
+                          OR (ref = 'G' AND alt = 'A')
+                          OR (ref = 'C' AND alt = 'T')
+                          OR (ref = 'T' AND alt = 'C')
+                   THEN 1 END) AS BIGINT) AS n_ts,
+        CAST(COUNT(CASE WHEN NOT ((ref = 'A' AND alt = 'G')
+                          OR (ref = 'G' AND alt = 'A')
+                          OR (ref = 'C' AND alt = 'T')
+                          OR (ref = 'T' AND alt = 'C'))
+                   THEN 1 END) AS BIGINT) AS n_tv
+      FROM ra
+    )
+    SELECT n_ts, n_tv,
+           CASE WHEN n_tv > 0
+                THEN ROUND(CAST(n_ts AS DOUBLE) / n_tv, 4) END AS tstv
+    FROM c
+    """,
+)
+def gemini_tstv(spark, sf_dir):
+    """``gemini stats --tstv`` on the SHARED artifact, whose generator
+    now varies ref/alt deterministically (``_refalt_varied`` — ref
+    cycles ACGT by k mod 4, alt picks among the other bases by
+    (k//4) mod 3): the oracle replays the same map as a 12-row VALUES
+    relation and classifies transitions (A↔G, C↔T) vs transversions —
+    pinning the load-time ``sub_type`` derivation
+    (operators/variants.py with_variant_type) through the artifact
+    round trip. One row: (n_ts, n_tv, tstv)."""
+    from vcf2db_spark.stats import tstv
+
+    eng = _shared_engine(spark, sf_dir)
+    return tstv(eng.tables.variants)
+
+
+@dq(
+    "gemini_snptypes",
+    oracle=f"""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    ra AS (
+      SELECT m.ref, m.alt FROM q JOIN {_REFALT_MAP_SQL}
+      ON m.rm = k % 4 AND m.j = CAST((k - (k % 4)) / 4 AS BIGINT) % 3
+    )
+    SELECT ref, alt, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ra GROUP BY ref, alt ORDER BY n DESC, ref, alt
+    """,
+)
+def gemini_snptypes(spark, sf_dir):
+    """``gemini stats --snp-counts`` on the SHARED artifact: counts per
+    SNP substitution class over the varied ref/alt generator — all 12
+    ordered base pairs populated, the oracle replaying the VALUES map.
+    Pins the snp ``type`` classification (length-1, ref ≠ alt) and the
+    ref/alt columns' fidelity through the sqlite blob round trip."""
+    from vcf2db_spark.stats import snp_counts
+
+    eng = _shared_engine(spark, sf_dir)
+    return snp_counts(eng.tables.variants)
