@@ -38,7 +38,7 @@ MACHINERY_QUERIES = (
     "gemini_gtfilter", "gemini_denovo", "gemini_comphet",
     "gemini_autorec", "gemini_mendelviol", "gemini_xlinked",
     "gemini_burden", "gemini_roh", "gemini_sfs",
-    "gemini_tstv", "gemini_snptypes",
+    "gemini_tstv", "gemini_snptypes", "gemini_annotate",
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     "lakehouse_delete", "lakehouse_bloom_lookup", "stream_lakehouse_feed",
     "stream_upsert",

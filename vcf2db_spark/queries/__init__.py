@@ -211,6 +211,7 @@ _PRIORITY_R08 = [
     "gemini_comphet", "ivfadc_recall", "gemini_autorec", "gemini_mendelviol",
     "lakehouse_bloom_lookup", "gemini_xlinked", "gemini_burden",
     "gemini_roh", "gemini_sfs", "gemini_tstv", "gemini_snptypes",
+    "gemini_annotate",
     # latest record still r3 (recorded-oldest, in r3 window order):
     "rename_project", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21",

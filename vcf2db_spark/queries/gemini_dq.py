@@ -875,3 +875,70 @@ def gemini_snptypes(spark, sf_dir):
 
     eng = _shared_engine(spark, sf_dir)
     return snp_counts(eng.tables.variants)
+
+
+@dq(
+    "gemini_annotate",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey AS k FROM supplier WHERE s_suppkey <= 1000
+    ),
+    a AS (
+      SELECT k,
+             CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
+             (k >= 1 AND ((k - 1) % 100) < 60) AS f,
+             CAST((k - 1 - ((k - 1) % 100)) / 100 AS BIGINT) AS j
+      FROM q
+    )
+    SELECT chrom,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(CASE WHEN f THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+             AS sum_overlaps,
+           CAST(SUM(CASE WHEN f THEN 3 * j + 1 ELSE 0 END) AS BIGINT)
+             AS sum_score
+    FROM a GROUP BY chrom ORDER BY chrom
+    """,
+)
+def gemini_annotate(spark, sf_dir):
+    """``gemini annotate`` (operators/annotate.py) as an oracle-backed
+    driver row on the SHARED artifact: a deterministic 20-interval
+    regions table ([100j, 100j+60) per chrom, score 3j+1, j < 10) is
+    overlap-joined to the cohort (binned interval_join — the regions
+    side is tiny and broadcasts), producing the boolean / count / mean-
+    extract annotation columns in one pass; the aggregate pins all
+    three. The oracle replays containment arithmetically: start = k−1
+    overlaps region j = (k−1)//100 iff (k−1) mod 100 < 60 (each site
+    overlaps at most one region, so count ∈ {0,1} and the mean extract
+    is the region's own score — exact integers in doubles, summed
+    exactly)."""
+    from vcf2db_spark.operators.annotate import annotate_variants
+
+    eng = _shared_engine(spark, sf_dir)
+    regions = spark.createDataFrame(
+        [
+            (c, 100 * j, 100 * j + 60, float(3 * j + 1))
+            for c in ("chr1", "chr2")
+            for j in range(10)
+        ],
+        "chrom string, start long, end long, score double",
+    )
+    ann = annotate_variants(
+        eng.tables.variants,
+        regions,
+        extract={"score_mean": ("score", "mean")},
+        boolean_col="in_reg",
+        count_col="n_reg",
+    )
+    return (
+        ann.groupBy("chrom")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_if(F.col("in_reg")).alias("n_flagged"),
+            F.sum("n_reg").cast("bigint").alias("sum_overlaps"),
+            F.sum(F.coalesce(F.col("score_mean"), F.lit(0.0)))
+            .cast("bigint")
+            .alias("sum_score"),
+        )
+        .orderBy("chrom")
+    )
