@@ -136,9 +136,9 @@ def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
     calls: list[str] = []
     real = G._build_engine
 
-    def counting(spark_, sf_dir_, lc, genotype=G._genotype):
+    def counting(spark_, sf_dir_, lc, *args, **kwargs):
         calls.append(sf_dir_)
-        return real(spark_, sf_dir_, lc, genotype)
+        return real(spark_, sf_dir_, lc, *args, **kwargs)
 
     monkeypatch.setattr(G, "_build_engine", counting)
     G._SH_ENGINES.clear()
