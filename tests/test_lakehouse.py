@@ -1499,3 +1499,57 @@ def test_delete_rewrites_only_files_with_matches(spark, root):
     assert {e["path"] for e in lh.snapshot(root, v)["files"]} == {
         e["path"] for e in man["files"]
     }
+
+
+# ---- bloom type contract (code-review r8 findings) --------------------------
+
+
+def test_merge_bloom_survives_null_keys_in_batch(spark, root):
+    """Arrow→pandas coerces an int64 key column WITH NULLs to float64;
+    the probe must still hash integral values through the integer
+    family, or updates co-batched with a NULL key are silently lost
+    (reproduced pre-fix)."""
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("k"),
+                (F.col("id") % 37).alias("g"),
+                F.lit("orig").alias("tag"))
+        .repartition(4, "g")
+    )
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    upd = spark.createDataFrame(
+        [(5, 0, "upd"), (None, 0, "nullkey"), (200, 0, "upd")],
+        "k long, g long, tag string",
+    )
+    lh.merge(spark, root, upd, key="k")
+    got = {r["k"]: r["tag"] for r in lh.read(spark, root).collect()}
+    assert got[5] == "upd" and got[200] == "upd", "NULL co-batch lost updates"
+    assert got[6] == "orig"
+
+
+def test_point_lookup_probe_type_mismatch_is_not_false_negative(spark, root):
+    """Family-typed filters: an int column probed with a float (and a
+    float column probed with an int) must still find the row; a value
+    that CANNOT exist in the family (5.5 on int) plans zero files."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id").cast("double") / 2).alias("v"),
+        (F.col("id") % 29).alias("g"),
+    ).repartition(4, "g")
+    lh.create(spark, root, df, stat_cols=(), bloom_cols=("k", "v"))
+    assert lh.read_point(spark, root, {"k": 7.0}).count() == 1  # float→int
+    assert lh.read_point(spark, root, {"v": 5}).count() == 1    # int→float (v=5.0 at k=10)
+    kept, _, skipped = lh.plan_files_bloom(root, {"k": 7.5})
+    assert not kept and skipped == 4  # non-integral int-probe: definitely absent
+
+
+def test_bloom_cols_unsupported_type_rejected_at_create(spark, root):
+    """Temporal bloom columns would break the no-false-negative contract
+    through representation mismatch — create() must refuse them."""
+    df = spark.sql(
+        "SELECT id AS k, TIMESTAMP '2021-01-01' AS ts FROM range(10)"
+    )
+    with pytest.raises(ValueError, match="unsupported types"):
+        lh.create(spark, root, df, bloom_cols=("ts",))
+    lh.create(spark, root, df, bloom_cols=("k",))  # int col still fine
+    assert lh.read_point(spark, root, {"k": 3}).count() == 1

@@ -13,34 +13,42 @@ manifest wiring, and planner live in sinks/lakehouse.py.
 
 Design for 100 TB:
 
-- **Built executor-side, no shuffle.** ``build_file_blooms`` folds each
-  partition's Arrow batches into partial bitmaps keyed by
-  ``input_file_name`` via ``mapInPandas`` (a groupBy-file build would
-  shuffle the entire key column). The driver receives at most
-  partitions × files × columns partial bitmaps of m/8 bytes each and
-  ORs them — bloom union is bitwise OR when parameters match, so the
-  merge is exact regardless of how Spark split files across tasks.
+- **Built executor-side, no shuffle: one task per data file.** Each task
+  pyarrow-reads ONLY the indexed columns of its file (the same
+  executor-side read pattern as sources/lakehouse_feed.py) and builds
+  the complete filter in one vectorized pass; the driver collects one
+  (file, column, bitmap) row per filter — file-count-bounded kilobytes,
+  never row-count.
 - **Vectorized hashing on the hot path.** Integer and float keys (the
   typical lookup columns) hash through a numpy splitmix64 pipeline —
   whole arrays at once, uint64 wrap-around arithmetic, no per-value
   Python. Strings/bytes fall back to a per-unique-value blake2b loop
   (variable-length hashing does not vectorize in numpy; unique-count,
   not row-count, bounds the loop).
+- **Typed filters — the no-false-negative contract survives dtype
+  coercion.** Every filter records its value FAMILY (``"t"``: ``i``
+  integer, ``f`` float, ``s`` string/bytes), taken from the parquet
+  column type at build time. Probes coerce through the recorded family,
+  not the probe value's Python type: an int column probed with ``5.0``
+  hashes as the integer 5; a float column probed with ``5`` hashes as
+  ``5.0``; and — critically — a pandas batch whose int64 key column was
+  NULL-coerced to float64 (Arrow→pandas does this) still hashes its
+  integral values through the integer path. A probe value that CANNOT
+  exist in the family (``5.5`` against an int column) is definitely
+  absent. Unsupported column types (timestamps, decimals, nested) are
+  rejected at ``create()`` — silently-mismatched string forms would
+  break the contract.
 - **Sized from the parquet footer.** The row count per file is already
   known when blooms are built (``_write_data`` harvests footers), so
   m and k are fixed up front: m = next power of two of n·10 bits
   (≈1% fpp at k = round(ln2 · m/n)), clamped to [1 KiB, 128 KiB] of
   bits.
-- **Deterministic everywhere.** splitmix64 with fixed seeds and
-  blake2b are platform- and process-independent: filters built on any
-  executor probe identically anywhere (no Python hash randomization,
+- **Deterministic everywhere.** splitmix64 with fixed seeds and blake2b
+  are platform- and process-independent (no Python hash randomization,
   no library-version-dependent hashing), so sidecars persist with the
   table.
 
-Probe values must match the column's family: integer columns are probed
-with ints, float with floats (IEEE bit pattern, −0.0 normalized),
-string/bytes with the same Python type — Delta's guidance for its index
-is the same. NULLs are never indexed and never filtered out.
+NULLs are never indexed and never filtered out.
 
 Reference parity: Delta Lake bloom filter indexes
 (delta.bloomFilter.* table properties); Parquet's optional column bloom
@@ -61,6 +69,15 @@ BITS_PER_KEY = 10  # ≈1% false-positive rate at the matching k
 
 _S1 = np.uint64(0x9E3779B97F4A7C15)
 _S2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+#: Spark simpleString type names a bloom column may have; everything
+#: else (timestamp/date/decimal/nested) has no canonical cross-engine
+#: string/bit form and is rejected at create() — a silent mismatch
+#: would produce false NEGATIVES, the one failure bloom must never have
+SUPPORTED_SPARK_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "boolean",
+     "float", "double", "string", "binary"}
+)
 
 
 def bloom_params(n_rows: int, bits_per_key: int = BITS_PER_KEY) -> tuple[int, int]:
@@ -100,34 +117,87 @@ def _obj_bytes(v) -> bytes:
     return v if isinstance(v, bytes) else str(v).encode()
 
 
-def _hash_values(values) -> tuple[np.ndarray, np.ndarray]:
-    """(h1[], h2[]) for an array/sequence of non-null values. Integer and
-    float arrays take the vectorized path; everything else loops blake2b
-    over the (unique) values."""
-    arr = np.asarray(values)
-    if arr.dtype.kind in ("i", "u"):
+def family_of_arrow_type(t) -> str | None:
+    """Filter family for a pyarrow column type, or None = unsupported
+    (no filter built — probes keep the file, conservative)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    ):
+        return "s"
+    return None
+
+
+def _coerce_array(arr: np.ndarray, fam: str) -> np.ndarray:
+    """Coerce a batch of non-null probe/build values into the filter's
+    family. Values that cannot exist in the family (non-integral floats
+    against an int column) are DROPPED — they are definitely absent, so
+    dropping them can only under-match, never lose a real key."""
+    if fam == "i":
+        if arr.dtype.kind in ("i", "u", "b"):
+            return arr.astype(np.int64)
+        if arr.dtype.kind == "f":
+            f = arr.astype(np.float64)
+            ok = np.isfinite(f) & (f == np.floor(f))
+            return f[ok].astype(np.int64)
+        out = []
+        for v in arr:  # object path (mixed pandas columns)
+            if isinstance(v, (bool, int, np.bool_, np.integer)):
+                out.append(int(v))
+            elif isinstance(v, (float, np.floating)) and float(v).is_integer():
+                out.append(int(v))
+        return np.array(out, dtype=np.int64)
+    if fam == "f":
+        if arr.dtype.kind in ("i", "u", "b", "f"):
+            f = arr.astype(np.float64)
+        else:
+            vals = [
+                float(v)
+                for v in arr
+                if isinstance(v, (bool, int, float, np.bool_, np.integer, np.floating))
+            ]
+            f = np.array(vals, dtype=np.float64)
+        return np.where(f == 0.0, 0.0, f)  # −0.0 ≡ 0.0
+    return arr  # "s": objects hash via _obj_bytes (str/bytes verbatim)
+
+
+def _hash_family(arr: np.ndarray, fam: str) -> tuple[np.ndarray, np.ndarray]:
+    """(h1[], h2[]) for a family-coerced array."""
+    if fam == "i":
         return _hash_numeric(arr.astype(np.int64).astype(np.uint64))
-    if arr.dtype.kind == "b":
-        return _hash_numeric(arr.astype(np.int64).astype(np.uint64))
-    if arr.dtype.kind == "f":
-        f = arr.astype(np.float64)
-        f = np.where(f == 0.0, 0.0, f)  # −0.0 ≡ 0.0
-        return _hash_numeric(f.view(np.uint64))
+    if fam == "f":
+        return _hash_numeric(arr.view(np.uint64))
     pairs = [_blake_pair(_obj_bytes(v)) for v in arr]
+    if not pairs:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
     h = np.array(pairs, dtype=np.uint64).reshape(-1, 2)
     return h[:, 0], h[:, 1]
 
 
-def _canonical_scalar(v) -> np.ndarray:
-    """Probe-side canonicalization: a 1-element array whose dtype routes
-    through the SAME _hash_values path the build used for that family."""
-    if isinstance(v, (bool, np.bool_)):
-        return np.array([int(v)], dtype=np.int64)
-    if isinstance(v, (int, np.integer)):
-        return np.array([int(v)], dtype=np.int64)
-    if isinstance(v, (float, np.floating)):
-        return np.array([float(v)], dtype=np.float64)
-    return np.array([v], dtype=object)
+def _coerce_scalar(value, fam: str):
+    """Probe-side scalar coercion into the filter family. Returns the
+    coerced value, or None when the value cannot exist in the family
+    (⇒ definitely absent)."""
+    if fam == "i":
+        if isinstance(value, (bool, int, np.bool_, np.integer)):
+            return int(value)
+        if isinstance(value, (float, np.floating)) and float(value).is_integer():
+            return int(value)
+        return None
+    if fam == "f":
+        if isinstance(value, (bool, int, float, np.bool_, np.integer, np.floating)):
+            f = float(value)
+            return 0.0 if f == 0.0 else f
+        return None
+    return value if isinstance(value, bytes) else str(value)
 
 
 def _insert_hashes(
@@ -148,30 +218,54 @@ def _pack(bools: np.ndarray) -> str:
     ).decode()
 
 
-def build_bloom(values, m: int, k: int) -> dict:
-    """One filter from a sequence of values (NULLs skipped)."""
+def build_bloom(values, m: int, k: int, fam: str = "i") -> dict:
+    """One filter from a sequence/array of values (NULLs skipped),
+    typed with its family — the unit used by build_file_blooms and the
+    type-contract tests."""
     bools = np.zeros(m, dtype=bool)
-    vals = [v for v in values if v is not None]
-    if vals:
-        h1, h2 = _hash_values(vals)
-        _insert_hashes(bools, m, k, h1, h2)
-    return {"m": m, "k": k, "bits": _pack(bools)}
+    arr = (
+        values
+        if isinstance(values, np.ndarray)
+        else np.asarray(
+            [v for v in values if v is not None],
+            dtype=object if fam == "s" else None,
+        )
+    )
+    if len(arr):
+        coerced = _coerce_array(arr, fam)
+        if len(coerced):
+            h1, h2 = _hash_family(coerced, fam)
+            _insert_hashes(bools, m, k, h1, h2)
+    return {"m": m, "k": k, "t": fam, "bits": _pack(bools)}
 
 
-def bloom_contains(bloom: dict, value) -> bool:
-    """Membership probe: False means DEFINITELY absent; True means maybe.
-    NULL probes return True (blooms index non-null keys only)."""
-    if value is None:
-        return True
-    m, k = int(bloom["m"]), int(bloom["k"])
-    bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
-    h1, h2 = _hash_values(_canonical_scalar(value))
+def _probe_bits(bits: np.ndarray, m: int, k: int, h1: int, h2: int) -> bool:
     i = np.arange(k, dtype=np.uint64)
-    idx = (h1[0] + i * h2[0]) & np.uint64(m - 1)
+    idx = (np.uint64(h1) + i * np.uint64(h2)) & np.uint64(m - 1)
     hit = bits[(idx >> np.uint64(3)).astype(np.int64)] & (
         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)
     )
     return bool(np.all(hit != 0))
+
+
+def bloom_contains(bloom: dict, value) -> bool:
+    """Membership probe: False means DEFINITELY absent; True means maybe.
+    NULL probes return True (blooms index non-null keys only). The probe
+    value is coerced through the filter's recorded family, so int/float
+    probe-type mismatches cannot produce a false negative."""
+    if value is None:
+        return True
+    fam = bloom.get("t", "i" if isinstance(value, (bool, int)) else None)
+    if fam is None:  # legacy untyped filter + non-int probe: keep the file
+        return True
+    coerced = _coerce_scalar(value, fam)
+    if coerced is None:
+        return False  # cannot exist in this column's family
+    m, k = int(bloom["m"]), int(bloom["k"])
+    bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
+    arr = np.asarray([coerced], dtype=object if fam == "s" else None)
+    h1, h2 = _hash_family(_coerce_array(arr, fam), fam)
+    return _probe_bits(bits, m, k, int(h1[0]), int(h2[0]))
 
 
 def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
@@ -181,24 +275,26 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
 
     Executor-side over the (possibly huge) key batch: the filters are
     broadcast (file-count × filter size — KBs each), each partition
-    hashes its unique keys ONCE (vectorized) and tests every
-    still-unmatched filter against the whole batch with numpy gathers;
-    filters drop out of the loop as soon as one key hits, so a batch
-    that touches every file exits after the first batches. The driver
-    collects at most one id per filter — file-count-bounded."""
+    coerces its unique keys through each filter's recorded family
+    (Arrow→pandas NULL-coercion to float64 is undone here — integral
+    floats hash as ints) and tests every still-unmatched filter with
+    numpy gathers; filters drop out of the loop as soon as one key
+    hits. The driver collects at most one id per filter and destroys
+    the broadcast."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     if not blooms_by_id:
         return set()
     prepared = {
-        i: (int(b["m"]), int(b["k"]), base64.b64decode(b["bits"]))
+        i: (int(b["m"]), int(b["k"]), b.get("t", "i"), base64.b64decode(b["bits"]))
         for i, b in blooms_by_id.items()
     }
     pb = spark.sparkContext.broadcast(prepared)
 
     def gen(batches):
         bits_cache: dict = {}
+        hash_cache: dict = {}  # family -> (h1[], h2[]) for this batch
         remaining = set(pb.value)
         matched = []
         for pdf in batches:
@@ -207,9 +303,18 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
             vals = pdf[col].dropna().unique()
             if not len(vals):
                 continue
-            h1, h2 = _hash_values(vals)
+            hash_cache.clear()
             for fid in list(remaining):
-                m, k, raw = pb.value[fid]
+                m, k, fam, raw = pb.value[fid]
+                if fam not in hash_cache:
+                    coerced = _coerce_array(np.asarray(vals), fam)
+                    hash_cache[fam] = (
+                        _hash_family(coerced, fam) if len(coerced) else None
+                    )
+                hashed = hash_cache[fam]
+                if hashed is None:
+                    continue
+                h1, h2 = hashed
                 bits = bits_cache.get(fid)
                 if bits is None:
                     bits = bits_cache[fid] = np.frombuffer(raw, dtype=np.uint8)
@@ -224,11 +329,14 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
         if matched:
             yield pd.DataFrame({"id": matched})
 
-    rows = (
-        keys_df.select(F.col(col))
-        .mapInPandas(gen, schema="id long")
-        .collect()
-    )
+    try:
+        rows = (
+            keys_df.select(F.col(col))
+            .mapInPandas(gen, schema="id long")
+            .collect()
+        )
+    finally:
+        pb.destroy()
     return {r["id"] for r in rows}
 
 
@@ -238,20 +346,16 @@ def build_file_blooms(
     bloom_cols: tuple[str, ...],
     params_by_base: dict[str, tuple[int, int]],
 ) -> dict[str, dict[str, dict]]:
-    """{file basename: {column: bloom}} for freshly written data files.
-
-    One task per data file, executor-side, shuffle-free: each task
-    pyarrow-reads ONLY the indexed columns of its file (the same
-    executor-side read pattern as sources/lakehouse_feed.py) and builds
-    the complete filter in one vectorized pass — no ``input_file_name``
-    string per row, no partial-bitmap merge. The driver collects one
-    (file, column, bitmap) row per filter: file-count-bounded kilobytes,
-    never row-count. RDD ``flatMap`` is deliberate — this is genuinely
-    per-file imperative metadata work, not a dataflow."""
+    """{file basename: {column: typed bloom}} for freshly written data
+    files — one task per file, executor-side, shuffle-free (see the
+    module docstring). The filter family comes from the parquet column
+    TYPE (pyarrow), not the materialized numpy dtype, so an all-null
+    chunk cannot misfamily a column; unsupported types are skipped
+    (probes then keep the file — conservative)."""
     cols = list(bloom_cols)
     params = dict(params_by_base)
 
-    def one_file(path: str) -> list[tuple[str, str, str]]:
+    def one_file(path: str) -> list[tuple[str, str, dict]]:
         import pyarrow.parquet as pq
 
         base = os.path.basename(path)
@@ -264,14 +368,14 @@ def build_file_blooms(
         for c in cols:
             if c not in t.column_names:
                 continue
-            vals = t.column(c).drop_null().to_numpy(zero_copy_only=False)
-            bools = np.zeros(m, dtype=bool)
-            if len(vals):
-                if vals.dtype.kind == "O":
-                    vals = np.unique(vals)  # bound the blake2b loop
-                h1, h2 = _hash_values(vals)
-                _insert_hashes(bools, m, k, h1, h2)
-            out.append((base, c, _pack(bools)))
+            col = t.column(c)
+            fam = family_of_arrow_type(col.type)
+            if fam is None:
+                continue
+            vals = col.drop_null().to_numpy(zero_copy_only=False)
+            if fam == "s" and vals.dtype.kind == "O":
+                vals = np.unique(vals)  # bound the blake2b loop
+            out.append((base, c, build_bloom(vals, m, k, fam)))
         return out
 
     rows = (
@@ -280,7 +384,6 @@ def build_file_blooms(
         .collect()
     )
     out: dict[str, dict[str, dict]] = {}
-    for base, c, bits in rows:
-        m, k = params_by_base[base]
-        out.setdefault(base, {})[c] = {"m": m, "k": k, "bits": bits}
+    for base, c, bloom in rows:
+        out.setdefault(base, {})[c] = bloom
     return out

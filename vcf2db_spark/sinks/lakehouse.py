@@ -441,7 +441,26 @@ def create(
     """Create the table as version 0 from ``df``. ``bloom_cols`` (the
     delta.bloomFilter table-property analog) designates point-lookup
     columns that every writer will index with per-file bloom sidecars —
-    carried in the manifest metadata like ``stat_cols``."""
+    carried in the manifest metadata like ``stat_cols``. Only
+    integer/float/string/binary/boolean columns may be bloom-indexed:
+    temporals/decimals/nested types have no canonical cross-engine
+    value form, and a representation mismatch between build and probe
+    would be a false NEGATIVE — the one failure the filter contract
+    forbids — so they are rejected loudly here (code-review r8)."""
+    if bloom_cols:
+        from vcf2db_spark.operators.bloom import SUPPORTED_SPARK_TYPES
+
+        types = {f.name: f.dataType.simpleString() for f in df.schema}
+        bad = [
+            c for c in bloom_cols
+            if types.get(c) not in SUPPORTED_SPARK_TYPES
+        ]
+        if bad:
+            raise ValueError(
+                f"bloom_cols {bad} have unsupported types "
+                f"({ {c: types.get(c) for c in bad} }); bloom-indexable "
+                f"types: {sorted(SUPPORTED_SPARK_TYPES)}"
+            )
     os.makedirs(root, exist_ok=True)
     files = _write_data(df, root, stat_cols, bloom_cols)
     return _commit(
@@ -595,9 +614,14 @@ def plan_files_bloom(
     driver-side — the same complexity class as the manifest fold
     itself, and each read is KBs. For a point lookup on a key column
     this is exactly the work that replaces a full-table scan; Delta
-    pushes the equivalent probe into its scan planning the same way."""
+    pushes the equivalent probe into its scan planning the same way.
+
+    ``version=None`` pins the CURRENT latest version for the whole
+    plan (a commit landing mid-plan cannot mix versions)."""
     from vcf2db_spark.operators.bloom import bloom_contains
 
+    if version is None:
+        version = latest_version(root)
     preds = {c: (v, v) for c, v in equals.items()}
     selected, skipped_stats = plan_files(root, preds, version)
     kept: list[dict] = []
@@ -631,7 +655,11 @@ def read_point(
     """Point lookup: bloom+stats-planned scan of the files that might
     contain the key, with the equality predicate applied ROW-level too
     (bloom prunes at file granularity; the residual filter makes the
-    result exact — parquet row-group pushdown handles the rest)."""
+    result exact — parquet row-group pushdown handles the rest). The
+    version is pinned ONCE up front: schema and file plan always come
+    from the same snapshot even under concurrent commits."""
+    if version is None:
+        version = latest_version(root)
     man = snapshot(root, version)
     kept, _, _ = plan_files_bloom(root, equals, version)
     schema = _schema_of(man)
