@@ -28,7 +28,7 @@ ALLOWED = {
     "operators/bpe.py": (1, "limit(1) argmax merge-pair per BPE iteration"),
     "operators/quantization.py": (1, "hash-ordered k-means seed sample (sample-size bounded)"),
     "operators/variants.py": (1, "per-partition count offsets — one row per partition"),
-    "operators/bloom.py": (2, "per-file bloom bitmaps + any-key probe matches (both file-count-bounded)"),
+    "operators/bloom.py": (3, "per-file bloom bitmaps + any-key probe matches (both file-count-bounded) + 1-row NaN-presence aggregate"),
     "queries/lakehouse_dq.py": (1, "top-3 lookup keys for the bloom point-read demo (3 rows)"),
     "operators/similarity.py": (3, "IVF centroids (n_lists-bounded) ×2; centroid parquet read-back"),
     "gemini.py": (1, "sample NAMES for a wildcard selector (cohort-sample-bounded)"),

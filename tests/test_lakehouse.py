@@ -1553,3 +1553,68 @@ def test_bloom_cols_unsupported_type_rejected_at_create(spark, root):
         lh.create(spark, root, df, bloom_cols=("ts",))
     lh.create(spark, root, df, bloom_cols=("k",))  # int col still fine
     assert lh.read_point(spark, root, {"k": 3}).count() == 1
+
+
+def test_merge_nan_key_update_not_lost(spark, root):
+    """ADVICE r9: Spark joins treat NaN == NaN as TRUE, but the bloom
+    probe's pandas batch cannot tell NaN from NULL (Arrow→pandas folds
+    them) and used to dropna() both — marking the NaN-holding file
+    non-overlapping (update skipped) while the insert anti-join still
+    matched the existing NaN row (insert suppressed): a silently lost
+    update. Float-family filters must never prune when the batch holds
+    a NaN key."""
+    df = spark.createDataFrame(
+        [(float(i), "orig") for i in range(400)] + [(float("nan"), "orig")],
+        "k double, tag string",
+    ).repartition(6)
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    upd = spark.createDataFrame([(float("nan"), "upd")], "k double, tag string")
+    lh.merge(spark, root, upd, key="k")
+    rows = lh.read(spark, root).collect()
+    nan_rows = [(r["k"], r["tag"]) for r in rows if r["k"] != r["k"]]
+    assert nan_rows == [(float("nan"), "upd")] or (
+        len(nan_rows) == 1 and nan_rows[0][1] == "upd"
+    ), f"NaN-keyed update lost or duplicated: {nan_rows}"
+    assert len(rows) == 401  # no spurious insert
+
+
+def test_bloom_probe_exotic_types_keep_file(spark, root):
+    """ADVICE r9: probe values outside the documented int/float
+    cross-coercions (decimal.Decimal on a double column; a numeric
+    probe of a string column, where Spark's implicit cast makes
+    "02" == 2 true row-level) must KEEP the file — only the documented
+    non-integral-float-vs-int case may prune."""
+    import decimal
+
+    from vcf2db_spark.operators.bloom import bloom_contains, build_bloom
+
+    fb = build_bloom([1.5, 2.5], m=1 << 13, k=7, fam="f")
+    assert bloom_contains(fb, decimal.Decimal("99.9"))  # conservative keep
+    sb = build_bloom(["02", "x"], m=1 << 13, k=7, fam="s")
+    assert bloom_contains(sb, 2)  # "02" == 2 under Spark implicit cast
+    ib = build_bloom([1, 2, 3], m=1 << 13, k=7, fam="i")
+    assert bloom_contains(ib, decimal.Decimal("2"))  # keep, not absent
+    assert not bloom_contains(ib, 7.5)  # the documented prune stays
+    # end-to-end: Decimal point probe on a double bloom column plans >0 files
+    df = spark.range(0, 50).select((F.col("id").cast("double")).alias("v"))
+    lh.create(spark, root, df, stat_cols=(), bloom_cols=("v",))
+    kept, _, _ = lh.plan_files_bloom(root, {"v": decimal.Decimal("7")})
+    assert kept, "Decimal probe must not false-negative the whole table"
+
+
+def test_bloom_sidecar_write_is_atomic(spark, root):
+    """ADVICE r9: sidecars go through tmp + os.replace — no partially
+    written sidecar can ever be visible, and no tmp droppings linger."""
+    df = spark.range(0, 200).select(F.col("id").alias("k")).repartition(4)
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    bloom_dir = os.path.join(root, "_bloom")
+    leftovers = [
+        f
+        for _, _, files in os.walk(bloom_dir)
+        for f in files
+        if ".tmp-" in f
+    ]
+    assert not leftovers, f"sidecar tmp files left behind: {leftovers}"
+    for e in lh.snapshot(root)["files"]:
+        side = lh._bloom_sidecar_path(root, e["path"])
+        assert os.path.exists(side)

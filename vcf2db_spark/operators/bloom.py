@@ -182,22 +182,43 @@ def _hash_family(arr: np.ndarray, fam: str) -> tuple[np.ndarray, np.ndarray]:
     return h[:, 0], h[:, 1]
 
 
+#: Probe-coercion sentinel: the probe value's relationship to the filter
+#: family is not one of the DOCUMENTED cross-coercions, so the filter
+#: cannot rule the file out — keep it (same posture as a missing
+#: sidecar). Distinct from None, which means the value provably cannot
+#: exist in the family (definitely absent).
+KEEP = object()
+
+
 def _coerce_scalar(value, fam: str):
     """Probe-side scalar coercion into the filter family. Returns the
-    coerced value, or None when the value cannot exist in the family
-    (⇒ definitely absent)."""
+    coerced value; None when the value provably cannot exist in the
+    family (⇒ definitely absent — ONLY the documented int/float
+    cross-coercions qualify); or :data:`KEEP` for anything outside the
+    per-family whitelist (decimal.Decimal against a double column, a
+    numeric probe of a string column where Spark's implicit cast could
+    match textually different forms, NaN whose bit pattern is not
+    canonical) — conservative, mirroring the missing-sidecar path
+    (ADVICE r8)."""
     if fam == "i":
         if isinstance(value, (bool, int, np.bool_, np.integer)):
             return int(value)
-        if isinstance(value, (float, np.floating)) and float(value).is_integer():
-            return int(value)
-        return None
+        if isinstance(value, (float, np.floating)):
+            f = float(value)
+            if f != f or f in (float("inf"), float("-inf")):
+                return None  # NaN/inf cannot exist in an integer column
+            return int(f) if f.is_integer() else None
+        return KEEP  # Decimal / str / exotic: row-level cast may match
     if fam == "f":
+        if isinstance(value, float) and value != value:
+            return KEEP  # NaN: bit patterns are not canonical
         if isinstance(value, (bool, int, float, np.bool_, np.integer, np.floating)):
             f = float(value)
             return 0.0 if f == 0.0 else f
-        return None
-    return value if isinstance(value, bytes) else str(value)
+        return KEEP  # Decimal / str: implicit cast may match row-level
+    if isinstance(value, (str, bytes)):
+        return value
+    return KEEP  # numeric probe of a string column ("02" == 2 is true)
 
 
 def _insert_hashes(
@@ -261,6 +282,8 @@ def bloom_contains(bloom: dict, value) -> bool:
     coerced = _coerce_scalar(value, fam)
     if coerced is None:
         return False  # cannot exist in this column's family
+    if coerced is KEEP:
+        return True  # outside the documented coercions — keep the file
     m, k = int(bloom["m"]), int(bloom["k"])
     bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
     arr = np.asarray([coerced], dtype=object if fam == "s" else None)
@@ -290,6 +313,25 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
         i: (int(b["m"]), int(b["k"]), b.get("t", "i"), base64.b64decode(b["bits"]))
         for i, b in blooms_by_id.items()
     }
+    # NaN guard (ADVICE r8): Spark joins treat NaN == NaN as TRUE, while
+    # Arrow→pandas folds NULL and NaN together for float columns — the
+    # executor batches below cannot tell a real NaN key from a NULL, and
+    # pdf.dropna() would drop it either way. A float-family filter must
+    # therefore never be pruned when the batch carries a NaN key (NaN bit
+    # patterns are also non-canonical, so hashing could false-negative).
+    # One Spark-side 1-row bounded aggregate decides it up front.
+    matched_upfront: set = set()
+    f_ids = {i for i, (_, _, fam, _) in prepared.items() if fam == "f"}
+    if f_ids and dict(keys_df.dtypes).get(col) in ("float", "double"):
+        has_nan = keys_df.select(
+            F.max(F.isnan(F.col(col))).alias("x")
+        ).collect()[0]["x"]
+        if has_nan:
+            matched_upfront = f_ids
+            for i in f_ids:
+                del prepared[i]
+            if not prepared:
+                return matched_upfront
     pb = spark.sparkContext.broadcast(prepared)
 
     def gen(batches):
@@ -306,6 +348,14 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
             hash_cache.clear()
             for fid in list(remaining):
                 m, k, fam, raw = pb.value[fid]
+                if fam == "s" and np.asarray(vals).dtype.kind not in ("O", "U", "S"):
+                    # numeric batch probing a string column: Spark's
+                    # implicit cast can match textually different forms
+                    # ("02" == 2) — the str() form is not faithful, so
+                    # the filter cannot prune. Conservative keep.
+                    matched.append(fid)
+                    remaining.discard(fid)
+                    continue
                 if fam not in hash_cache:
                     coerced = _coerce_array(np.asarray(vals), fam)
                     hash_cache[fam] = (
@@ -337,7 +387,7 @@ def probe_any_key(spark, keys_df, col: str, blooms_by_id: dict) -> set:
         )
     finally:
         pb.destroy()
-    return {r["id"] for r in rows}
+    return {r["id"] for r in rows} | matched_upfront
 
 
 def build_file_blooms(

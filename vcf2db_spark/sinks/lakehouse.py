@@ -390,8 +390,14 @@ def _write_data(
                 continue  # empty file — nothing to index, probe keeps it
             side = _bloom_sidecar_path(root, e["path"])
             os.makedirs(os.path.dirname(side), exist_ok=True)
-            with open(side, "w") as fh:
+            # tmp + os.replace (the _write_checkpoint pattern): a crash
+            # mid-write must not leave a truncated sidecar that every
+            # future probe silently parses-and-discards — the sidecar
+            # either exists whole or not at all (ADVICE r8)
+            tmp = side + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
                 json.dump(per_file, fh)
+            os.replace(tmp, side)
     return entries
 
 
