@@ -222,15 +222,54 @@ _PRIORITY_R08 = [
 ]
 
 
+# r8's window = the 50 names CORRECTNESS_r08.json actually recorded
+# (_PRIORITY_R08's 37 + the first 13 still-r4 names in recorded_r04
+# order).
+_RECORDED_R08 = _PRIORITY_R08 + [
+    "dedup_fuzzy", "compact_files", "anomaly_mad", "runs_encode",
+    "interval_merge", "drift_ks", "funnel_stages", "retention_cohort",
+    "perplexity_lm", "domain_cap", "sketch_quantile", "split_leakage",
+    "sketch_freq",
+]
+
+# Round-9 priority (VERDICT r8 item 5): queries ADDED or CHANGED in r9
+# first (the lakehouse deletion-vector row; ivfadc_recall re-records
+# because the ladder gains an OPQ rung), then the 33 names whose LATEST
+# driver record is still r4-era — exactly the cohort the r8 verdict
+# lists, recomputed from the union of CORRECTNESS_r01..r08. After this
+# block every remaining name's latest record is r5+ and refreshes
+# oldest-first (r5 → r8), so the window tail picks up the earliest r5
+# names and no latest record will be older than r5 after this round.
+_PRIORITY_R09 = [
+    # added in round 9:
+    "lakehouse_dv_delete",
+    # changed in round 9 (IVFADC ladder gains the OPQ rung):
+    "ivfadc_recall",
+    # latest record still r4 (recorded-oldest, alphabetical = verdict list):
+    "ann_lsh", "argmax_per_group", "bpe_train", "csv_roundtrip",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh", "dedup_shingle",
+    "dedup_simhash", "derive_row_stats", "dim_load_join",
+    "doc_fingerprint", "explode_split", "feature_bucketize",
+    "graph_triangles", "join_lateral", "layout_zorder",
+    "markov_transitions", "max_strlen", "neardup_cosine",
+    "posexplode_long", "prune_columns", "recursive_cte", "sample_bottomk",
+    "sample_weighted", "sim_topk", "stream_session", "stream_slide",
+    "stream_tumble", "text_quality", "text_tfidf", "token_count",
+    "vec_centroid",
+]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R08)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R09)}
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
     # Refresh oldest-first: any name without a listed record (new
-    # queries) enters right after the priority block, then r4 → r7.
+    # queries) enters right after the priority block, then r5 → r8.
     # setdefault loops run NEWEST first so a multiply-recorded name
     # sorts by its latest record.
+    for i, name in enumerate(_RECORDED_R08):
+        order.setdefault(name, (8, i))  # freshest records → back of line
     for i, name in enumerate(_RECORDED_R07):
-        order.setdefault(name, (7, i))  # freshest records → back of line
+        order.setdefault(name, (7, i))
     for i, name in enumerate(_RECORDED_R06):
         order.setdefault(name, (6, i))
     for i, name in enumerate(_RECORDED_R05):
