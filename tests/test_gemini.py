@@ -126,11 +126,13 @@ def test_inheritance_via_engine(engine):
 
 
 def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
-    """gemini_autorec / gemini_mendelviol share ONE artifact build per
-    (process, sf_dir) — gemini's load-once-query-many pattern; the
-    rebuild cost is already measured by gemini_gtfilter/denovo on the
-    identical pipeline. A different sf_dir must rebuild (the old
-    generation's files are released)."""
+    """The default-genotype gemini rows — gtfilter, denovo, autorec,
+    mendelviol (and the other six shared-scan rows) — share ONE artifact
+    build per (process, sf_dir): gemini's load-once-query-many pattern
+    (r9 consolidation; gtfilter/denovo outputs carry no ref/alt so the
+    varied-refalt shared artifact is output-identical for them). Only
+    comp_hets (decoupled phased cohort) and the chrX cohort may build
+    privately."""
     from vcf2db_spark.queries import gemini_dq as G
 
     calls: list[str] = []
@@ -142,7 +144,9 @@ def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(G, "_build_engine", counting)
     G._SH_ENGINES.clear()
+    assert G.gemini_gtfilter(spark, sf_dir).count() > 0
+    assert G.gemini_denovo(spark, sf_dir).count() > 0
     assert G.gemini_autorec(spark, sf_dir).count() > 0
     assert G.gemini_mendelviol(spark, sf_dir).count() > 0
-    assert calls == [sf_dir], "second model-scan row must reuse the build"
+    assert calls == [sf_dir], "shared-scan rows must reuse ONE build"
     G._SH_ENGINES.clear()  # leave no cross-test cached engine behind

