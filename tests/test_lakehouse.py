@@ -1618,3 +1618,209 @@ def test_bloom_sidecar_write_is_atomic(spark, root):
     for e in lh.snapshot(root)["files"]:
         side = lh._bloom_sidecar_path(root, e["path"])
         assert os.path.exists(side)
+
+
+# ---- deletion vectors / merge-on-read (r9) -----------------------------------
+
+
+def _dv_table(spark, root, n=400, parts=4):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id").cast("double") * 1.5).alias("v"),
+    ).repartition(parts)
+    return lh.create(spark, root, df, stat_cols=("k",))
+
+
+def test_dv_delete_one_row_rewrites_zero_data_files(spark, root):
+    """The headline merge-on-read property: a 1-row delete commits a
+    KB-scale bitmap sidecar and writes ZERO data files — the data file
+    set of the new version is identical to the old one."""
+    v0 = _dv_table(spark, root)
+    before = {e["path"] for e in lh.snapshot(root, v0)["files"]}
+    v1 = lh.dv_delete(spark, root, "k = 123")
+    after = lh.snapshot(root, v1)
+    assert {e["path"] for e in after["files"]} == before
+    delta = lh._read_json(lh._manifest_path(root, v1))
+    assert not {e["path"] for e in delta["add"]} - before
+    dved = [e for e in after["files"] if e.get("dv")]
+    assert len(dved) == 1 and dved[0]["dv"]["n_deleted"] == 1
+    assert os.path.exists(os.path.join(root, dved[0]["dv"]["path"]))
+    assert lh.read(spark, root).count() == 399
+    assert lh.read(spark, root).filter("k = 123").count() == 0
+
+
+def test_dv_delete_time_travel_and_restore(spark, root):
+    """DVs must not leak backward: the pre-delete version's entries
+    carry no DV ref, so time travel sees the full data; RESTORE to it
+    is pure metadata and un-deletes."""
+    v0 = _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k < 100")
+    assert lh.read(spark, root).count() == 300
+    assert lh.read(spark, root, v0).count() == 400
+    lh.restore(root, v0)
+    assert lh.read(spark, root).count() == 400
+
+
+def test_dv_delete_is_cumulative_or(spark, root):
+    """A second delete on the same file ORs into the existing bitmap
+    (re-deleting a masked row is a no-op, new positions accumulate)."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k in (1, 2)")
+    lh.dv_delete(spark, root, "k in (2, 3)")
+    got = lh.read(spark, root)
+    assert got.count() == 397
+    assert got.filter("k in (1, 2, 3)").count() == 0
+
+
+def test_dv_delete_null_predicate_rows_survive(spark, root):
+    """Three-valued SQL: only positively-TRUE rows are masked."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+    )
+    lh.create(spark, root, df, stat_cols=("k",))
+    lh.dv_delete(spark, root, "v > 20.0")
+    got = {r["k"] for r in lh.read(spark, root).collect()}
+    assert got == {1, 2}, "NULL-predicate row must survive a DV delete"
+
+
+def test_dv_delete_drops_fully_deleted_files(spark, root):
+    """A file whose every row is masked is dropped from the manifest
+    outright — no empty tombstone entries."""
+    _dv_table(spark, root, n=100, parts=2)
+    v = lh.dv_delete(spark, root, "k >= 0")  # everything
+    snap = lh.snapshot(root, v)
+    assert snap["files"] == []
+    assert lh.read(spark, root).count() == 0
+
+
+def test_dv_merge_reinserts_deleted_key_and_never_resurrects(spark, root):
+    """MERGE on a DV'd table: (a) an update keyed on a DV-deleted row
+    must INSERT (the key is logically absent), (b) a COW rewrite of a
+    DV'd file must not resurrect its masked rows."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k in (5, 6)")
+    upd = spark.createDataFrame(
+        [(5, 0, 99.0), (7, 0, 77.0)], "k long, g long, v double"
+    )
+    lh.merge(spark, root, upd, key="k")
+    rows = {r["k"]: r["v"] for r in lh.read(spark, root).collect()}
+    assert rows[5] == 99.0, "dv-deleted key must re-insert"
+    assert rows[7] == 77.0
+    assert 6 not in rows, "masked row resurrected by the merge rewrite"
+    assert lh.read(spark, root).count() == 399  # 400 - {5,6} + insert 5
+
+
+def test_dv_cow_delete_coexists(spark, root):
+    """COW delete over a DV'd table reads through the bitmaps: masked
+    rows neither resurrect nor count as matches."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k in (10, 11)")
+    lh.delete(spark, root, "g = 3")
+    got = lh.read(spark, root)
+    assert got.filter("g = 3").count() == 0
+    assert got.filter("k in (10, 11)").count() == 0
+
+
+def test_dv_cdf_shows_masked_deletes(spark, root):
+    """table_changes diffs ENTRIES (path + dv ref), so a DV-only commit
+    surfaces its masked rows as `_change = delete`."""
+    v0 = _dv_table(spark, root)
+    v1 = lh.dv_delete(spark, root, "k in (42, 43)")
+    ch = lh.table_changes(spark, root, v0, v1, key="k")
+    got = {(r["k"], r["_change"]) for r in ch.collect()}
+    assert got == {(42, "delete"), (43, "delete")}
+
+
+def test_dv_feed_streams_survivors_as_delete_postimage(spark, tmp_path):
+    """The streaming feed applies each entry's DV executor-side: a
+    dv_delete commit streams the file's SURVIVING rows tagged
+    delete_postimage — the same contract as COW delete."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("k").alias("k") if False else F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(2)
+    lh.create(spark, root, df, stat_cols=("k",))
+    lh.dv_delete(spark, root, "k < 10")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        read_feed_stream(spark, root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    tags = {
+        r["_change"]: r["n"]
+        for r in got.groupBy("_change").agg(F.count("*").alias("n")).collect()
+    }
+    assert tags == {"insert": 100, "delete_postimage": 90}
+    assert got.filter("_change = 'delete_postimage' AND k < 10").count() == 0
+
+
+def test_dv_compact_purges_past_ratio(spark, root):
+    """OPTIMIZE retires DVs once a file's deleted ratio crosses the
+    threshold: the rewrite applies the bitmap and drops the ref, so
+    read-side anti-join work stays bounded."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k % 2 = 0")  # 50% of every file
+    assert all(e.get("dv") for e in lh.snapshot(root)["files"])
+    lh.compact(spark, root, target_bytes=1 << 30, min_file_bytes=1)
+    snap = lh.snapshot(root)
+    assert not any(e.get("dv") for e in snap["files"]), "DV not retired"
+    got = lh.read(spark, root)
+    assert got.count() == 200 and got.filter("k % 2 = 0").count() == 0
+
+
+def test_dv_compact_below_ratio_keeps_dv(spark, root):
+    """A lightly-deleted file stays DV'd (rewriting it would be the COW
+    write amplification DVs exist to avoid)."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k = 7")  # ~0.25% of one file
+    v = lh.compact(spark, root, target_bytes=1 << 30, min_file_bytes=1)
+    assert sum(1 for e in lh.snapshot(root)["files"] if e.get("dv")) == 1
+    assert lh.read(spark, root).count() == 399
+
+
+def test_dv_vacuum_reclaims_superseded_sidecars(spark, root):
+    """DV sidecars follow the data-file retention window: superseded
+    generations (older bitmaps of the same file) and retired DVs are
+    reclaimed; the retained version's sidecars survive."""
+    _dv_table(spark, root)
+    lh.dv_delete(spark, root, "k = 1")
+    lh.dv_delete(spark, root, "k = 2")  # supersedes the first generation
+    dv_dir = os.path.join(root, "_dv")
+    assert len(os.listdir(dv_dir)) >= 2
+    lh.vacuum(root, retain_versions=1, min_age_seconds=0.0)
+    live = {
+        os.path.basename(e["dv"]["path"])
+        for e in lh.snapshot(root)["files"]
+        if e.get("dv")
+    }
+    on_disk = set(os.listdir(dv_dir))
+    assert on_disk == live, f"sidecars on disk {on_disk} != live {live}"
+    got = lh.read(spark, root)
+    assert got.count() == 398 and got.filter("k in (1,2)").count() == 0
+
+
+def test_dv_read_pruned_and_point_apply_mask(spark, root):
+    """Every reader path applies DVs: pruned range scans and bloom
+    point lookups must not see masked rows."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("g"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(3)
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    lh.dv_delete(spark, root, "k in (50, 150)")
+    pruned = lh.read_pruned(spark, root, {"k": (0, 100)}).filter(
+        "k >= 0 AND k <= 100"
+    )
+    assert pruned.count() == 100 and pruned.filter("k = 50").count() == 0
+    assert lh.read_point(spark, root, {"k": 150}).count() == 0
+    assert lh.read_point(spark, root, {"k": 151}).count() == 1

@@ -34,6 +34,13 @@ store with nothing but parquet files and a JSON transaction log:
 - **Copy-on-write MERGE** — only files whose key-range stats overlap the
   update batch are rewritten; untouched file entries carry into the new
   manifest verbatim (tests assert the paths are identical objects on disk).
+- **Merge-on-read DELETE (deletion vectors, r9)** — ``dv_delete`` commits
+  a position-bitmap sidecar per touched file instead of rewriting it
+  (the Delta DV / Iceberg v2 position-delete pattern); every reader
+  applies the bitmap through ``_scan_entries``, ``compact`` purges files
+  past a deleted-ratio threshold, and ``vacuum`` reclaims unreferenced
+  sidecars — sparse deletes cost KBs of sidecar, not COW gigabytes (see
+  sinks/deletion_vectors.py).
 - **OPTIMIZE/compact** — bin-packs UNDER-SIZED files into
   ``ceil(bytes/target)`` files as a new commit (partial, Delta's
   minFileSize behavior: already-packed files carry verbatim, so an
@@ -61,7 +68,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 class CommitConflict(RuntimeError):
@@ -510,6 +517,14 @@ def _bloom_cols_of(man: dict) -> tuple[str, ...]:
     return tuple(man.get("bloom_cols", ()))
 
 
+def _entry_ref(e: dict) -> tuple:
+    """Logical identity of a manifest file entry: (data path, deletion-
+    vector ref). Two entries with the same path but different DVs hold
+    DIFFERENT row sets — restore and CDF must diff on this, not the
+    path alone, or a DV-only change is invisible to them."""
+    return (e["path"], e["dv"]["path"] if e.get("dv") else None)
+
+
 def _schema_of(manifest: dict) -> StructType:
     return StructType.fromJson(manifest["schema"])
 
@@ -548,16 +563,96 @@ def append(
     raise AssertionError("unreachable")
 
 
+#: broadcast the DV positions side of the anti-join below this many
+#: total deleted positions (16 bytes/row → ~64 MB at the bound); larger
+#: DV sets fall back to a shuffled anti-join (AQE can still re-plan)
+_DV_BROADCAST_POSITIONS = 4_000_000
+
+
+def _scan_entries(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    schema: StructType,
+    base_col: str | None = None,
+    pos_col: str | None = None,
+):
+    """Read manifest file entries as one DataFrame, applying each
+    entry's deletion vector (merge-on-read). Entries WITHOUT a DV take
+    the untouched fast path — plain parquet scan, full pushdown/codegen;
+    DV-carrying entries read with parquet's hidden ``_metadata``
+    position column and subtract their sidecar positions with a LEFT
+    ANTI join (broadcast while the deleted-position count — known from
+    the manifest refs, no I/O — stays small; compaction's DV purge keeps
+    it that way). ``base_col`` / ``pos_col`` additionally expose the
+    source file's basename and within-file row position (both
+    branches), for callers that plan per-file rewrites or build DVs.
+
+    This is THE reader every path goes through (read / pruned / point /
+    merge / delete / compact / CDF) — a deleted row is invisible
+    everywhere or the format is broken."""
+    cols = [f.name for f in schema]
+    plain = [e for e in entries if not e.get("dv")]
+    dved = [e for e in entries if e.get("dv")]
+    parts = []
+    if plain:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in plain]
+        )
+        extra = []
+        if base_col:
+            extra.append(F.col("_metadata.file_name").alias(base_col))
+        if pos_col:
+            extra.append(F.col("_metadata.row_index").alias(pos_col))
+        if extra:
+            df = df.select(*extra, *cols)
+        parts.append(df)
+    if dved:
+        from vcf2db_spark.sinks.deletion_vectors import positions_df
+
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in dved]
+        ).select(
+            F.col("_metadata.file_name").alias("__dv_base"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+            *cols,
+        )
+        pos = positions_df(spark, root, dved)
+        if (
+            sum(e["dv"]["n_deleted"] for e in dved)
+            <= _DV_BROADCAST_POSITIONS
+        ):
+            pos = F.broadcast(pos)
+        df = df.join(pos, on=["__dv_base", "__dv_pos"], how="left_anti")
+        sel = ([F.col("__dv_base").alias(base_col)] if base_col else []) + (
+            [F.col("__dv_pos").alias(pos_col)] if pos_col else []
+        ) + [F.col(c) for c in cols]
+        parts.append(df.select(*sel))
+    if not parts:
+        extra_fields = []
+        if base_col:
+            extra_fields.append(StructField(base_col, StringType(), True))
+        if pos_col:
+            from pyspark.sql.types import LongType
+
+            extra_fields.append(StructField(pos_col, LongType(), True))
+        return spark.createDataFrame(
+            [], StructType(extra_fields + list(schema.fields))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Read one pinned version (latest when None) — time travel."""
+    """Read one pinned version (latest when None) — time travel.
+    Deletion vectors apply (merge-on-read): rows masked by a committed
+    DV are invisible at every version that references that DV."""
     man = snapshot(root, version)
-    paths = [os.path.join(root, f["path"]) for f in man["files"]]
-    schema = _schema_of(man)
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return _scan_entries(spark, root, man["files"], _schema_of(man))
 
 
 def plan_files(
@@ -598,11 +693,7 @@ def read_pruned(
     ``.filter`` — parquet row-group pushdown handles the rest."""
     man = snapshot(root, version)
     selected, _ = plan_files(root, predicates, version)
-    schema = _schema_of(man)
-    paths = [os.path.join(root, f["path"]) for f in selected]
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return _scan_entries(spark, root, selected, _schema_of(man))
 
 
 def plan_files_bloom(
@@ -673,11 +764,7 @@ def read_point(
     for c, v in equals.items():
         term = F.col(c) == F.lit(v)
         cond = term if cond is None else (cond & term)
-    if not kept:
-        return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(root, e["path"]) for e in kept]
-    )
+    df = _scan_entries(spark, root, kept, schema)
     return df.filter(cond) if cond is not None else df
 
 
@@ -797,12 +884,9 @@ def merge(
 
     schema = _schema_of(cur)
     non_key = [f.name for f in schema if f.name != key]
-    if touched:
-        target = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f["path"]) for f in touched]
-        )
-    else:
-        target = spark.createDataFrame([], schema)
+    # DV-aware target scan: a rewritten file's DV-masked rows must NOT
+    # resurrect in the replacement file (the rewrite drops the DV)
+    target = _scan_entries(spark, root, touched, schema)
     upd = updates.select(
         F.col(key).alias("__k"),
         F.lit(True).alias("__hit"),  # presence flag: NULLs must overwrite
@@ -821,13 +905,11 @@ def merge(
         ],
     )
     # not-matched inserts: update keys absent from the FULL current table
-    # (anti-join against the key column only — column-pruned scan)
-    all_paths = [os.path.join(root, f["path"]) for f in cur["files"]]
-    if all_paths:
-        existing = spark.read.schema(schema).parquet(*all_paths).select(key)
-        inserts = updates.join(existing, on=key, how="left_anti")
-    else:
-        inserts = updates
+    # (anti-join against the key column only — column-pruned scan).
+    # DV-aware: a key whose only row was DV-deleted is logically absent,
+    # so its update must INSERT, not be silently suppressed
+    existing = _scan_entries(spark, root, cur["files"], schema).select(key)
+    inserts = updates.join(existing, on=key, how="left_anti")
     rewritten = _write_data(
         merged.unionByName(inserts.select(key, *non_key)),
         root,
@@ -878,17 +960,19 @@ def delete(
     touched = [e for e in cur["files"] if e["path"] in cand_paths]
     schema = _schema_of(cur)
     if touched:
-        # find-touched scan: which candidate files hold ≥1 matching row
-        # (part filenames carry a job UUID — basenames are unique)
-        cand_scan = spark.read.schema(schema).parquet(
-            *[os.path.join(root, e["path"]) for e in touched]
+        # find-touched scan: which candidate files hold ≥1 matching LIVE
+        # row — DV-aware, so a row already masked by a deletion vector
+        # cannot force its file into the rewrite (part filenames carry a
+        # job UUID — basenames are unique)
+        cand_scan = _scan_entries(
+            spark, root, touched, schema, base_col="__f"
         )
         hit_bases = {
-            os.path.basename(r["__f"])
+            r["__f"]
             for r in cand_scan.filter(
                 F.coalesce(F.expr(predicate), F.lit(False))
             )
-            .select(F.input_file_name().alias("__f"))
+            .select("__f")
             .distinct()
             .collect()
         }
@@ -897,9 +981,7 @@ def delete(
         ]
     if not touched:
         return _commit(root, _child_manifest(cur, "delete", []))
-    src = spark.read.schema(schema).parquet(
-        *[os.path.join(root, e["path"]) for e in touched]
-    )
+    src = _scan_entries(spark, root, touched, schema)
     # survivors = rows where the predicate is NOT TRUE. Three-valued
     # SQL: NOT(NULL) is NULL, so a bare NOT(pred) filter would silently
     # drop rows where the predicate is NULL — DELETE must only remove
@@ -914,6 +996,100 @@ def delete(
             cur, "delete", rewritten, remove=[e["path"] for e in touched]
         ),
     )
+
+
+def dv_delete(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    prune: dict[str, tuple] | None = None,
+) -> int:
+    """Merge-on-read DELETE via deletion vectors (VERDICT r8 item 4 —
+    the Delta DV / Iceberg v2 position-delete pattern): instead of
+    rewriting every file holding a matching row (COW ``delete``), commit
+    a position-bitmap SIDECAR per touched file and apply it at read.
+    A 1-row delete in a 1 GB file writes a KB-scale sidecar and ZERO
+    data files — at 100 TB with GDPR-style trickle deletes this removes
+    the COW write-amplification cost center entirely; ``compact``'s
+    DV purge rewrites a file only once its deleted ratio crosses the
+    threshold (amortized, like Delta's OPTIMIZE on DV'd tables).
+
+    Mechanics: one DV-aware scan of the pruned candidates finds matching
+    LIVE rows' ``(file, _metadata.row_index)`` positions; one
+    ``applyInPandas`` group per touched file ORs them into the file's
+    existing bitmap (re-deleting a masked row is a no-op) and writes the
+    new sidecar EXECUTOR-side; the driver collects one (file, ref,
+    count) row per touched file — file-count-bounded, like the bloom
+    build — and commits a manifest that REPLACES each touched entry
+    (remove+add of the same data path with the new ``dv`` ref). A file
+    whose every row is now deleted is dropped from the manifest outright
+    (no empty-file tombstones). Snapshots stay immutable: time travel to
+    the pre-delete version reads the OLD entry and its old (or no) DV.
+
+    Three-valued NULL semantics match ``delete``: only rows where the
+    predicate is positively TRUE are masked."""
+    cur = snapshot(root)
+    if prune:
+        candidates, _ = plan_files(root, prune, version=cur["version"])
+        cand_paths = {e["path"] for e in candidates}
+    else:
+        cand_paths = {e["path"] for e in cur["files"]}
+    touched = [e for e in cur["files"] if e["path"] in cand_paths]
+    if not touched:
+        return _commit(root, _child_manifest(cur, "dv_delete", []))
+    schema = _schema_of(cur)
+    by_base = {
+        os.path.basename(e["path"]): (
+            int(e["rows"]),
+            e["dv"]["path"] if e.get("dv") else None,
+        )
+        for e in touched
+    }
+    hits = (
+        _scan_entries(
+            spark, root, touched, schema, base_col="__base", pos_col="__pos"
+        )
+        .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .select("__base", "__pos")
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        from vcf2db_spark.sinks.deletion_vectors import (
+            merge_positions,
+            read_dv_sidecar,
+            write_dv_sidecar,
+        )
+
+        base = pdf["__base"].iloc[0]
+        n_rows, old_rel = by_base[base]
+        old = read_dv_sidecar(root, old_rel) if old_rel else None
+        dv = merge_positions(old, pdf["__pos"].to_numpy(), n_rows)
+        rel = write_dv_sidecar(root, dv)
+        return pd.DataFrame(
+            {"base": [base], "dv_rel": [rel], "n_deleted": [dv["n_deleted"]]}
+        )
+
+    # one row PER TOUCHED FILE — driver materialization is file-count-
+    # bounded (the DV bytes themselves never leave the executors)
+    rows = (
+        hits.groupBy("__base")
+        .applyInPandas(build, schema="base string, dv_rel string, n_deleted long")
+        .collect()
+    )
+    new_dv = {r["base"]: (r["dv_rel"], r["n_deleted"]) for r in rows}
+    add, remove = [], []
+    for e in touched:
+        b = os.path.basename(e["path"])
+        if b not in new_dv:
+            continue  # no live row matched — entry carries verbatim
+        rel, n_del = new_dv[b]
+        remove.append(e["path"])
+        if n_del >= int(e["rows"]):
+            continue  # fully deleted file: drop the entry entirely
+        add.append({**e, "dv": {"path": rel, "n_deleted": int(n_del)}})
+    return _commit(root, _child_manifest(cur, "dv_delete", add, remove=remove))
 
 
 def restore(root: str, version: int) -> int:
@@ -935,13 +1111,19 @@ def restore(root: str, version: int) -> int:
         )
     target = snapshot(root, version)
     cur = snapshot(root)
-    cur_paths = {e["path"] for e in cur["files"]}
-    tgt_paths = {e["path"] for e in target["files"]}
+    # diff on (path, dv ref): restoring across a dv_delete must re-add
+    # the target's entry (old or no DV) even though the data PATH is
+    # unchanged — remove-then-add of the same path in one delta swaps
+    # the entry under the fold
+    cur_refs = {_entry_ref(e) for e in cur["files"]}
+    tgt_refs = {_entry_ref(e) for e in target["files"]}
     man = _child_manifest(
         cur,
         "restore",
-        [e for e in target["files"] if e["path"] not in cur_paths],
-        remove=sorted(cur_paths - tgt_paths),
+        [e for e in target["files"] if _entry_ref(e) not in cur_refs],
+        remove=sorted(
+            {e["path"] for e in cur["files"] if _entry_ref(e) not in tgt_refs}
+        ),
     )
     man["schema"] = target["schema"]
     man["restored_version"] = version
@@ -954,6 +1136,7 @@ def compact(
     target_bytes: int = 32 << 20,
     zorder_cols: tuple[str, ...] = (),
     min_file_bytes: int | None = None,
+    purge_dv_ratio: float = 0.3,
 ) -> int:
     """OPTIMIZE: bin-pack under-sized files into ceil(bytes/target) files
     as a new commit.
@@ -986,19 +1169,33 @@ def compact(
             else os.path.getsize(os.path.join(root, e["path"]))
         )
 
+    def _dv_ratio(e: dict) -> float:
+        if not e.get("dv") or not e.get("rows"):
+            return 0.0
+        return e["dv"]["n_deleted"] / e["rows"]
+
     cur = snapshot(root)
     if zorder_cols:
         touched = list(cur["files"])
     else:
         floor = target_bytes if min_file_bytes is None else min_file_bytes
-        touched = [e for e in cur["files"] if _bytes(e) < floor]
-        if len(touched) < 2:
+        # DV purge (the merge-on-read compaction half, VERDICT r8
+        # item 4): a file whose deleted ratio crossed the threshold is
+        # rewritten — applying and DROPPING its deletion vector — even
+        # when well-sized, so read-side DV anti-join work stays bounded
+        # and the pay-per-read masking cost is amortized away exactly
+        # like Delta's OPTIMIZE on DV'd tables
+        purged = [e for e in cur["files"] if _dv_ratio(e) >= purge_dv_ratio]
+        small = [e for e in cur["files"] if _bytes(e) < floor]
+        seen = {e["path"] for e in purged}
+        touched = purged + [e for e in small if e["path"] not in seen]
+        if not purged and len(touched) < 2:
             return cur["version"]
     nbytes = sum(_bytes(e) for e in touched)
     n_out = max(1, math.ceil(nbytes / target_bytes))
-    df = spark.read.schema(_schema_of(cur)).parquet(
-        *[os.path.join(root, f["path"]) for f in touched]
-    )
+    # DV-aware: masked rows must not resurrect in the packed output
+    # (the rewrite is precisely what retires the DVs)
+    df = _scan_entries(spark, root, touched, _schema_of(cur))
     if zorder_cols:
         from vcf2db_spark.operators.layout import with_zorder_key
 
@@ -1151,27 +1348,33 @@ def table_changes(
 ) -> DataFrame:
     """Change data feed between two committed versions: per-key rows
     tagged ``_change = insert | update_postimage | delete``. Computed
-    from the two pinned snapshots' FILE DIFF — files present in both
-    manifests carry no changes and are never read; only files added or
+    from the two pinned snapshots' ENTRY DIFF — entries present in both
+    manifests carry no changes and are never read; only entries added or
     removed between the versions are scanned (COW writes whole files,
-    so every changed row lives in the file diff). At 100 TB a
+    and a DV delete REPLACES the touched entry with one carrying the new
+    deletion-vector ref, so every changed row lives in the entry diff
+    either way — a DV-masked delete surfaces because its row exists in
+    the removed-side scan but not the added-side one). At 100 TB a
     point-merge's change feed reads the handful of rewritten files, not
     either table snapshot. Join on the key splits the diff into
     inserts / updates (value changed) / deletes."""
     old_man, new_man = snapshot(root, v_from), snapshot(root, v_to)
-    old_set = {f["path"] for f in old_man["files"]}
-    new_set = {f["path"] for f in new_man["files"]}
+    old_refs = {_entry_ref(e): e for e in old_man["files"]}
+    new_refs = {_entry_ref(e): e for e in new_man["files"]}
     schema = _schema_of(new_man)
 
-    def _scan(paths: set[str]) -> DataFrame:
-        if not paths:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(root, p) for p in sorted(paths)]
-        )
+    def _scan(entries: list[dict]) -> DataFrame:
+        return _scan_entries(spark, root, entries, schema)
 
-    removed = _scan(old_set - new_set)  # pre-images of changed rows
-    added = _scan(new_set - old_set)  # post-images of changed rows
+    def _diff(a: dict, b: dict) -> list[dict]:
+        return [
+            e
+            for r, e in sorted(a.items(), key=lambda kv: kv[0][0])
+            if r not in b
+        ]
+
+    removed = _scan(_diff(old_refs, new_refs))  # pre-images, old DV applied
+    added = _scan(_diff(new_refs, old_refs))  # post-images, new DV applied
     non_key = [f.name for f in schema if f.name != key]
     pre = removed.select(F.col(key), F.struct(*non_key).alias("__pre"))
     post = added.select(F.col(key), F.struct(*non_key).alias("__post"))
@@ -1210,8 +1413,12 @@ def vacuum(
     newest = latest_version(root)
     keep_from = max(0, newest - retain_versions + 1)
     live: set[str] = set()
+    live_dv: set[str] = set()
     for v in range(keep_from, newest + 1):
-        live.update(f["path"] for f in snapshot(root, v)["files"])
+        for f in snapshot(root, v)["files"]:
+            live.add(f["path"])
+            if f.get("dv"):
+                live_dv.add(f["dv"]["path"])
     removed = 0
     cutoff = time.time() - min_age_seconds
     data_root = os.path.join(root, "data")
@@ -1233,6 +1440,24 @@ def vacuum(
                             pass
                 except OSError:
                     continue
+    # deletion-vector sidecars follow the SAME retention window: a DV
+    # referenced by no retained version (superseded by a later delete,
+    # retired by a purge rewrite, or orphaned by a crashed commit) is
+    # reclaimed; the min-age guard protects in-flight dv_delete commits
+    # exactly as it protects staged data files
+    dv_root = os.path.join(root, "_dv")
+    if os.path.isdir(dv_root):
+        for name in os.listdir(dv_root):
+            rel = os.path.join("_dv", name)
+            if not name.endswith(".json") or rel in live_dv:
+                continue
+            full = os.path.join(dv_root, name)
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+                    removed += 1
+            except OSError:
+                continue
     # record the watermark: every version >= keep_from still has its
     # full file set on disk. restore() and the streaming feed check
     # this ONE marker instead of stat-ing files (VERDICT/ADVICE r7).

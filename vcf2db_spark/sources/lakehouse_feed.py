@@ -63,13 +63,17 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-#: manifest operation → feed tag for that commit's added files
+#: manifest operation → feed tag for that commit's added files.
+#: dv_delete matches COW delete's contract: the commit's (re-)added
+#: entries stream their SURVIVING rows — the entry's deletion vector is
+#: applied at read, so a DV-masked row never reaches the feed.
 _CHANGE_TAG = {
     "create": "insert",
     "append": "insert",
     "stream_append": "insert",
     "merge": "merge_postimage",
     "delete": "delete_postimage",
+    "dv_delete": "delete_postimage",
     "restore": "restore",
 }
 
@@ -90,12 +94,14 @@ class _FilePartition(InputPartition):
         version: int,
         change: str,
         fail_on_data_loss: bool = True,
+        dv: str | None = None,
     ):
         self.root = root
         self.path = path
         self.version = version
         self.change = change
         self.fail_on_data_loss = fail_on_data_loss
+        self.dv = dv  # deletion-vector sidecar rel path, if the entry has one
 
 
 def _pos(offset: dict) -> tuple[int, int]:
@@ -271,6 +277,7 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
                     _FilePartition(
                         self.root, entry["path"], v, tag,
                         self.fail_on_data_loss,
+                        dv=(entry.get("dv") or {}).get("path"),
                     )
                 )
         # an empty range still needs one no-op partition: Spark requires
@@ -302,6 +309,18 @@ class LakehouseFeedStreamReader(DataSourceStreamReader):
                     "to skip lost files"
                 ) from None
             return iter(())
+        dv_rel = getattr(partition, "dv", None)
+        if dv_rel:
+            # merge-on-read: subtract the entry's deletion-vector
+            # positions before emitting (one vectorized mask per file,
+            # executor-side — the same pyarrow pass that read the file)
+            from vcf2db_spark.sinks.deletion_vectors import (
+                decode_mask,
+                read_dv_sidecar,
+            )
+
+            mask = decode_mask(read_dv_sidecar(partition.root, dv_rel))
+            table = table.filter(pa.array(~mask[: table.num_rows]))
         n = table.num_rows
         data_schema = StructType(self.schema.fields[:-2])
         target = to_arrow_schema(data_schema)
