@@ -267,7 +267,9 @@ def test_ivfadc_recall_floor(spark):
     recall@3 must stay within 0.05 of the float-probe knn_recall AND
     above 0.85; ADC-only at probes=3 above 0.6 (the honest PQ penalty
     on this near-random fixture, measured 0.71/0.93 vs float 0.95 at
-    sf0.01)."""
+    sf0.01); the r9 OPQ rung (learned rotation + m=16, VERDICT r8
+    item 3) must reach 0.85 WITHOUT rerank — the ADC-only gap closed
+    (measured 0.70 → 0.91 offline on this fixture)."""
     from vcf2db_spark.queries.pipeline_ext import ivfadc_recall, knn_recall
 
     sf = "/root/testdata/sf0.01"
@@ -278,7 +280,8 @@ def test_ivfadc_recall_floor(spark):
     flt = {r["probes"]: r["recall_at_k"] for r in knn_recall(spark, sf).collect()}
     assert adc[(3, "adc")] >= 0.6
     assert adc[(3, "adc_rerank")] >= 0.85
+    assert adc[(3, "opq")] >= 0.85, "OPQ rung must close the ADC-only gap"
     assert flt[3] - adc[(3, "adc_rerank")] <= 0.05
-    # the ladder is monotone in probes for both variants
-    for v in ("adc", "adc_rerank"):
+    # the ladder is monotone in probes for all variants
+    for v in ("adc", "adc_rerank", "opq"):
         assert adc[(1, v)] <= adc[(2, v)] <= adc[(3, v)]
