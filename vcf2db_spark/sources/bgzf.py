@@ -190,6 +190,22 @@ class BGZFReader:
             self._buf_pos = len(self._buf)
         return b"".join(chunks)
 
+    def read(self, n: int) -> bytes:
+        """Read exactly ``n`` decompressed bytes (fewer only at EOF) —
+        the binary-record primitive the BCF container needs (records
+        are length-framed, not line-framed)."""
+        chunks: list[bytes] = []
+        need = n
+        while need > 0:
+            if self._buf_pos >= len(self._buf):
+                if not self._load_block(self._block_coffset + self._block_csize):
+                    break
+            take = self._buf[self._buf_pos : self._buf_pos + need]
+            chunks.append(take)
+            self._buf_pos += len(take)
+            need -= len(take)
+        return b"".join(chunks)
+
     def __iter__(self) -> Iterator[bytes]:
         while True:
             line = self.readline()

@@ -67,6 +67,16 @@ def _open(path: str):
     return gzip.open(path, "rt") if path.endswith(".gz") else open(path, "rt")
 
 
+def _header_text(path: str) -> str:
+    """Header text for either container: BCF embeds the identical VCF
+    header text, so schema inference (A2) is container-agnostic."""
+    from vcf2db_spark.sources.bcf import is_bcf, read_bcf_header_text
+
+    if is_bcf(path):
+        return read_bcf_header_text(path)
+    return read_header_text(path)
+
+
 def _typed_scalar(val: str, vtype: str):
     if val == ".":
         return None
@@ -323,6 +333,30 @@ def _iter_chunks(
                     yield from build(parts)
 
 
+def _iter_bcf(
+    path: str,
+    header: VCFHeader,
+    schema: T.StructType,
+    partition: "ContigPartition",
+    decompose: str = "reject",
+):
+    """BCF twin of the two text loops: CSI-seek chunk read when the
+    partition carries chunk ranges, else a filtered framed scan. Binary
+    records decode to text parts feeding the SAME row builder — one
+    parsing semantics, two containers (sources/bcf.py)."""
+    from vcf2db_spark.sources import bcf
+
+    build = _row_builder(header, schema, decompose)
+    if partition.chunks is not None:  # [] = provably-empty partition
+        src = bcf.iter_bcf_chunk_parts(
+            path, partition.chunks, partition.beg, partition.end
+        )
+    else:
+        src = bcf.iter_bcf_parts(path, partition.contig)
+    for parts in src:
+        yield from build(parts)
+
+
 class VCFReader(DataSourceReader):
     #: rows per Arrow RecordBatch — large enough to amortize the
     #: columnarization, small enough to keep per-batch memory flat
@@ -338,7 +372,10 @@ class VCFReader(DataSourceReader):
 
         self.schema_ = schema
         self.path = options["path"]
-        self.header = parse_header(read_header_text(self.path))
+        from vcf2db_spark.sources.bcf import is_bcf
+
+        self.is_bcf = is_bcf(self.path)
+        self.header = parse_header(_header_text(self.path))
         split = opt("partitionByContig", "true").lower() == "true"
         self.decompose = opt("decompose", "reject").lower()
         self.arrow = opt("arrowBatches", "true").lower() == "true"
@@ -353,10 +390,27 @@ class VCFReader(DataSourceReader):
         self.index = self._load_index(options.get("index", "auto").lower())
 
     def _load_index(self, mode: str):
-        """Tabix index handling: ``auto`` uses ``{path}.tbi`` when present,
-        ``build`` creates it driver-side if missing (one sequential pass —
-        the same cost tabix itself pays), ``none`` disables seeks."""
-        if mode == "none" or not self.path.endswith(".gz"):
+        """Index handling: ``auto`` uses ``{path}.tbi`` (text VCF) or
+        ``{path}.csi`` (either container — bcftools indexes BCF with CSI
+        natively and tabix -C writes CSI over .vcf.gz) when present,
+        ``build`` creates the container's native index driver-side if
+        missing (one sequential pass — the same cost tabix/bcftools
+        index pays), ``none`` disables seeks. TabixIndex and CSIIndex
+        expose the same planner surface (names/chunks/partition_chunks),
+        so everything downstream is index-format-agnostic."""
+        if mode == "none":
+            return None
+        if self.is_bcf:
+            from vcf2db_spark.sources.bcf import index_bcf
+            from vcf2db_spark.sources.csi import read_csi
+
+            csi = self.path + ".csi"
+            if not os.path.exists(csi):
+                if mode != "build":
+                    return None
+                index_bcf(self.path, csi)
+            return read_csi(csi, names=self.header.contigs)
+        if not self.path.endswith(".gz"):
             return None
         from vcf2db_spark.sources.bgzf import is_bgzf
         from vcf2db_spark.sources.tabix import index_vcf, read_tbi
@@ -365,6 +419,11 @@ class VCFReader(DataSourceReader):
             return None
         tbi = self.path + ".tbi"
         if not os.path.exists(tbi):
+            csi = self.path + ".csi"
+            if os.path.exists(csi):
+                from vcf2db_spark.sources.csi import read_csi
+
+                return read_csi(csi, names=self.header.contigs)
             if mode != "build":
                 return None
             index_vcf(self.path, tbi)
@@ -426,7 +485,11 @@ class VCFReader(DataSourceReader):
         return [ContigPartition(None)]
 
     def read(self, partition: ContigPartition):
-        if partition.chunks is not None:
+        if self.is_bcf:
+            rows = _iter_bcf(
+                self.path, self.header, self.schema_, partition, self.decompose
+            )
+        elif partition.chunks is not None:
             rows = _iter_chunks(
                 self.path, self.header, self.schema_, partition, self.decompose
             )
@@ -478,7 +541,7 @@ class VCFDataSource(DataSource):
         return "vcf"
 
     def schema(self) -> T.StructType:
-        header = parse_header(read_header_text(self.options["path"]))
+        header = parse_header(_header_text(self.options["path"]))
         bl = tuple(x for x in self.options.get("black_list", "").split(",") if x)
         inc = self.options.get("include_genotypes", "true").lower() == "true"
         return build_schema(header, black_list=bl, include_genotypes=inc)
