@@ -39,6 +39,24 @@ def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8))),
         )
+        # The r9 sf16 finding: with a FIXED reduce-side partition count
+        # (= cores), the heavy TPC-H joins stopped falling toward 1× at
+        # 16× the data — ~3M lineitem rows per partition pushed the
+        # per-partition map output past the SHJ threshold and the SMJ
+        # sorts into spill (tpch_q21 15.7 s → 6.7 s, tpch_q5 10.3 → 6.9 s
+        # at sf16 when re-run at 256). AQE's pre-coalesce count is the
+        # scale-adaptive fix: BATCH shuffles start at 8× cores and AQE
+        # coalesces small stages back to ~advisory size (sf0.1 measured
+        # neutral), while streaming state shuffles — where AQE never
+        # coalesces — keep the shuffle.partitions count above. On a real
+        # cluster the same knob is how a fixed-conf job survives growing
+        # inputs between runs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS", str(max(int(cpus) * 8, 64))
+            ),
+        )
         # autoBroadcastJoinThreshold stays at the 10 MB default: measured
         # A/B at sf1 (tpch_q5 1.8 s @10 MB vs 5.2 s @64 MB) — raising it
         # flips million-row relations into single-threaded driver-side
