@@ -243,8 +243,9 @@ _RECORDED_R08 = _PRIORITY_R08 + [
 _PRIORITY_R09 = [
     # added in round 9:
     "lakehouse_dv_delete",
-    # changed in round 9 (IVFADC ladder gains the OPQ rung):
-    "ivfadc_recall",
+    # changed in round 9 (IVFADC ladder gains the OPQ rung; covariance
+    # moved from the 152× explode to the Arrow Gram pass):
+    "ivfadc_recall", "embed_covariance",
     # latest record still r4 (recorded-oldest, alphabetical = verdict list):
     "ann_lsh", "argmax_per_group", "bpe_train", "csv_roundtrip",
     "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh", "dedup_shingle",

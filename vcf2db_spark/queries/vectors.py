@@ -212,6 +212,83 @@ def arrow_normalize(spark, sf_dir):
 _COV_D = 16
 
 
+def _moment_cells(e, d: int):
+    """All d(d+1)/2 second + d first moments of the leading ``d``-dim
+    embedding block as a 152-row grouped DataFrame (i, j, su, cnt) —
+    j = -1 marks a first moment. ONE Arrow pass (mapInArrow, zero
+    pandas): each batch accumulates the Gram block in numpy and emits
+    152 partial rows, so Python→JVM traffic and the shuffle are both
+    batch-count-bounded. Exactness: per-ELEMENT sign·floor(|x·1e6|+0.5)
+    units (ties-away, the l2norm device — matches Spark/DuckDB ROUND on
+    these values) summed in int64, associative across batch boundaries.
+    Replaces the r4–r8 152×-explode HOF shape (243M intermediate rows
+    at sf16, the one compute-constant riser on the sf16 scale board)."""
+
+    def gram(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        iu_i, iu_j = np.triu_indices(d)
+        i_out = np.concatenate([iu_i, np.arange(d)]).astype("int32")
+        j_out = np.concatenate([iu_j, np.full(d, -1)]).astype("int32")
+
+        def away(a: np.ndarray) -> np.ndarray:
+            """Ties-away ROUND to exact float64 integers, in place (the
+            values stay < 2^53, so float64 sums of them are exact)."""
+            out = np.abs(a)
+            out += 0.5
+            np.floor(out, out=out)
+            np.copysign(out, a, out=out)
+            return out
+
+        for batch in batches:
+            arr = batch.column("embedding")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
+            vals = np.asarray(arr.values, dtype=np.float64)[
+                offsets[0] : offsets[-1]
+            ]
+            offsets = offsets - offsets[0]
+            lens = offsets[1:] - offsets[:-1]
+            if not len(lens):
+                continue
+            if lens.min() == lens.max():
+                X = vals.reshape(len(lens), int(lens[0]))[:, :d]
+            else:  # ragged lists (not in fixtures) — defensive slow path
+                X = np.array(
+                    [vals[o : o + min(ln, d)] for o, ln in zip(offsets[:-1], lens)],
+                    dtype="float64",
+                )
+            S2 = np.zeros((d, d), np.int64)
+            S1 = np.zeros(d, np.int64)
+            for s in range(0, len(X), 8192):  # bound the (b, d, d) temp
+                blk = X[s : s + 8192]
+                P = blk[:, :, None] * blk[:, None, :]
+                P *= 1e6
+                # exact: each rounded unit and every partial sum over an
+                # 8192-row block stays far below 2^53
+                S2 += away(P).sum(axis=0).astype(np.int64)
+                S1 += away(blk * 1e6).sum(axis=0).astype(np.int64)
+            su = np.concatenate([S2[iu_i, iu_j], S1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(i_out, pa.int32()),
+                    pa.array(j_out, pa.int32()),
+                    pa.array(su, pa.int64()),
+                    pa.array(np.full(len(su), len(X), np.int64), pa.int64()),
+                ],
+                names=["i", "j", "su", "cnt"],
+            )
+
+    cells = e.select("embedding").mapInArrow(
+        gram, "i int, j int, su long, cnt long"
+    )
+    return cells.groupBy("i", "j").agg(
+        F.sum("su").alias("su"), F.sum("cnt").alias("cnt")
+    )
+
+
 def _cov_sql_sums() -> tuple[list[str], list[str]]:
     prods, firsts = [], []
     for i in range(_COV_D):
@@ -250,42 +327,27 @@ def _cov_oracle() -> str:
 def embed_covariance(spark, sf_dir):
     """Covariance matrix of the leading {d}-dim embedding block in ONE
     partial-aggregated pass: all {m} second moments + {d} first moments
-    are JVM sum expressions over fixed-point units (exact BIGINT — the
-    registry dsum convention extended to products), so the shuffle moves
-    one partial row per task regardless of corpus size. The d×d matrix
-    then unpivots to (i, j, cov) rows; eigendecomposition of this tiny
-    matrix is a driver-side detail, not a distributed problem. This is
-    the moment-aggregation shape every distributed PCA/whitening/feature
-    -correlation pass reduces to."""
+    accumulate as exact fixed-point BIGINT units (the registry dsum
+    convention extended to products) inside an Arrow-batched numpy Gram
+    pass, so the shuffle moves 152 partial rows per BATCH regardless of
+    corpus size. The d×d matrix then unpivots to (i, j, cov) rows;
+    eigendecomposition of this tiny matrix is a driver-side detail, not
+    a distributed problem. This is the moment-aggregation shape every
+    distributed PCA/whitening/feature-correlation pass reduces to."""
     e = table_wide(spark, sf_dir, "embeddings", "vec_id")
-    # NOT one 153-column aggregate: that exceeds codegen.maxFields (100)
-    # and drops the whole stage out of codegen into interpreted eval
-    # (measured 7 s warm vs 0.6 s for this shape). Instead a HOF builds
-    # every moment cell per row — (i, j, units) for the 136 products and
-    # (i, -1, units) for the 16 first moments — one explode fans them
-    # out, and a partial-agged groupBy combines map-side to 152 rows per
-    # task before the single exchange.
-    d = _COV_D
-    cells = e.select(
-        F.explode(
-            F.expr(
-                # NB: Spark's array bracket is 0-BASED (unlike element_at
-                # and unlike DuckDB's 1-based bracket in the oracle)
-                "concat("
-                f" flatten(transform(sequence(0, {d - 1}), i ->"
-                f"   transform(sequence(i, {d - 1}), j -> struct(i, j,"
-                "      CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
-                "           * CAST(embedding[j] AS DOUBLE)"
-                "           * 1000000.0) AS BIGINT) AS u)))),"
-                f" transform(sequence(0, {d - 1}), i -> struct(i, -1 AS j,"
-                "     CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
-                "          * 1000000.0) AS BIGINT) AS u)))"
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.u")
-    m = cells.groupBy("i", "j").agg(
-        F.sum("u").alias("su"), F.count(F.lit(1)).alias("cnt")
-    )
+    # History of this plan: a 153-column aggregate exceeds
+    # codegen.maxFields and runs interpreted (7 s warm at sf0.1); the
+    # r4–r8 shape was a HOF building all 152 moment cells per row + one
+    # explode — correct and partial-agged, but the explode fans the scan
+    # 152× before map-side combine (243M intermediate rows at sf16,
+    # measured 6.4 s vs DuckDB's 0.54 — the one compute-CONSTANT riser
+    # on the sf16 board). r9 shape: ONE Arrow pass (mapInArrow, zero
+    # pandas) accumulating the Gram block in numpy per batch — 152
+    # partial rows PER BATCH leave Python, the same 152-key shuffle
+    # combines them. Exactness is unchanged: units are per-ELEMENT
+    # sign·floor(|x·1e6|+0.5) (ties-away, the l2norm device) summed in
+    # int64 — associative, so batch boundaries cannot perturb the hash.
+    m = _moment_cells(e, _COV_D)
     means = m.filter(F.col("j") == -1).select(
         F.col("i").alias("mi"),
         F.col("su").alias("ms"),
@@ -357,24 +419,7 @@ def embed_pca_project(spark, sf_dir):
 
     d = _COV_D
     e = table_wide(spark, sf_dir, "embeddings", "vec_id")
-    cells = e.select(
-        F.explode(
-            F.expr(
-                "concat("
-                f" flatten(transform(sequence(0, {d - 1}), i ->"
-                f"   transform(sequence(i, {d - 1}), j -> struct(i, j,"
-                "      CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
-                "           * CAST(embedding[j] AS DOUBLE)"
-                "           * 1000000.0) AS BIGINT) AS u)))),"
-                f" transform(sequence(0, {d - 1}), i -> struct(i, -1 AS j,"
-                "     CAST(ROUND(CAST(embedding[i] AS DOUBLE)"
-                "          * 1000000.0) AS BIGINT) AS u)))"
-            )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.u")
-    m = cells.groupBy("i", "j").agg(
-        F.sum("u").alias("su"), F.count(F.lit(1)).alias("cnt")
-    )
+    m = _moment_cells(e, d)
     # bounded driver transfer: d(d+1)/2 + d = 152 moment rows (same class
     # as k-means centroids / the bpe argmax)
     rows = {(r["i"], r["j"]): (r["su"], r["cnt"]) for r in m.collect()}
