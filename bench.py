@@ -41,7 +41,7 @@ MACHINERY_QUERIES = (
     "gemini_tstv", "gemini_snptypes", "gemini_annotate",
     "lakehouse_timetravel", "lakehouse_prune_scan", "lakehouse_changes",
     "lakehouse_delete", "lakehouse_bloom_lookup", "lakehouse_dv_delete",
-    "stream_lakehouse_feed", "stream_upsert",
+    "lakehouse_dv_merge", "stream_lakehouse_feed", "stream_upsert",
 )
 
 

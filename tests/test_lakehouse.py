@@ -1960,3 +1960,101 @@ def test_cross_process_conflicting_merges_serialize(tmp_path):
                 f"seed={seed}: final state is not the serial replay "
                 f"(lost update) — actual={actual} expect={expect}"
             )
+
+
+def test_dv_merge_writes_only_the_batch(spark, root):
+    """Merge-on-read MERGE: matched rows are DV-masked, replacements +
+    inserts land in ONE appended file — zero touched-file rewrites."""
+    _dv_table(spark, root)
+    before = {e["path"] for e in lh.snapshot(root)["files"]}
+    upd = spark.createDataFrame(
+        [(5, 0, 99.0), (250, 1, 88.0), (9999, 2, 77.0)],
+        "k long, g long, v double",
+    )
+    v1 = lh.dv_merge(spark, root, upd, key="k")
+    delta = lh._read_json(lh._manifest_path(root, v1))
+    added_paths = {e["path"] for e in delta["add"]}
+    assert len(added_paths - before) == 1, "exactly one appended data file"
+    assert not (added_paths - before) & before
+    rows = {r["k"]: r["v"] for r in lh.read(spark, root).collect()}
+    assert rows[5] == 99.0 and rows[250] == 88.0
+    assert rows[9999] == 77.0  # not-matched insert
+    assert rows[6] == 9.0  # untouched
+    assert len(rows) == 401
+
+
+def test_dv_merge_matches_cow_merge_semantics(spark, root):
+    """dv_merge and merge produce the SAME logical table for the same
+    batch (duplicate-batch-key raise, NULL-key handling, update-all
+    columns) — only the write amplification differs."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(3)
+    root2 = root + "_cow"
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    lh.create(spark, root2, df, stat_cols=("k",), bloom_cols=("k",))
+    upd = spark.createDataFrame(
+        [(7, 9, 70.0), (500, 9, 50.0), (None, 9, 40.0)],
+        "k long, g long, v double",
+    )
+    lh.dv_merge(spark, root, upd, key="k")
+    lh.merge(spark, root2, upd, key="k")
+    keyf = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    a = sorted(map(tuple, lh.read(spark, root).collect()), key=keyf)
+    b = sorted(map(tuple, lh.read(spark, root2).collect()), key=keyf)
+    assert a == b  # incl. the NULL-keyed row: both verbs INSERT it
+    dup = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 0, 2.0)], "k long, g long, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        lh.dv_merge(spark, root, dup, key="k")
+
+
+def test_dv_merge_preserves_duplicate_target_keys(spark, root):
+    """Every COPY of a duplicated target key is matched: one replacement
+    row appends per matched target row (Delta MERGE multiplicity)."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k long, v double"
+    )
+    lh.create(spark, root, df, stat_cols=("k",))
+    lh.dv_merge(
+        spark, root,
+        spark.createDataFrame([(1, 99.0)], "k long, v double"), key="k",
+    )
+    got = sorted((r["k"], r["v"]) for r in lh.read(spark, root).collect())
+    assert got == [(1, 99.0), (1, 99.0), (2, 20.0)]
+
+
+def test_dv_merge_feed_and_cdf(spark, tmp_path):
+    """dv_merge streams merge_postimage (survivors of masked files +
+    the appended batch — the same logical multiset COW merge streams)
+    and CDF tags update_postimage/insert across the commit."""
+    from vcf2db_spark.sources.lakehouse_feed import read_feed_stream
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).coalesce(1)
+    v0 = lh.create(spark, root, df, stat_cols=("k",))
+    upd = spark.createDataFrame([(7, 70.0), (99, 9.0)], "k long, v double")
+    v1 = lh.dv_merge(spark, root, upd, key="k")
+    ch = lh.table_changes(spark, root, v0, v1, key="k")
+    assert sorted((r["k"], r["_change"]) for r in ch.collect()) == [
+        (7, "update_postimage"), (99, "insert"),
+    ]
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        read_feed_stream(spark, root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    tags = {
+        r["_change"]: r["n"]
+        for r in got.groupBy("_change").agg(F.count("*").alias("n")).collect()
+    }
+    assert tags == {"insert": 50, "merge_postimage": 51}
+    assert got.filter("_change='merge_postimage' AND k=7 AND v=7.0").count() == 0
+    assert got.filter("_change='merge_postimage' AND k=7 AND v=70.0").count() == 1

@@ -242,7 +242,7 @@ _RECORDED_R08 = _PRIORITY_R08 + [
 # names and no latest record will be older than r5 after this round.
 _PRIORITY_R09 = [
     # added in round 9:
-    "lakehouse_dv_delete",
+    "lakehouse_dv_delete", "lakehouse_dv_merge",
     # changed in round 9 (IVFADC ladder gains the OPQ rung; covariance
     # moved from the 152× explode to the Arrow Gram pass):
     "ivfadc_recall", "embed_covariance",

@@ -508,3 +508,96 @@ def lakehouse_dv_delete(spark, sf_dir):
         "state string, n_rows long, sum_price double",
     )
     return pre.unionByName(after).unionByName(files_row).orderBy("state")
+
+
+_DVM_LC = Lifecycle()
+
+
+@dq(
+    "lakehouse_dv_merge",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_custkey % 7 = 5),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 100.0 AS new_price
+      FROM s WHERE o_orderkey % 53 = 7),
+    ins AS (
+      SELECT o_orderkey + 900000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_custkey % 7 = 2 AND o_orderkey % 101 = 0),
+    merged AS (
+      SELECT COALESCE(u.new_price, s.o_totalprice) AS p FROM s
+      LEFT JOIN upd u USING (o_orderkey)
+      UNION ALL SELECT o_totalprice FROM ins)
+    SELECT 'after_dv_merge' AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {OSUM6('p')} AS sum_price
+    FROM merged
+    UNION ALL
+    SELECT 'pre_merge', CAST(COUNT(*) AS BIGINT), {OSUM6('o_totalprice')}
+    FROM s
+    UNION ALL
+    SELECT 'touched_files_rewritten', CAST(0 AS BIGINT), 0.0
+    ORDER BY state
+    """,
+)
+def lakehouse_dv_merge(spark, sf_dir):
+    """Merge-on-read MERGE via deletion vectors (r9 — the Delta
+    DV-enabled MERGE shape): a ~2% update batch plus inserts lands as
+    ONE appended data file while every matched row is masked by a
+    bitmap sidecar — no touched file is rewritten. Three hash-pinned
+    states: the pre-merge snapshot by TIME TRAVEL, the post-merge table
+    read through the bitmaps (updates applied, inserts present,
+    fixed-point price sum exact), and ``touched_files_rewritten`` —
+    computed from the commit's REAL delta manifest as |pre-existing
+    paths removed AND re-added as fresh data| (DV re-adds keep their
+    path; a COW rewrite would remove old paths and add NEW ones) —
+    pinned to literal 0 by the oracle: the O(batch)-bytes-written
+    guarantee, in the hash. Write-amplification contrast:
+    ``lakehouse_timetravel`` runs the same logical merge copy-on-write."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 7 == 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    root = _fresh_root(_DVM_LC, "dvm")
+    v0 = lh.create(
+        spark, root, o.repartition(6, "o_custkey"),
+        stat_cols=("o_orderkey",), bloom_cols=("o_orderkey",),
+    )
+    pre_paths = {e["path"] for e in lh.snapshot(root, v0)["files"]}
+    upd = o.filter(F.col("o_orderkey") % 53 == 7).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100.0
+    )
+    ins = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") % 7 == 2) & (F.col("o_orderkey") % 101 == 0))
+        .select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_totalprice"),
+        )
+    )
+    v1 = lh.dv_merge(spark, root, upd.unionByName(ins), key="o_orderkey")
+    delta = lh._read_json(lh._manifest_path(root, v1))
+    removed = set(delta.get("remove", ()))
+    # a COW rewrite of a touched file removes its path and adds a NEW
+    # path; a DV re-add keeps the path. Count old paths that vanished
+    # for good — the rewrite amplification the oracle pins to zero.
+    readded = {e["path"] for e in delta.get("add", ())}
+    rewritten = len((removed & pre_paths) - readded)
+    pre = lh.read(spark, root, v0).agg(
+        F.lit("pre_merge").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum6("o_totalprice").alias("sum_price"),
+    )
+    after = lh.read(spark, root).agg(
+        F.lit("after_dv_merge").alias("state"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum6("o_totalprice").alias("sum_price"),
+    )
+    files_row = spark.createDataFrame(
+        [("touched_files_rewritten", rewritten, 0.0)],
+        "state string, n_rows long, sum_price double",
+    )
+    return after.unionByName(pre).unionByName(files_row).orderBy("state")

@@ -1038,13 +1038,6 @@ def dv_delete(
     if not touched:
         return _commit(root, _child_manifest(cur, "dv_delete", []))
     schema = _schema_of(cur)
-    by_base = {
-        os.path.basename(e["path"]): (
-            int(e["rows"]),
-            e["dv"]["path"] if e.get("dv") else None,
-        )
-        for e in touched
-    }
     hits = (
         _scan_entries(
             spark, root, touched, schema, base_col="__base", pos_col="__pos"
@@ -1052,6 +1045,25 @@ def dv_delete(
         .filter(F.coalesce(F.expr(predicate), F.lit(False)))
         .select("__base", "__pos")
     )
+    new_dv = _build_dvs(root, hits, touched)
+    add, remove = _apply_dvs(touched, new_dv)
+    return _commit(root, _child_manifest(cur, "dv_delete", add, remove=remove))
+
+
+def _build_dvs(root: str, hits: DataFrame, touched: list[dict]) -> dict:
+    """Executor-side DV construction shared by ``dv_delete`` and
+    ``dv_merge``: group the (__base, __pos) hit rows per file, OR them
+    into the file's existing bitmap, write the new sidecar where the
+    group runs, and hand the driver ONE (file, ref, count) row per
+    touched file — file-count-bounded, like the bloom build; the DV
+    bytes themselves never leave the executors."""
+    by_base = {
+        os.path.basename(e["path"]): (
+            int(e["rows"]),
+            e["dv"]["path"] if e.get("dv") else None,
+        )
+        for e in touched
+    }
 
     def build(pdf):
         import pandas as pd
@@ -1071,25 +1083,133 @@ def dv_delete(
             {"base": [base], "dv_rel": [rel], "n_deleted": [dv["n_deleted"]]}
         )
 
-    # one row PER TOUCHED FILE — driver materialization is file-count-
-    # bounded (the DV bytes themselves never leave the executors)
     rows = (
         hits.groupBy("__base")
         .applyInPandas(build, schema="base string, dv_rel string, n_deleted long")
         .collect()
     )
-    new_dv = {r["base"]: (r["dv_rel"], r["n_deleted"]) for r in rows}
+    return {r["base"]: (r["dv_rel"], r["n_deleted"]) for r in rows}
+
+
+def _apply_dvs(
+    touched: list[dict], new_dv: dict
+) -> tuple[list[dict], list[str]]:
+    """(add, remove) entry lists replacing each hit entry with its new
+    DV ref; fully-masked files are dropped outright (no empty-file
+    tombstones); entries with no hit carry verbatim."""
     add, remove = [], []
     for e in touched:
         b = os.path.basename(e["path"])
         if b not in new_dv:
-            continue  # no live row matched — entry carries verbatim
+            continue
         rel, n_del = new_dv[b]
         remove.append(e["path"])
         if n_del >= int(e["rows"]):
-            continue  # fully deleted file: drop the entry entirely
+            continue
         add.append({**e, "dv": {"path": rel, "n_deleted": int(n_del)}})
-    return _commit(root, _child_manifest(cur, "dv_delete", add, remove=remove))
+    return add, remove
+
+
+def dv_merge(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+) -> int:
+    """Merge-on-read MERGE (the Delta DV-enabled MERGE shape): matched
+    target rows are MASKED with deletion-vector sidecars and their
+    replacements — plus the not-matched inserts — land in ONE appended
+    data file, so the bytes written are O(update batch), never O(touched
+    files). COW ``merge`` rewrites every file containing a matched key
+    (bloom-refined, but a 3-row update spread across 3 × 1 GB files
+    still rewrites 3 GB); this verb writes KB-scale bitmaps + the batch.
+
+    Semantics match ``merge`` exactly: matched target rows take the
+    update's non-key columns (every copy of a duplicated target key is
+    matched — one replacement row appends per matched TARGET row, so
+    duplicate-key tables keep their multiplicity); unmatched update keys
+    insert; a duplicate key within the BATCH raises; NULL-keyed update
+    rows match nothing and insert. Candidate files narrow through the
+    same stats + bloom tiers as ``merge``; the matched-position scan and
+    the DV build are the ``dv_delete`` machinery. Reads apply the
+    bitmaps; ``compact`` purges them past the deleted-ratio threshold."""
+    cur = snapshot(root)
+    _check_schema(cur, updates, "dv_merge")
+    bounds = updates.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(key).alias("n"),
+        F.countDistinct(key).alias("nd"),
+    ).collect()[0]
+    if bounds["n"] != bounds["nd"]:
+        raise ValueError(
+            f"dv_merge: update batch has duplicate values in key column "
+            f"{key!r} ({bounds['n']} rows, {bounds['nd']} distinct)"
+        )
+    if bounds["lo"] is None:  # empty batch → no-op commit (merge parity)
+        return _commit(root, _child_manifest(cur, "dv_merge", []))
+    schema = _schema_of(cur)
+    non_key = [f.name for f in schema if f.name != key]
+    upd = updates.select(
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"__u_{c}") for c in non_key],
+    )
+    # candidate narrowing: every file is a candidate unless its bloom
+    # filter provably rejects the whole batch (range stats cannot prove
+    # CONTAINMENT on an unclustered key — the bloom tier is the one that
+    # shrinks this; missing sidecars conservatively stay candidates)
+    touched = list(cur["files"])
+    if key in _bloom_cols_of(cur) and touched:
+        blooms_by_idx: dict[int, dict] = {}
+        for i, e in enumerate(touched):
+            try:
+                side = _read_json(_bloom_sidecar_path(root, e["path"]))
+            except (OSError, ValueError):
+                continue
+            b = side.get(key)
+            if b is not None:
+                blooms_by_idx[i] = b
+        if blooms_by_idx:
+            from vcf2db_spark.operators.bloom import probe_any_key
+
+            matched_idx = probe_any_key(
+                spark, updates.select(F.col(key).alias("__k")), "__k",
+                blooms_by_idx,
+            )
+            touched = [
+                e
+                for i, e in enumerate(touched)
+                if i not in blooms_by_idx or i in matched_idx
+            ]
+    # matched target rows: (file, position) for the DV build AND the
+    # replacement rows (update values, one per matched target copy)
+    target = _scan_entries(
+        spark, root, touched, schema, base_col="__base", pos_col="__pos"
+    )
+    matched = target.join(F.broadcast(upd), target[key] == upd["__k"])
+    new_dv = _build_dvs(
+        root, matched.select("__base", "__pos"), touched
+    )
+    add, remove = _apply_dvs(touched, new_dv)
+    replacements = matched.select(
+        F.col(key), *[F.col(f"__u_{c}").alias(c) for c in non_key]
+    )
+    # not-matched inserts: DV-aware anti-join against the WHOLE table
+    existing = _scan_entries(spark, root, cur["files"], schema).select(key)
+    inserts = updates.join(existing, on=key, how="left_anti").select(
+        key, *non_key
+    )
+    new_rows = replacements.unionByName(inserts)
+    appended = _write_data(
+        new_rows.coalesce(1) if bounds["n"] and bounds["n"] < 100_000 else new_rows,
+        root,
+        tuple(cur["stat_cols"]),
+        _bloom_cols_of(cur),
+    )
+    return _commit(
+        root,
+        _child_manifest(cur, "dv_merge", add + appended, remove=remove),
+    )
 
 
 def restore(root: str, version: int) -> int:

@@ -72,6 +72,7 @@ _CHANGE_TAG = {
     "append": "insert",
     "stream_append": "insert",
     "merge": "merge_postimage",
+    "dv_merge": "merge_postimage",
     "delete": "delete_postimage",
     "dv_delete": "delete_postimage",
     "restore": "restore",
