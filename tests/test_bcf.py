@@ -223,3 +223,65 @@ def test_reg2bin_csi_matches_tabix_at_default_params():
     for beg, end in cases:
         assert reg2bin_csi(beg, end) == reg2bin(beg, end)
         assert sorted(set(reg2bins_csi(beg, end))) == sorted(set(reg2bins(beg, end)))
+
+
+def test_bcf_version_magic_rejected(tmp_path):
+    """BCF1 (samtools-era) and future-version magics share the 3-byte
+    prefix but use different record framing — they must fail BY NAME,
+    not decode garbage with BCF2.2 rules (ADVICE r9)."""
+    from vcf2db_spark.sources.bgzf import BGZFWriter
+
+    def mk(magic: bytes) -> str:
+        p = str(tmp_path / f"v_{magic.hex()}.bcf")
+        with BGZFWriter(p) as w:
+            w.write(magic + struct.pack("<I", 4) + b"##\x00\x00")
+        return p
+
+    bcf1 = mk(b"BCF\x01\x02")
+    future = mk(b"BCF\x02\x03")
+    ok = mk(b"BCF\x02\x01")  # minor 2.1 < 2.2: accepted
+    assert not is_bcf(bcf1) and not is_bcf(future)
+    assert is_bcf(ok)
+    with pytest.raises(ValueError, match="unsupported BCF version 1.2"):
+        read_bcf_header_text(bcf1)
+    with pytest.raises(ValueError, match="unsupported BCF version 2.3"):
+        read_bcf_header_text(future)
+    assert read_bcf_header_text(ok) == "##"
+
+
+def test_csi_planner_honors_idx_overrides(spark, tmp_path):
+    """A reheadered BCF can carry out-of-order IDX= contig slots: the
+    record rids follow the IDX numbering, not header file order. When
+    the .csi carries no aux names (htslib writes l_aux=0 for BCF), the
+    planner's name→rid map must use the IDX-aware dictionary or it
+    reads the WRONG contig's chunks and the residual filter silently
+    empties the result (ADVICE r9, reproduced pre-fix)."""
+    import dataclasses
+
+    from vcf2db_spark.sources.vcf import read_vcf
+
+    header = (
+        "##fileformat=VCFv4.2\n"
+        "##contig=<ID=chrA,length=1000000,IDX=1>\n"
+        "##contig=<ID=chrB,length=1000000,IDX=0>\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="Depth">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA001\n"
+    )
+    body = (  # rid order (chrB=0 first), as bcftools sort would emit
+        "chrB\t100\t.\tA\tG\t9.0\tPASS\tDP=5\tGT\t0/1\n"
+        "chrB\t200\t.\tC\tT\t9.0\tPASS\tDP=6\tGT\t1/1\n"
+        "chrA\t150\t.\tG\tA\t9.0\tPASS\tDP=7\tGT\t0/0\n"
+        "chrA\t300\t.\tT\tC\t9.0\tPASS\tDP=8\tGT\t0/1\n"
+    )
+    vcf = str(tmp_path / "idx.vcf")
+    with open(vcf, "w") as fh:
+        fh.write(header + body)
+    bcf = str(tmp_path / "idx.bcf")
+    csi = bcf + ".csi"
+    write_bcf(vcf, bcf, index_path=csi)
+    # strip the embedded aux names to emulate an htslib-written BCF CSI
+    write_csi(dataclasses.replace(read_csi(csi), names=[]), csi)
+    got = read_vcf(spark, bcf).filter("chrom = 'chrA'")
+    assert sorted(r["start"] for r in got.collect()) == [149, 299]
+    assert read_vcf(spark, bcf).count() == 4

@@ -2058,3 +2058,51 @@ def test_dv_merge_feed_and_cdf(spark, tmp_path):
     assert tags == {"insert": 50, "merge_postimage": 51}
     assert got.filter("_change='merge_postimage' AND k=7 AND v=7.0").count() == 0
     assert got.filter("_change='merge_postimage' AND k=7 AND v=70.0").count() == 1
+
+
+# ---- all-NULL-key batches + dv_merge broadcast gate (ADVICE r9) -------------
+
+
+def test_merge_all_null_key_batch_inserts_both_verbs(spark, root, tmp_path):
+    """A NON-empty batch whose keys are ALL NULL must not be mistaken
+    for an empty batch: NULL matches nothing (documented contract), so
+    every row INSERTS — and in COW merge no existing file is rewritten
+    (NULL can't match, so nothing is touched). Reproduced pre-fix: both
+    verbs committed a silent no-op and dropped the rows."""
+    df = _mk(spark, 0, 100).coalesce(1)
+    root2 = str(tmp_path / "cow2")
+    lh.create(spark, root, df, stat_cols=("k",), bloom_cols=("k",))
+    lh.create(spark, root2, df, stat_cols=("k",), bloom_cols=("k",))
+    upd = spark.createDataFrame(
+        [(None, 111.0), (None, 222.0)], "k long, v double"
+    )
+    before = {e["path"] for e in lh.snapshot(root2)["files"]}
+    lh.dv_merge(spark, root, upd, key="k")
+    lh.merge(spark, root2, upd, key="k")
+    for r in (root, root2):
+        got = lh.read(spark, r)
+        assert got.count() == 102
+        assert sorted(
+            x["v"] for x in got.filter("k IS NULL").collect()
+        ) == [111.0, 222.0]
+    # COW merge carried every pre-existing file verbatim (nothing matched)
+    assert before <= {e["path"] for e in lh.snapshot(root2)["files"]}
+
+
+def test_dv_merge_correct_past_broadcast_gate(spark, root, monkeypatch):
+    """dv_merge's update-batch broadcast is gated on the batch row count
+    (O(batch)-bounded writes must not imply batch-sized executor
+    memory); past the gate the planner picks the strategy and the
+    result is unchanged."""
+    lh.create(
+        spark, root, _mk(spark, 0, 500).repartition(3),
+        stat_cols=("k",), bloom_cols=("k",),
+    )
+    monkeypatch.setattr(lh, "_MERGE_BROADCAST_ROWS", 1)  # force the fallback
+    upd = spark.createDataFrame(
+        [(5, 55.0), (9000, 90.0), (17, 77.0)], "k long, v double"
+    )
+    lh.dv_merge(spark, root, upd, key="k")
+    rows = {r["k"]: r["v"] for r in lh.read(spark, root).collect()}
+    assert rows[5] == 55.0 and rows[17] == 77.0 and rows[9000] == 90.0
+    assert len(rows) == 501 and rows[6] == 6.0

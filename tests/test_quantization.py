@@ -267,7 +267,7 @@ def test_ivfadc_recall_floor(spark):
     recall@3 must stay within 0.05 of the float-probe knn_recall AND
     above 0.85; ADC-only at probes=3 above 0.6 (the honest PQ penalty
     on this near-random fixture, measured 0.71/0.93 vs float 0.95 at
-    sf0.01); the r9 OPQ rung (learned rotation + m=16, VERDICT r8
+    sf0.01); the r9 OPQ rung (learned rotation + m=32, VERDICT r8
     item 3) must reach 0.85 WITHOUT rerank — the ADC-only gap closed
     (measured 0.70 → 0.91 offline on this fixture)."""
     from vcf2db_spark.queries.pipeline_ext import ivfadc_recall, knn_recall

@@ -1210,7 +1210,7 @@ def ivfadc_recall(spark, sf_dir):
             .filter(F.col("_rn") <= 3)
         )
         rows.append(_recall_row(rr_top, probes, "adc_rerank"))
-        # OPQ rung (r9): rotated m=16 codes, ADC-only — no rerank, the
+        # OPQ rung (r9): rotated m=32 codes, ADC-only — no rerank, the
         # rotation itself recovers the recall the m=8 tier loses
         opq_top = (
             lvl.withColumn("_rn", F.row_number().over(w_opq))

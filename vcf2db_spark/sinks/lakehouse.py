@@ -567,6 +567,10 @@ def append(
 #: total deleted positions (16 bytes/row → ~64 MB at the bound); larger
 #: DV sets fall back to a shuffled anti-join (AQE can still re-plan)
 _DV_BROADCAST_POSITIONS = 4_000_000
+# dv_merge broadcasts its update batch into the matched-position join only
+# while the batch row count (already known from the 1-row bounds aggregate)
+# stays under this; larger batches fall back to the planner's choice
+_MERGE_BROADCAST_ROWS = 2_000_000
 
 
 def _scan_entries(
@@ -799,6 +803,7 @@ def merge(
         F.max(key).alias("hi"),
         F.count(key).alias("n"),
         F.countDistinct(key).alias("nd"),
+        F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     if bounds["n"] != bounds["nd"]:
         # duplicate keys would multiply matched target rows through the
@@ -808,41 +813,51 @@ def merge(
             f"merge: update batch has duplicate values in key column "
             f"{key!r} ({bounds['n']} rows, {bounds['nd']} distinct)"
         )
-    if bounds["lo"] is None:  # empty batch → no-op commit
+    if bounds["total"] == 0:  # empty batch → no-op commit
         return _commit(root, _child_manifest(cur, "merge", []))
-    lo, hi = _stat_value(bounds["lo"]), _stat_value(bounds["hi"])
+    if bounds["lo"] is None:
+        # non-empty batch whose keys are ALL NULL: NULL equals nothing
+        # under SQL join semantics, so no file can match — skip pruning
+        # (min/max are NULL, there is nothing to prune WITH) and touch no
+        # file; every batch row falls through to the not-matched
+        # anti-join below and inserts, per the docstring contract
+        overlapping = [False for _ in cur["files"]]
+    else:
+        lo, hi = _stat_value(bounds["lo"]), _stat_value(bounds["hi"])
 
-    ranges = [
-        (i, e["stats"].get(key)) for i, e in enumerate(cur["files"])
-    ]
-    numeric = all(
-        st is None or isinstance(st[0], (int, float)) for _, st in ranges
-    )
-    if numeric and any(st is not None for _, st in ranges):
-        rng = spark.createDataFrame(
-            [(i, st[0], st[1]) for i, st in ranges if st is not None],
-            ["__idx", "__lo", "__hi"],
+        ranges = [
+            (i, e["stats"].get(key)) for i, e in enumerate(cur["files"])
+        ]
+        numeric = all(
+            st is None or isinstance(st[0], (int, float))
+            for _, st in ranges
         )
-        # hit list: ≤ file-count rows regardless of batch volume
-        hit = {
-            r["__idx"]
-            for r in updates.select(F.col(key).alias("__k"))
-            .join(
-                F.broadcast(rng),
-                (F.col("__k") >= F.col("__lo"))
-                & (F.col("__k") <= F.col("__hi")),
+        if numeric and any(st is not None for _, st in ranges):
+            rng = spark.createDataFrame(
+                [(i, st[0], st[1]) for i, st in ranges if st is not None],
+                ["__idx", "__lo", "__hi"],
             )
-            .select("__idx")
-            .distinct()
-            .collect()
-        }
-        overlapping = [
-            i in hit if st is not None else True for i, st in ranges
-        ]
-    else:  # span fallback: stats missing or JSON-stringified temporals
-        overlapping = [
-            st is None or not (st[0] > hi or st[1] < lo) for _, st in ranges
-        ]
+            # hit list: ≤ file-count rows regardless of batch volume
+            hit = {
+                r["__idx"]
+                for r in updates.select(F.col(key).alias("__k"))
+                .join(
+                    F.broadcast(rng),
+                    (F.col("__k") >= F.col("__lo"))
+                    & (F.col("__k") <= F.col("__hi")),
+                )
+                .select("__idx")
+                .distinct()
+                .collect()
+            }
+            overlapping = [
+                i in hit if st is not None else True for i, st in ranges
+            ]
+        else:  # span fallback: stats missing / JSON-stringified temporals
+            overlapping = [
+                st is None or not (st[0] > hi or st[1] < lo)
+                for _, st in ranges
+            ]
 
     # Bloom refinement (r8): range containment proves a file's [min,max]
     # COVERS some update key, not that the file CONTAINS one — on an
@@ -1140,14 +1155,16 @@ def dv_merge(
         F.max(key).alias("hi"),
         F.count(key).alias("n"),
         F.countDistinct(key).alias("nd"),
+        F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     if bounds["n"] != bounds["nd"]:
         raise ValueError(
             f"dv_merge: update batch has duplicate values in key column "
             f"{key!r} ({bounds['n']} rows, {bounds['nd']} distinct)"
         )
-    if bounds["lo"] is None:  # empty batch → no-op commit (merge parity)
+    if bounds["total"] == 0:  # empty batch → no-op commit (merge parity)
         return _commit(root, _child_manifest(cur, "dv_merge", []))
+    all_null = bounds["lo"] is None
     schema = _schema_of(cur)
     non_key = [f.name for f in schema if f.name != key]
     upd = updates.select(
@@ -1158,7 +1175,11 @@ def dv_merge(
     # filter provably rejects the whole batch (range stats cannot prove
     # CONTAINMENT on an unclustered key — the bloom tier is the one that
     # shrinks this; missing sidecars conservatively stay candidates)
-    touched = list(cur["files"])
+    # all-NULL-key batch: NULL equals nothing under SQL join semantics,
+    # so no target row can match — no file is touched, no DV is built,
+    # and every batch row falls through to the not-matched anti-join
+    # below and inserts, per the docstring contract (merge parity)
+    touched = [] if all_null else list(cur["files"])
     if key in _bloom_cols_of(cur) and touched:
         blooms_by_idx: dict[int, dict] = {}
         for i, e in enumerate(touched):
@@ -1186,7 +1207,15 @@ def dv_merge(
     target = _scan_entries(
         spark, root, touched, schema, base_col="__base", pos_col="__pos"
     )
-    matched = target.join(F.broadcast(upd), target[key] == upd["__k"])
+    # broadcast only a bounded batch (the verb promises O(batch)-bounded
+    # WRITES, not batch-sized executor memory) — past the gate let
+    # AQE/autoBroadcastJoinThreshold pick the join strategy, same policy
+    # as the DV-positions join's _DV_BROADCAST_POSITIONS gate
+    upd_side = (
+        F.broadcast(upd) if bounds["total"] <= _MERGE_BROADCAST_ROWS
+        else upd
+    )
+    matched = target.join(upd_side, target[key] == upd["__k"])
     new_dv = _build_dvs(
         root, matched.select("__base", "__pos"), touched
     )

@@ -57,7 +57,12 @@ def is_bcf(path: str) -> bool:
     if not is_bgzf(path):
         return False
     with BGZFReader(path) as rd:
-        return rd.read(5)[:3] == b"BCF"
+        magic = rd.read(5)
+    # full 5-byte check: BCF1 (samtools-era) and future-major files share
+    # the 3-byte prefix but use different record framing — parsing them
+    # as BCF2.2 would yield garbage rows, so they are "not BCF" here and
+    # read_bcf_header_text raises the version-naming error on direct use
+    return magic[:4] == b"BCF\x02" and magic[4:5] <= b"\x02"
 
 
 def read_bcf_header_text(path: str) -> str:
@@ -68,6 +73,15 @@ def read_bcf_header_text(path: str) -> str:
         magic = rd.read(5)
         if magic[:3] != b"BCF":
             raise ValueError(f"{path}: not a BCF file (magic {magic!r})")
+        if magic[3:4] != b"\x02" or magic[4:5] > b"\x02":
+            # BCF1 or a future major/minor: record framing differs —
+            # fail by name instead of decoding garbage with 2.2 rules
+            major = magic[3] if len(magic) > 3 else 0
+            minor = magic[4] if len(magic) > 4 else 0
+            raise ValueError(
+                f"{path}: unsupported BCF version {major}.{minor} "
+                f"(only BCF 2.0-2.2 is supported)"
+            )
         (l_text,) = struct.unpack("<I", rd.read(4))
         text = rd.read(l_text)
     return text.rstrip(b"\x00").decode().rstrip("\n")

@@ -401,7 +401,11 @@ class VCFReader(DataSourceReader):
         if mode == "none":
             return None
         if self.is_bcf:
-            from vcf2db_spark.sources.bcf import index_bcf
+            from vcf2db_spark.sources.bcf import (
+                header_dicts,
+                index_bcf,
+                read_bcf_header_text,
+            )
             from vcf2db_spark.sources.csi import read_csi
 
             csi = self.path + ".csi"
@@ -409,7 +413,13 @@ class VCFReader(DataSourceReader):
                 if mode != "build":
                     return None
                 index_bcf(self.path, csi)
-            return read_csi(csi, names=self.header.contigs)
+            # rid numbering MUST match the decode path: explicit IDX=
+            # overrides (bcftools reheader can pin out-of-order slots)
+            # reorder the contig dictionary away from header file order,
+            # and a planner keyed on file order would prune the wrong
+            # partitions silently — use the IDX-aware dictionary
+            contigs, _ = header_dicts(read_bcf_header_text(self.path))
+            return read_csi(csi, names=contigs)
         if not self.path.endswith(".gz"):
             return None
         from vcf2db_spark.sources.bgzf import is_bgzf
