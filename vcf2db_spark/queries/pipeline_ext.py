@@ -1116,16 +1116,17 @@ def ivfadc_recall(spark, sf_dir):
     rotation before encoding, m=32: closes the ADC-only recall gap,
     measured 0.70 → 0.95 unblocked on this fixture, still a 16× probe-
     bandwidth cut at 32 one-byte codes per 512 B vector). One multi-probe assignment +
-    one ADC scoring pass per code tier covers all rungs (the knn_recall
-    folding device). Seeded-hash blocking → rows-only; the absolute
+    ONE multi-tier scoring pass covers all nine rungs — rank-within-
+    probe-level via conditional cumulative window counts, so the plan
+    runs the pair scan once, not once per (variant, probes) branch
+    (r10, VERDICT r9 item 2). Seeded-hash blocking → rows-only; the absolute
     floors are pinned in tests/test_quantization.py::
     test_ivfadc_recall_floor."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     from vcf2db_spark.operators.quantization import (
-        adc_cosine_col, opq_train, pq_codes_col, pq_train,
+        adc_cosine_multi_col, collect_train_sample, opq_train,
+        pq_codes_multi_col, pq_train,
     )
     from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
 
@@ -1133,8 +1134,14 @@ def ivfadc_recall(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
 
-    codebooks = pq_train(e, m=8, k=128, iters=4, sample=200)
-    rot, cb_opq = opq_train(e, m=32, k=128, iters=4, sample=200, opq_iters=8)
+    # one sample-collect job trains BOTH code tiers (r10: the r9 ladder
+    # paid a second collect + a second Arrow encode/score pass for the
+    # OPQ rung — the multi-tier UDFs ship the probe vectors once)
+    sample_X = collect_train_sample(e, 200)
+    codebooks = pq_train(e, m=8, k=128, iters=4, sample_X=sample_X)
+    rot, cb_opq = opq_train(
+        e, m=32, k=128, iters=4, opq_iters=8, sample_X=sample_X
+    )
     assigned, _ = ivf_assign_multi(e, n_lists=8, probes=3, refine_iters=1)
     a = assigned.filter(F.col("vec_id") < 50).select(
         "list_id",
@@ -1145,79 +1152,129 @@ def ivfadc_recall(spark, sf_dir):
     b = assigned.select(
         "list_id",
         F.col("vec_id").alias("neighbor_id"),
-        pq_codes_col(F.col("embedding"), codebooks).alias("_cb"),
-        pq_codes_col(F.col("embedding"), cb_opq, rotation=rot).alias("_co"),
+        pq_codes_multi_col(
+            F.col("embedding"), {"cb": (codebooks, None), "co": (cb_opq, rot)}
+        ).alias("_codes"),
+        F.col("embedding").alias("_vb"),
         F.col("_probe_rank").alias("_rb"),
+    ).select(
+        "list_id",
+        "neighbor_id",
+        F.col("_codes.cb").alias("_cb"),
+        F.col("_codes.co").alias("_co"),
+        "_vb",
+        "_rb",
     )
     pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+    # ONE scoring projection carries every rung's inputs: both ADC tiers
+    # from the multi-tier UDF (query vectors ship over Arrow once) and
+    # the full-precision cosine the rerank rung needs, JVM-side (the r9
+    # shape re-joined the raw vectors per probe level instead)
     scored = pairs.select(
         "id",
         "neighbor_id",
         (F.greatest("_ra", "_rb") + 1).alias("_lvl"),
-        adc_cosine_col(F.col("_va"), F.col("_cb"), codebooks).alias("cosine"),
-        adc_cosine_col(
-            F.col("_va"), F.col("_co"), cb_opq, rotation=rot
-        ).alias("cos_opq"),
+        adc_cosine_multi_col(
+            F.col("_va"),
+            {
+                "cosine": (F.col("_cb"), codebooks, None),
+                "cos_opq": (F.col("_co"), cb_opq, rot),
+            },
+        ).alias("_s"),
+        r6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_full"),
+    ).select(
+        "id",
+        "neighbor_id",
+        "_lvl",
+        F.col("_s.cosine").alias("cosine"),
+        F.col("_s.cos_opq").alias("cos_opq"),
+        "cos_full",
     )
     folded = scored.groupBy("id", "neighbor_id").agg(
         F.min("_lvl").alias("_lvl"),
         F.max("cosine").alias("cosine"),
         F.max("cos_opq").alias("cos_opq"),
+        F.max("cos_full").alias("cos_full"),
     )
-    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    # All nine (probes, variant) rungs from ONE pass over the folded
+    # pairs (r10: the r9 shape unioned nine branches, each re-running
+    # assignment + scoring — 9× the physical work of the logical plan).
+    # Rank-within-level via conditional cumulative counts: under a total
+    # order (score desc, neighbor_id), sum(level-indicator) up to the
+    # current row IS row_number() over the level-filtered set, so one
+    # window per ordering covers all three probe levels. The three
+    # orderings share the partition key → one shuffle, three sorts.
+    w_adc = Window.partitionBy("id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
     w_opq = Window.partitionBy("id").orderBy(
         F.col("cos_opq").desc(), "neighbor_id"
     )
-    qa = e.select(F.col("vec_id").alias("id"), F.col("embedding").alias("_ra"))
-    qb = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_rb")
+    w_full = Window.partitionBy("id").orderBy(
+        F.col("cos_full").desc(), "neighbor_id"
     )
-
-    def _recall_row(approx, probes, variant):
-        hits = exact.join(approx, ["id", "neighbor_id"], "left_semi")
-        n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("_hit"))
-        return n_hit.crossJoin(F.broadcast(n_tot)).select(
-            F.lit(3).alias("k"),
-            F.lit(probes).alias("probes"),
-            F.lit(variant).alias("variant"),
-            F.col("_tot").alias("n_exact_pairs"),
-            F.round(F.col("_hit") / F.col("_tot"), 6).alias("recall_at_k"),
+    marked = folded.join(
+        F.broadcast(
+            exact.select("id", "neighbor_id", F.lit(1).alias("_ex"))
+        ),
+        ["id", "neighbor_id"],
+        "left",
+    )
+    flags = marked
+    for p in (1, 2, 3):
+        in_lvl = F.col("_lvl") <= p
+        rn_adc = F.sum(F.when(in_lvl, 1).otherwise(0)).over(w_adc)
+        rn_opq = F.sum(F.when(in_lvl, 1).otherwise(0)).over(w_opq)
+        flags = (
+            flags.withColumn(f"_t_adc_{p}", in_lvl & (rn_adc <= 3))
+            # IVFADC-R: top-9 ADC candidates re-scored full-precision —
+            # recovers the PQ reconstruction penalty at bounded bandwidth
+            .withColumn(f"_t9_{p}", in_lvl & (rn_adc <= 9))
+            # OPQ rung (r9): rotated m=32 codes, ADC-only — the rotation
+            # itself recovers the recall the m=8 tier loses
+            .withColumn(f"_t_opq_{p}", in_lvl & (rn_opq <= 3))
         )
-
-    rows = []
-    for probes in (1, 2, 3):
-        lvl = folded.filter(F.col("_lvl") <= probes)
-        adc_top = (
-            lvl.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 3)
+    for p in (1, 2, 3):
+        rr = F.sum(
+            F.when(F.col(f"_t9_{p}"), 1).otherwise(0)
+        ).over(w_full)
+        flags = flags.withColumn(
+            f"_t_rr_{p}", F.col(f"_t9_{p}") & (rr <= 3)
         )
-        rows.append(_recall_row(adc_top, probes, "adc"))
-        # IVFADC-R: top-9 ADC candidates re-scored full-precision (full
-        # vectors gathered for 9 candidates/query only) — recovers the
-        # PQ reconstruction penalty at bounded extra bandwidth
-        cand = (
-            lvl.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 9)
-            .select("id", "neighbor_id")
+    counts = flags.filter(F.col("_ex").isNotNull()).groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(f"_t_{v}_{p}"), 1).otherwise(0)),
+                F.lit(0),
+            ).alias(f"_h_{v}_{p}")
+            for p in (1, 2, 3)
+            for v in ("adc", "rr", "opq")
+        ]
+    )
+    variant_name = {"adc": "adc", "rr": "adc_rerank", "opq": "opq"}
+    return (
+        counts.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(3).alias("k"),
+                            F.lit(p).alias("probes"),
+                            F.lit(variant_name[v]).alias("variant"),
+                            F.col("_tot").alias("n_exact_pairs"),
+                            F.round(
+                                F.col(f"_h_{v}_{p}") / F.col("_tot"), 6
+                            ).alias("recall_at_k"),
+                        )
+                        for p in (1, 2, 3)
+                        for v in ("adc", "rr", "opq")
+                    ]
+                )
+            ).alias("_r")
         )
-        rr = cand.join(qa, "id").join(qb, "neighbor_id").select(
-            "id",
-            "neighbor_id",
-            r6(cosine(F.col("_ra"), F.col("_rb"))).alias("cosine"),
-        )
-        rr_top = (
-            rr.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 3)
-        )
-        rows.append(_recall_row(rr_top, probes, "adc_rerank"))
-        # OPQ rung (r9): rotated m=32 codes, ADC-only — no rerank, the
-        # rotation itself recovers the recall the m=8 tier loses
-        opq_top = (
-            lvl.withColumn("_rn", F.row_number().over(w_opq))
-            .filter(F.col("_rn") <= 3)
-        )
-        rows.append(_recall_row(opq_top, probes, "opq"))
-    return reduce(lambda a_, b_: a_.unionByName(b_), rows)
+        .select("_r.*")
+    )
 
 
 @dq("semdedup")
