@@ -126,13 +126,12 @@ def test_inheritance_via_engine(engine):
 
 
 def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
-    """The default-genotype gemini rows — gtfilter, denovo, autorec,
-    mendelviol (and the other six shared-scan rows) — share ONE artifact
-    build per (process, sf_dir): gemini's load-once-query-many pattern
-    (r9 consolidation; gtfilter/denovo outputs carry no ref/alt so the
-    varied-refalt shared artifact is output-identical for them). Only
-    comp_hets (decoupled phased cohort) and the chrX cohort may build
-    privately."""
+    """The default-genotype gemini rows — gtfilter, denovo, comp_hets,
+    autorec, mendelviol (and the other six shared-scan rows) — share ONE
+    artifact build per (process, sf_dir): gemini's load-once-query-many
+    pattern (r9 consolidation; r10 folded comp_hets in via the k%3==0
+    decoupled-phased-parent subset). Only the chrX cohort may build
+    privately — 2 builds per (process, sf_dir) total."""
     from vcf2db_spark.queries import gemini_dq as G
 
     calls: list[str] = []
@@ -148,5 +147,6 @@ def test_model_scan_rows_share_one_artifact_build(spark, sf_dir, monkeypatch):
     assert G.gemini_denovo(spark, sf_dir).count() > 0
     assert G.gemini_autorec(spark, sf_dir).count() > 0
     assert G.gemini_mendelviol(spark, sf_dir).count() > 0
+    assert G.gemini_comphet(spark, sf_dir).count() >= 0  # shared, no build
     assert calls == [sf_dir], "shared-scan rows must reuse ONE build"
     G._SH_ENGINES.clear()  # leave no cross-test cached engine behind

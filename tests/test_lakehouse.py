@@ -2106,3 +2106,252 @@ def test_dv_merge_correct_past_broadcast_gate(spark, root, monkeypatch):
     rows = {r["k"]: r["v"] for r in lh.read(spark, root).collect()}
     assert rows[5] == 55.0 and rows[17] == 77.0 and rows[9000] == 90.0
     assert len(rows) == 501 and rows[6] == 6.0
+
+
+# ---- cross-process CONFLICTING DV writers (r10, VERDICT r9 item 4) -----------
+
+
+def _xproc_dv_writer(args):
+    """One writer process issuing dv_delete / dv_merge / COW merge /
+    compact ops with full read-modify-write retry on CommitConflict —
+    the DV protocol at the log layer (no Spark in children). Data files
+    are JSON key→value maps whose POSITIONS are the sorted-key indexes
+    fixed at write time (parquet row_index twin); a DV sidecar is a
+    content-addressed ``_dv/<uuid>.json`` list of dead positions, and a
+    dv op's read-modify-write is exactly the verb's: read the head,
+    find holders among LIVE rows, OR the new positions into each
+    holder's EXISTING sidecar, commit remove+add with the new ref. The
+    interleaving class under test: two writers OR-ing the same file's
+    DV from the same base version — the loser must CommitConflict and
+    rebase onto the winner's sidecar, never losing a position. compact
+    purges DVs (applies the mask, rewrites, drops the ref), racing the
+    dv writers' refs. Returns [(version, kind, payload)] for replay."""
+    root, wid, ops, seed = args
+    import json as _json
+    import os as _os
+    import random
+    import time as _t
+    import uuid as _uuid
+
+    from vcf2db_spark.sinks import lakehouse as lh2
+
+    rng = random.Random(seed * 104729 + wid)
+
+    def read_file(rel):
+        with open(_os.path.join(root, rel)) as fh:
+            return _json.load(fh)
+
+    def live_items(entry):
+        content = read_file(entry["path"])
+        keys = sorted(content)
+        dead = set()
+        if entry.get("dv"):
+            dead = set(read_file(entry["dv"]["path"]))
+        return {k: content[k] for i, k in enumerate(keys) if i not in dead}
+
+    def write_json(prefix, payload):
+        rel = f"{prefix}/{_uuid.uuid4().hex[:12]}.json"
+        full = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(full), exist_ok=True)
+        with open(full, "w") as fh:
+            _json.dump(payload, fh)
+        return rel
+
+    def dv_for(entry, hit_keys):
+        """OR hit positions into the entry's existing sidecar; returns
+        the replacement entry (or None when fully masked) and whether
+        any NEW position was added."""
+        content = read_file(entry["path"])
+        keys = sorted(content)
+        old = set(read_file(entry["dv"]["path"])) if entry.get("dv") else set()
+        new = old | {i for i, k in enumerate(keys) if k in hit_keys}
+        if new == old:
+            return entry, False
+        if len(new) >= len(keys):
+            return None, True
+        rel = write_json("_dv", sorted(new))
+        return {**entry, "dv": {"path": rel, "n_deleted": len(new)}}, True
+
+    out = []
+    for j, (kind, keys) in enumerate(ops):
+        while True:
+            snap = lh2.snapshot(root)
+            add, remove = [], []
+            payload = None
+            if kind in ("dv_delete", "dv_merge"):
+                matched = {}
+                for e in snap["files"]:
+                    hit = set(live_items(e)) & set(keys)
+                    if not hit:
+                        continue
+                    repl, changed = dv_for(e, hit)
+                    if not changed:
+                        continue
+                    matched[e["path"]] = repl
+                for path, repl in matched.items():
+                    remove.append(path)
+                    if repl is not None:
+                        add.append(repl)
+                if kind == "dv_merge":
+                    payload = {k: f"w{wid}op{j}" for k in keys}
+                    rel = write_json("data", payload)
+                    add.append({"path": rel, "rows": len(payload), "stats": {}})
+                else:
+                    payload = list(keys)
+            elif kind == "merge":  # COW: rewrite holders minus keys + new file
+                state = {}
+                for e in snap["files"]:
+                    live = live_items(e)
+                    if set(live) & set(keys):
+                        remove.append(e["path"])
+                        state.update(live)
+                payload = {k: f"w{wid}op{j}" for k in keys}
+                merged = {k: v for k, v in state.items() if k not in keys}
+                merged.update(payload)
+                rel = write_json("data", merged)
+                add.append({"path": rel, "rows": len(merged), "stats": {}})
+            else:  # compact: purge every DV'd file (apply mask, drop ref)
+                payload = []
+                folded = {}
+                for e in snap["files"]:
+                    if not e.get("dv"):
+                        continue
+                    remove.append(e["path"])
+                    folded.update(live_items(e))
+                if remove:
+                    rel = write_json("data", folded)
+                    add.append({"path": rel, "rows": len(folded), "stats": {}})
+            man = lh2._child_manifest(snap, kind, add, remove=remove)
+            try:
+                v = lh2._commit(root, man)
+                out.append((v, kind, payload))
+                break
+            except lh2.CommitConflict:
+                _t.sleep(rng.random() * 0.002)
+    return out
+
+
+def test_cross_process_conflicting_dv_writers_serialize(tmp_path):
+    """VERDICT r9 item 4: 3 forked writers mix dv_delete / dv_merge /
+    COW merge / compact over the SAME 10-key space, 20 seeds. Every DV
+    op read-modify-writes an EXISTING sidecar (old ∪ new), so a lost
+    CommitConflict would silently drop a deleted position (a resurrected
+    row) or a masked update; compact's purge races the refs. The final
+    state must equal the serial replay of the committed ops in version
+    order — same oracle as the COW property."""
+    import json as _json
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    with ctx.Pool(3) as pool:
+        for seed in range(20):
+            import random
+
+            rng = random.Random(seed + 5000)
+            root = str(tmp_path / f"dv{seed}")
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            # two initial files so dv ops hit distinct holders
+            init_a = {f"k{i}": "init" for i in range(5)}
+            init_b = {f"k{i}": "init" for i in range(5, 10)}
+            with open(os.path.join(root, "data", "f0.json"), "w") as fh:
+                _json.dump(init_a, fh)
+            with open(os.path.join(root, "data", "f1.json"), "w") as fh:
+                _json.dump(init_b, fh)
+            lh._commit(
+                root,
+                {
+                    "parent": -1,
+                    "operation": "create",
+                    "schema": {"type": "struct", "fields": []},
+                    "stat_cols": [],
+                    "txn": {},
+                    "add": [
+                        {"path": "data/f0.json", "rows": 5, "stats": {}},
+                        {"path": "data/f1.json", "rows": 5, "stats": {}},
+                    ],
+                    "remove": [],
+                },
+            )
+            jobs = []
+            for wid in range(3):
+                ops = []
+                for _ in range(4):
+                    r = rng.random()
+                    if r < 0.35:
+                        kind = "dv_delete"
+                    elif r < 0.65:
+                        kind = "dv_merge"
+                    elif r < 0.85:
+                        kind = "merge"
+                    else:
+                        kind = "compact"
+                    ks = tuple(
+                        sorted(rng.sample([f"k{i}" for i in range(10)], 3))
+                    )
+                    ops.append((kind, ks))
+                jobs.append((root, wid, ops, seed))
+            results = pool.map(_xproc_dv_writer, jobs)
+            committed = sorted(
+                (item for sub in results for item in sub),
+                key=lambda t: t[0],
+            )
+            versions = [v for v, _, _ in committed]
+            assert versions == list(range(1, 13)), (
+                f"seed={seed}: version slots not uniquely won: {versions}"
+            )
+            expect = {**init_a, **init_b}
+            for _, kind, payload in committed:
+                if kind in ("dv_merge", "merge"):
+                    expect.update(payload)
+                elif kind == "dv_delete":
+                    for k in payload:
+                        expect.pop(k, None)
+                # compact: no logical-state change
+            snap = lh.snapshot(root)
+            actual = {}
+            for e in snap["files"]:
+                with open(os.path.join(root, e["path"])) as fh:
+                    content = _json.load(fh)
+                keys = sorted(content)
+                dead = set()
+                if e.get("dv"):
+                    with open(os.path.join(root, e["dv"]["path"])) as fh:
+                        dead = set(_json.load(fh))
+                actual.update(
+                    {k: content[k] for i, k in enumerate(keys) if i not in dead}
+                )
+            assert actual == expect, (
+                f"seed={seed}: final state is not the serial replay "
+                f"(lost DV position or masked update) — "
+                f"actual={actual} expect={expect}"
+            )
+
+
+def test_zorder_compaction_applies_and_drops_dvs(spark, root):
+    """OPTIMIZE ZORDER on a DV'd table (r10, VERDICT r9 item 6): the
+    z-ordered rewrite must APPLY every deletion vector (a rewrite that
+    resurrected masked rows would be a silent correctness hole) and
+    DROP the sidecar refs from the new manifest — the rewrite is what
+    retires the DVs, same as the plain-compact purge path."""
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7) % 400).alias("x"),
+        F.col("id").cast("double").alias("v"),
+    ).repartition(4)
+    lh.create(spark, root, df, stat_cols=("k", "x"))
+    lh.dv_delete(spark, root, "k % 10 = 3")
+    assert any(e.get("dv") for e in lh.snapshot(root)["files"])
+    lh.compact(spark, root, zorder_cols=("k", "x"))
+    man = lh.snapshot(root)
+    assert man["operation"] == "zorder"
+    assert not any(e.get("dv") for e in man["files"]), "DV refs must retire"
+    live = {i for i in range(400) if i % 10 != 3}
+    assert {r["k"] for r in lh.read(spark, root).collect()} == live
+    # manifest pruning still serves the z-ordered head correctly
+    pruned = lh.read_pruned(spark, root, {"k": (100, 199)})
+    assert {
+        r["k"] for r in pruned.filter("k BETWEEN 100 AND 199").collect()
+    } == {i for i in range(100, 200) if i % 10 != 3}
+    # time travel to the DV'd version still applies the old DV
+    assert lh.read(spark, root, 1).count() == len(live)
+    assert lh.read(spark, root, 0).count() == 400

@@ -50,10 +50,125 @@ def exact_topk_sample(spark, emb, query_ids, k=3):
     )
 
 
+def run_dedup_tier(spark, sf: str, sf_dir: str, passes: int) -> None:
+    """Unbounded dedup/text tier board (VERDICT r9 item 1): minhash-LSH
+    candidates over the FULL documents table with the Sigma|bucket|^2
+    band bound re-derived from the actual banding, connected components
+    over those candidate pairs (the realistic composition — exact
+    jaccard_pairs is quadratic in shingle buckets and is NOT the scale
+    path), the unbounded contam_ngram registered query, and bpe
+    train+encode over the full corpus."""
+    from vcf2db_spark.io import table_wide
+    from vcf2db_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_candidates,
+    )
+
+    d = table_wide(spark, sf_dir, "documents")
+    n_docs = d.count()
+
+    walls, n_cand = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        cand = minhash_lsh_candidates(d).filter(F.col("est_jaccard") >= 0.5)
+        n_cand = cand.count()
+        walls.append(time.time() - t0)
+    lsh_wall = min(walls)
+
+    # bound variable (VERDICT r9 item 1): candidate pairs the band join
+    # generates = Sigma over (band, bucket) of C(|bucket|, 2) — re-derive
+    # it from the REAL banding (same signature + band-hash expressions
+    # the operator uses: 64 hashes, 16 bands, r=4)
+    from vcf2db_spark.operators.dedup import minhash_signatures
+
+    n_hashes, bands = 64, 16
+    r = n_hashes // bands
+    sigs = minhash_signatures(d)
+    band_idx = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(F.array_join(
+                F.transform(
+                    F.slice(F.col("signature"), b * r + 1, r),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )),
+        )
+    )
+    bound_row = (
+        sigs.select("id", band_idx.alias("band", "band_hash"))
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+            F.max("c").alias("max_bucket"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .collect()[0]
+    )
+
+    cl_walls, n_cl = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        pairs = minhash_lsh_candidates(d).filter(F.col("est_jaccard") >= 0.5)
+        cl = duplicate_clusters(pairs, d.select("doc_id"))
+        n_cl = cl.select("cluster_id").distinct().count()
+        cl_walls.append(time.time() - t0)
+
+    from vcf2db_spark.queries.pipeline_ext import contam_ngram
+
+    ct_walls, n_ct = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        n_ct = contam_ngram(spark, sf_dir).count()
+        ct_walls.append(time.time() - t0)
+
+    # unbounded BPE: train 8 merges on the full word table, encode all
+    from vcf2db_spark.functions.text import ws_tokens
+    from vcf2db_spark.operators.bpe import bpe_encode_vocab, bpe_train_merges
+
+    bpe_walls, n_bpe = [], 0
+    for _ in range(passes):
+        t0 = time.time()
+        toks = d.select(
+            "doc_id",
+            F.explode(ws_tokens(F.lower(F.trim(F.col("text"))))).alias("w"),
+        ).filter(F.length("w") > 0)
+        words = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        merges = bpe_train_merges(words, n_merges=8)
+        enc = bpe_encode_vocab(words, merges)
+        n_bpe = enc.count()
+        bpe_walls.append(time.time() - t0)
+
+    bound_txt = (
+        f"band_pairs={int(bound_row['pairs'])} "
+        f"max_bucket={bound_row['max_bucket']} "
+        f"n_buckets={bound_row['n_buckets']}"
+    )
+    print(
+        f"{sf} DEDUP: n_docs={n_docs} | lsh wall={lsh_wall:.2f}s "
+        f"(passes={sorted(round(w, 2) for w in walls)}) cand={n_cand} | "
+        f"{bound_txt} | clusters wall={min(cl_walls):.2f}s "
+        f"n_clusters={n_cl} | contam wall={min(ct_walls):.2f}s "
+        f"rows={n_ct} | bpe wall={min(bpe_walls):.2f}s vocab_rows={n_bpe}",
+        flush=True,
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--scales", nargs="*", default=["sf1", "sf4"])
+    ap.add_argument(
+        "--lists-mode", choices=("sqrt", "prop"), default="sqrt",
+        help="n_lists = sqrt(n) (board continuity) or n/141 "
+        "(constant per-list size — the scale path the r7 study found)",
+    )
+    ap.add_argument(
+        "--tier", choices=("ann", "dedup", "all"), default="ann",
+        help="dedup adds the unbounded minhash-LSH/clusters/contam/bpe "
+        "board (VERDICT r9 item 1)",
+    )
     args = ap.parse_args()
 
     from vcf2db_spark.operators.similarity import (
@@ -68,9 +183,17 @@ def main() -> None:
         # table_wide: the fixtures are single-row-group parquet, so a raw
         # scan runs 1 task and serializes the whole pipeline — the same
         # footer-probe rescue every embedding DQ uses
-        emb = table_wide(spark, f"/root/repo/.bench_data/{sf}", "embeddings")
+        sf_dir = f"/root/repo/.bench_data/{sf}"
+        if args.tier in ("dedup", "all"):
+            run_dedup_tier(spark, sf, sf_dir, args.passes)
+        if args.tier == "dedup":
+            continue
+        emb = table_wide(spark, sf_dir, "embeddings")
         n = emb.count()
-        n_lists = max(8, int(round(math.sqrt(n))))
+        if args.lists_mode == "sqrt":
+            n_lists = max(8, int(round(math.sqrt(n))))
+        else:  # constant per-list size (~141 rows, the sf1 density)
+            n_lists = max(8, n // 141)
         step = max(1, n // 100)
         query_ids = list(range(0, n, step))[:100]
 

@@ -40,11 +40,33 @@ def _bucket_expr(name: str, mn: str, mx: str, n_buckets: int) -> Column:
     DuckDB (the oracle twin uses ``//``), so the key is cross-engine
     deterministic — unlike float scaling, where last-ulp division noise
     could flip a bucket. Null and constant-column inputs collapse to
-    bucket 0."""
+    bucket 0. Division form ``(x-mn) DIV ((mx-mn) DIV nb + 1)`` — no
+    multiply, so a 64-bit-wide domain (epoch MICROS over a year ×
+    2^bits was the r10 overflow) cannot overflow, and the result stays
+    provably in [0, nb-1]: with q = R DIV nb, R ≤ nb·(q+1)-1 so
+    R DIV (q+1) ≤ nb-1."""
     return F.expr(
-        f"COALESCE((CAST({name} AS BIGINT) - {mn}) * {n_buckets} "
-        f"DIV ({mx} - {mn} + 1), 0)"
+        f"COALESCE(({name} - {mn}) "
+        f"DIV (({mx} - {mn}) DIV {n_buckets} + 1), 0)"
     )
+
+
+def _long_sql(name: str, dtype) -> str:
+    """SQL expression normalizing a column to BIGINT for Z-bucketing —
+    a MONOTONE transform is all the curve needs. Temporal columns
+    (OPTIMIZE ZORDER BY a date/timestamp is the common case for
+    time-partitioned tables) go through their epoch counters; numerics
+    keep the plain cast the DuckDB oracle twin replays with ``//``."""
+    t = dtype.typeName()
+    if t == "date":
+        return f"unix_date({name})"
+    if t == "timestamp":
+        return f"unix_micros({name})"
+    if t == "timestamp_ntz":
+        # interpret the wall-clock instant as UTC: session-independent,
+        # monotone, exact (micros)
+        return f"unix_micros(to_utc_timestamp({name}, 'UTC'))"
+    return f"CAST({name} AS BIGINT)"
 
 
 def interleave_bits(buckets: list[Column], bits: int) -> Column:
@@ -72,12 +94,15 @@ def with_zorder_key(
     driver collect."""
     b = _bits_per_col(len(cols), bits)
     nb = 1 << b
+    longs = {c: _long_sql(c, df.schema[c].dataType) for c in cols}
     stats = df.agg(
-        *[F.min(F.col(c).cast("long")).alias(f"_mn_{c}") for c in cols],
-        *[F.max(F.col(c).cast("long")).alias(f"_mx_{c}") for c in cols],
+        *[F.min(F.expr(longs[c])).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.expr(longs[c])).alias(f"_mx_{c}") for c in cols],
     )
     joined = df.crossJoin(F.broadcast(stats))
-    buckets = [_bucket_expr(c, f"_mn_{c}", f"_mx_{c}", nb) for c in cols]
+    buckets = [
+        _bucket_expr(longs[c], f"_mn_{c}", f"_mx_{c}", nb) for c in cols
+    ]
     out = joined.withColumn(key_col, interleave_bits(buckets, b))
     return out.drop(*[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
 
@@ -125,8 +150,8 @@ def zorder_oracle_sql(
         for c in cols
     )
     buckets = ", ".join(
-        f"COALESCE((CAST({c} AS BIGINT) - _mn_{c}) * {nb} "
-        f"// (_mx_{c} - _mn_{c} + 1), 0) AS _b{i}"
+        f"COALESCE((CAST({c} AS BIGINT) - _mn_{c}) "
+        f"// ((_mx_{c} - _mn_{c}) // {nb} + 1), 0) AS _b{i}"
         for i, c in enumerate(cols)
     )
     terms = [

@@ -260,15 +260,60 @@ _PRIORITY_R09 = [
 ]
 
 
+# r9's window = the 50 names CORRECTNESS_r09.json recorded
+# (_PRIORITY_R09's 37 + the first 13 still-r5 names in recorded_r05
+# order).
+_RECORDED_R09 = _PRIORITY_R09 + [
+    "drift_psi", "grouped_ols", "win_lag", "bpe_encode",
+    "dedup_incremental", "json_roundtrip", "join_skew_salted",
+    "embed_pca_project", "rolling_distinct", "mutual_info", "zipf_slope",
+    "ngram_lm", "token_entropy",
+]
+
+# Round-10 priority (VERDICT r9 item 5): queries whose OUTPUT or plan
+# CHANGED in r10 first — the comp_hets fold onto the shared build
+# changed the shared cohort's parental genotypes on the k%3==0 subset
+# (comphet + the 7 parent-reading gemini rows re-record; tstv/snptypes/
+# annotate aggregate nothing the subset touches), lakehouse_prune_scan
+# now runs on a DV'd + z-ordered head, layout_zorder's bucket formula
+# moved to the overflow-proof division form (zkey values changed),
+# ivfadc_recall re-records on the single-pass nine-rung plan, and
+# dv_merge/merge gained the NULL-batch + broadcast gates — then the 34
+# names whose LATEST driver record is still r5-era (the exact cohort
+# the r9 verdict lists, recomputed from CORRECTNESS_r01..r09). After
+# this block every remaining name's latest record is r6+ and refreshes
+# oldest-first, so no latest record will be older than r6 after this
+# round's 50 rows land.
+_PRIORITY_R10 = [
+    # changed in round 10:
+    "gemini_comphet", "gemini_gtfilter", "gemini_denovo", "gemini_autorec",
+    "gemini_mendelviol", "gemini_burden", "gemini_roh", "gemini_sfs",
+    "lakehouse_prune_scan", "layout_zorder", "ivfadc_recall",
+    "lakehouse_dv_merge", "merge_upsert",
+    # latest record still r5 (recorded-oldest, alphabetical = verdict list):
+    "ann_ivf", "approx_agg", "autocorr_daily", "bootstrap_ci",
+    "calibration_bins", "churn_label", "contain_shingle", "corpus_kl",
+    "curate_docs", "embed_drift", "embed_outliers", "hard_negatives",
+    "kfold_stratified", "lang_id", "log_odds_tokens", "lorenz_gini",
+    "ngram_novelty", "null_impute", "pmi_pairs", "purge_audit",
+    "quantile_normalize", "rank_fusion", "sample_frac",
+    "sample_stratified", "seasonal_profile", "session_paths",
+    "survival_km", "text_chunk", "text_repetition", "text_scrub",
+    "twa_value", "welch_ttest", "whale_share", "winsorize",
+]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R09)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R10)}
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
     # Refresh oldest-first: any name without a listed record (new
-    # queries) enters right after the priority block, then r5 → r8.
+    # queries) enters right after the priority block, then r5 → r9.
     # setdefault loops run NEWEST first so a multiply-recorded name
     # sorts by its latest record.
+    for i, name in enumerate(_RECORDED_R09):
+        order.setdefault(name, (9, i))  # freshest records → back of line
     for i, name in enumerate(_RECORDED_R08):
-        order.setdefault(name, (8, i))  # freshest records → back of line
+        order.setdefault(name, (8, i))
     for i, name in enumerate(_RECORDED_R07):
         order.setdefault(name, (7, i))
     for i, name in enumerate(_RECORDED_R06):

@@ -47,10 +47,10 @@ from vcf2db_spark.registry import dq
 # one Lifecycle PER artifact build (house contract): building one
 # artifact must not release another's still-live holds (the returned
 # plan lazily reads its /tmp dir + cached parse until the caller
-# collects). r9 consolidation (VERDICT r8 item 2): gtfilter/denovo moved
-# onto the shared build, so only comp_hets (phased decoupled-parent
-# cohort) and the X cohort keep private Lifecycles beside _SH_LC.
-_CH_LC = Lifecycle()
+# collects). r10 consolidation (VERDICT r9 item 3): comp_hets joined
+# the shared build — the shared generator now decouples the parents on
+# the k%3==0 subset with phased separators — so only the X cohort keeps
+# a private Lifecycle beside _SH_LC: 2 builds per (process, sf_dir).
 _SH_LC = Lifecycle()  # the shared default-genotype build (_shared_engine)
 
 _HEADER = """\
@@ -89,9 +89,38 @@ _CSQ_BY_E = {
 
 def _genotype(k: int, i: int) -> str:
     """Sample ``i`` (1-based) genotype cell for variant key ``k`` —
-    pure modular arithmetic so the oracle can recompute HET-ness."""
+    pure modular arithmetic so the oracle can recompute HET-ness.
+
+    The base bands couple the parents (the mother's raw value is the
+    father's + 13 mod 16), which makes mother-HET ∧ father-HOM_REF —
+    the maternal origin comp_hets needs — unreachable. On the k%3==0
+    subset (r10, VERDICT r9 item 3: comp_hets folded onto the shared
+    build) the PARENTS are decoupled by u8=(k//3)%8 — u8∈{0,1}
+    father-HET/mother-HOM_REF (paternal origin), u8∈{4,5} the mirror
+    (maternal), u8∈{3,7} both-HET (ambiguous → the strict model's
+    exclusion path, and the obligate-carrier pair autosomal_recessive
+    needs), u8∈{2,6} both-HOM_REF (the de-novo-compatible pair, and a
+    second exclusion flavor: neither parent HET) — and every cell
+    on the subset uses the PHASED ``|`` separator, keeping the parser's
+    phase path exercised now that the private phased cohort is gone.
+    The child and S4 keep their band VALUES everywhere (only the
+    subset's separator changes), so child-keyed oracles are untouched;
+    parent-keyed oracles carry the same k%3 branch this function does."""
     g = (k * 7 + 13 * i) % 16
     d = (k + i) % 30 + 1
+    if k % 3 == 0:
+        u8 = (k // 3) % 8
+        if i == 2:
+            return f"0|1:{d}" if u8 in (0, 1, 3, 7) else f"0|0:{d}"
+        if i == 3:
+            return f"0|1:{d}" if u8 in (3, 4, 5, 7) else f"0|0:{d}"
+        if g < 6:
+            return f"0|0:{d}"
+        if g < 11:
+            return f"0|1:{d}"
+        if g < 14:
+            return f"1|1:{d}"
+        return "./.:."
     if g < 6:
         return f"0/0:{d}"
     if g < 11:
@@ -99,28 +128,6 @@ def _genotype(k: int, i: int) -> str:
     if g < 14:
         return f"1/1:{d}"
     return "./.:."
-
-
-def _genotype_comphet(k: int, i: int) -> str:
-    """Compound-het cohort genotypes (r8, VERDICT r7 item 3) — PHASED
-    separators, exercising the parser's ``|`` path end-to-end. The base
-    ``_genotype`` arithmetic couples the parents (g3 = g2+13 mod 16), so
-    mother-HET ∧ father-HOM_REF — the maternal origin comp_hets needs —
-    is unreachable; this variant decouples them: child S1 HET at
-    k%4≠0 sites; father HET where k%3∈{0,1}; mother HET where k%3∈{0,2}
-    — so k%3=1 sites are paternal-origin, k%3=2 maternal, k%3=0 both-HET
-    (origin ambiguous → excluded by the strict model, exercising the
-    exclusion path)."""
-    d = (k + i) % 30 + 1
-    if i == 1:
-        het = k % 4 != 0
-    elif i == 2:
-        het = k % 3 in (0, 1)
-    elif i == 3:
-        het = k % 3 in (0, 2)
-    else:
-        het = k % 2 == 0  # S4 unrelated — never in a trio
-    return f"0|1:{d}" if het else f"0|0:{d}"
 
 
 _HEADER_X = _HEADER.replace(
@@ -290,7 +297,7 @@ _SH_ENGINES: dict[str, object] = {}
 
 def _shared_engine(spark, sf_dir: str):
     """One artifact build per (process, sf_dir), SHARED by every
-    default-genotype gemini row — gtfilter, denovo, autorec,
+    default-genotype gemini row — gtfilter, denovo, comphet, autorec,
     mendelviol, burden, roh, sfs, tstv, snptypes, annotate (r9
     consolidation, VERDICT r8 item 2: gtfilter/denovo previously paid
     private ~4–5 s builds for outputs that do not touch ref/alt, so
@@ -298,10 +305,11 @@ def _shared_engine(spark, sf_dir: str):
     gemini's real usage pattern is load-once-query-many — a user opens
     one database and runs every query against it; ONE row per sweep
     pays the pipeline build, the rest measure their query. comp_hets
-    keeps a private build (its strict model needs DECOUPLED parental
-    genotypes plus the phased-separator parser path — an artifact has
-    one genotype matrix, and changing the shared one would change
-    every shared row's hash), as does the chrX cohort. A new sf_dir
+    joined in r10 (VERDICT r9 item 3): the generator decouples the
+    parents on the k%3==0 subset with phased separators, so the strict
+    model's origin algebra is reachable on the shared matrix and the
+    parent-reading oracles carry the same branch. Only the chrX cohort
+    keeps a private build. A new sf_dir
     rebuilds (releasing the previous generation — one Lifecycle, one
     live generation, house contract) and drops the stale cache entry
     whose files that release reclaimed."""
@@ -319,7 +327,9 @@ def _shared_engine(spark, sf_dir: str):
     WITH q AS (
       SELECT s_suppkey AS k FROM supplier
       WHERE s_suppkey <= 1000
-        AND ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
+        AND (CASE WHEN s_suppkey % 3 = 0
+                  THEN CAST((s_suppkey - (s_suppkey % 3)) / 3 AS BIGINT) % 8 IN (0, 1, 3, 7)
+                  ELSE ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10 END)
         AND ((s_suppkey + 2) % 30) + 1 >= 5
     )
     SELECT sev.severity AS severity,
@@ -364,8 +374,10 @@ def gemini_gtfilter(spark, sf_dir):
       SELECT s_suppkey AS k FROM supplier
       WHERE s_suppkey <= 1000
         AND ((s_suppkey * 7 + 13) % 16) BETWEEN 6 AND 10
-        AND ((s_suppkey * 7 + 26) % 16) < 6
-        AND ((s_suppkey * 7 + 39) % 16) < 6
+        AND (CASE WHEN s_suppkey % 3 = 0
+                  THEN CAST((s_suppkey - (s_suppkey % 3)) / 3 AS BIGINT) % 8 IN (2, 6)
+                  ELSE ((s_suppkey * 7 + 26) % 16) < 6
+                   AND ((s_suppkey * 7 + 39) % 16) < 6 END)
     )
     SELECT CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
            CAST(COUNT(*) AS BIGINT) AS n_variants,
@@ -410,9 +422,15 @@ def gemini_denovo(spark, sf_dir):
     ),
     cand AS (
       SELECT k % 5 AS gid, vid,
-             CASE WHEN k % 3 = 1 THEN 'P'
-                  WHEN k % 3 = 2 THEN 'M' END AS origin
-      FROM ids WHERE k % 4 <> 0
+             CASE WHEN k % 3 = 0 THEN
+                    CASE WHEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (0, 1) THEN 'P'
+                         WHEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (4, 5) THEN 'M'
+                    END
+                  WHEN ((k * 7 + 26) % 16) BETWEEN 6 AND 10
+                   AND ((k * 7 + 39) % 16) < 6 THEN 'P'
+             END AS origin
+      FROM ids
+      WHERE ((k * 7 + 13) % 16) BETWEEN 6 AND 10
     )
     SELECT 'G' || CAST(p.gid AS VARCHAR) AS gene,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -433,16 +451,24 @@ def gemini_comphet(spark, sf_dir):
     (inheritance.py CompHetMixin; the join key is the gene, so the
     shuffle is bounded by per-gene variant counts, never all-pairs).
 
-    The cohort uses the PHASED-separator generator (``_genotype_comphet``
-    — the parser's ``|`` path) with decoupled parental genotypes:
-    origins are paternal at k%3=1, maternal at k%3=2, ambiguous
-    (both-HET → excluded) at k%3=0. The oracle replays the origin
-    algebra straight from supplier keys and reconstructs variant_id as
-    the (chrom, pos) rank — ROW_NUMBER ordered odd-keys-first (chr1 <
-    chr2), matching assign_variant_id's two-phase locus-order counter —
-    so ``sum_ids`` pins the id assignment through the full sqlite
-    artifact round trip, not just the pair counts."""
-    eng = _build_engine(spark, sf_dir, _CH_LC, genotype=_genotype_comphet)
+    Runs on the SHARED artifact (r10, VERDICT r9 item 3 — 3 builds →
+    2): the shared generator decouples the parents on the k%3==0
+    subset with PHASED separators (``_genotype``) — candidate sites
+    are child-HET sites; on the subset, origin is paternal at
+    u8=(k//3)%8 ∈ {0,1}, maternal at u8 ∈ {4,5}, excluded at both-HET
+    u8 ∈ {3,7} (ambiguous) and both-HOM_REF u8 ∈ {2,6} (no carrier
+    parent — the other exclusion flavor); OFF the
+    subset the coupled bands still yield paternal-origin sites (father
+    HET ∧ mother HOM_REF at (7k+26)%16 ∈ {6,7,8}) and provably no
+    maternal ones — the engine labels origin from the genotypes alone,
+    so the oracle replays both regimes.
+    The oracle replays that algebra straight from supplier keys and
+    reconstructs variant_id as the (chrom, pos) rank — ROW_NUMBER
+    ordered odd-keys-first (chr1 < chr2), matching assign_variant_id's
+    two-phase locus-order counter — so ``sum_ids`` pins the id
+    assignment through the full sqlite artifact round trip, not just
+    the pair counts."""
+    eng = _shared_engine(spark, sf_dir)
     ch = eng.inheritance().compound_hets()
     return (
         ch.groupBy("gene")
@@ -465,8 +491,10 @@ def gemini_comphet(spark, sf_dir):
       SELECT s_suppkey AS k FROM supplier
       WHERE s_suppkey <= 1000
         AND ((s_suppkey * 7 + 13) % 16) BETWEEN 11 AND 13
-        AND ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
-        AND ((s_suppkey * 7 + 39) % 16) BETWEEN 6 AND 10
+        AND (CASE WHEN s_suppkey % 3 = 0
+                  THEN CAST((s_suppkey - (s_suppkey % 3)) / 3 AS BIGINT) % 8 IN (3, 7)
+                  ELSE ((s_suppkey * 7 + 26) % 16) BETWEEN 6 AND 10
+                   AND ((s_suppkey * 7 + 39) % 16) BETWEEN 6 AND 10 END)
     )
     SELECT CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
            CAST(COUNT(*) AS BIGINT) AS n_variants,
@@ -515,10 +543,14 @@ def gemini_autorec(spark, sf_dir):
         CASE WHEN (k * 7 + 13) % 16 < 6 THEN 0
              WHEN (k * 7 + 13) % 16 < 11 THEN 1
              WHEN (k * 7 + 13) % 16 < 14 THEN 3 ELSE 2 END AS c,
-        CASE WHEN (k * 7 + 26) % 16 < 6 THEN 0
+        CASE WHEN k % 3 = 0 THEN
+               CASE WHEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (0, 1, 3, 7) THEN 1 ELSE 0 END
+             WHEN (k * 7 + 26) % 16 < 6 THEN 0
              WHEN (k * 7 + 26) % 16 < 11 THEN 1
              WHEN (k * 7 + 26) % 16 < 14 THEN 3 ELSE 2 END AS f,
-        CASE WHEN (k * 7 + 39) % 16 < 6 THEN 0
+        CASE WHEN k % 3 = 0 THEN
+               CASE WHEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (3, 4, 5, 7) THEN 1 ELSE 0 END
+             WHEN (k * 7 + 39) % 16 < 6 THEN 0
              WHEN (k * 7 + 39) % 16 < 11 THEN 1
              WHEN (k * 7 + 39) % 16 < 14 THEN 3 ELSE 2 END AS m
       FROM ids
@@ -662,7 +694,10 @@ def gemini_xlinked(spark, sf_dir):
     ),
     c AS (
       SELECT k, i FROM q, (VALUES (1), (2), (3), (4)) s(i)
-      WHERE ((k * 7 + 13 * i) % 16) BETWEEN 6 AND 13
+      WHERE CASE
+        WHEN k % 3 = 0 AND i = 2 THEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (0, 1, 3, 7)
+        WHEN k % 3 = 0 AND i = 3 THEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (3, 4, 5, 7)
+        ELSE ((k * 7 + 13 * i) % 16) BETWEEN 6 AND 13 END
     )
     SELECT 'G' || CAST(k % 5 AS VARCHAR) AS gene,
            'S' || CAST(i AS VARCHAR) AS sample,
@@ -703,8 +738,12 @@ def gemini_burden(spark, sf_dir):
       SELECT 'S' || CAST(i AS VARCHAR) AS sample,
              CASE WHEN k % 2 = 1 THEN 'chr1' ELSE 'chr2' END AS chrom,
              k - 1 AS run_s, k AS run_e,
-             (((k * 7 + 13 * i) % 16) < 6
-              OR ((k * 7 + 13 * i) % 16) BETWEEN 11 AND 13) AS hom
+             CASE
+               WHEN k % 3 = 0 AND i = 2 THEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (2, 4, 5, 6)
+               WHEN k % 3 = 0 AND i = 3 THEN CAST((k - (k % 3)) / 3 AS BIGINT) % 8 IN (0, 1, 2, 6)
+               ELSE ((k * 7 + 13 * i) % 16) < 6
+                 OR ((k * 7 + 13 * i) % 16) BETWEEN 11 AND 13
+             END AS hom
       FROM q, (VALUES (1), (2), (3), (4)) s(i)
     ),
     g AS (
@@ -768,10 +807,16 @@ def gemini_roh(spark, sf_dir):
     ),
     per AS (
       SELECT k,
-        SUM(CASE WHEN r BETWEEN 6 AND 10 THEN 1
+        SUM(CASE WHEN sub AND i = 2 THEN
+                   CASE WHEN u8 IN (0, 1, 3, 7) THEN 1 ELSE 0 END
+                 WHEN sub AND i = 3 THEN
+                   CASE WHEN u8 IN (3, 4, 5, 7) THEN 1 ELSE 0 END
+                 WHEN r BETWEEN 6 AND 10 THEN 1
                  WHEN r BETWEEN 11 AND 13 THEN 2 ELSE 0 END) AS n_alt,
-        SUM(CASE WHEN r >= 14 THEN 0 ELSE 1 END) AS n_called
-      FROM (SELECT k, ((k * 7 + 13 * i) % 16) AS r
+        SUM(CASE WHEN sub AND i IN (2, 3) THEN 1
+                 WHEN r >= 14 THEN 0 ELSE 1 END) AS n_called
+      FROM (SELECT k, i, ((k * 7 + 13 * i) % 16) AS r,
+                   k % 3 = 0 AS sub, CAST((k - (k % 3)) / 3 AS BIGINT) % 8 AS u8
             FROM q, (VALUES (1), (2), (3), (4)) s(i)) t
       GROUP BY k
     ),
