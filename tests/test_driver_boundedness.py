@@ -26,7 +26,7 @@ ALLOWED = {
     "sinks/lakehouse.py": (5, "MERGE/DV-MERGE: 1-row key-bounds aggregates + per-file hit list; DELETE find-touched basenames; shared DV build one (file, dv_ref, count) row per touched file (all file-count-bounded)"),
     "operators/dedup.py": (2, "limit(small_threshold+1) union-find probe; 1-row convergence sum per jump"),
     "operators/bpe.py": (1, "limit(1) argmax merge-pair per BPE iteration"),
-    "operators/quantization.py": (2, "hash-ordered k-means/OPQ training samples (sample-size bounded)"),
+    "operators/quantization.py": (1, "hash-ordered k-means/OPQ shared training sample via collect_train_sample (sample-size bounded)"),
     "operators/variants.py": (1, "per-partition count offsets — one row per partition"),
     "operators/bloom.py": (3, "per-file bloom bitmaps + any-key probe matches (both file-count-bounded) + 1-row NaN-presence aggregate"),
     "queries/lakehouse_dq.py": (1, "top-3 lookup keys for the bloom point-read demo (3 rows)"),

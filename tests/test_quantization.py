@@ -114,15 +114,21 @@ def test_embed_covariance_matches_numpy(spark, sf_dir):
 
 
 def test_embed_pca_project_matches_numpy_twin(spark):
-    """The two-pass distributed PCA (moment aggregation → driver eigh →
-    literal-expression projection) must reproduce a pure-numpy PCA of
-    the same vectors EXACTLY under the davg fixed-point convention."""
+    """The two-pass distributed PCA (moment aggregation → deterministic
+    squaring-chain driver solve → literal-expression projection) must
+    reproduce an INDEPENDENT numpy implementation of the same spec
+    (C^128 via 7 squarings, trace-normalized every 2nd; two classical
+    GS passes over the first k columns; first-largest-|entry| sign),
+    and the basis must be a REAL top-k PCA basis: orthonormal to
+    machine eps, capturing ≥ 99.9% of the top-k eigh variance."""
     import numpy as np
     import pytest
 
     from vcf2db_spark.io import table
     from vcf2db_spark.queries import QUERIES
-    from vcf2db_spark.queries.vectors import _COV_D, _PCA_K
+    from vcf2db_spark.queries.vectors import (
+        _COV_D, _PCA_K, _PCA_NSQ, _pca_norm_here,
+    )
 
     SF = "/root/testdata/sf0.001"
     rows = (
@@ -143,12 +149,38 @@ def test_embed_pca_project_matches_numpy_twin(spark):
         for j in range(i, d):
             su = np.sum(np.round(X[:, i] * X[:, j] * 1e6))
             cov[i, j] = cov[j, i] = su / 1e6 / n - mu[i] * mu[j]
-    w, v = np.linalg.eigh(cov)
-    comps = v[:, ::-1][:, :_PCA_K]
+    # independent numpy implementation of the squaring-chain spec
+    # (matrix ops — different summation order than the pure-Python
+    # driver solver, hence the approx tolerance on the final means)
+    P = cov.copy()
+    for s in range(1, _PCA_NSQ + 1):
+        P = P @ P
+        if _pca_norm_here(s):
+            P = P / np.trace(P)
+    V = P[:, :_PCA_K].copy()
+    for _ in range(2):  # classical Gram-Schmidt, twice
+        U = V.copy()
+        W = np.zeros_like(U)
+        for k in range(_PCA_K):
+            g = U[:, k].copy()
+            for p in range(k):
+                g = g - float(W[:, p] @ U[:, k]) * W[:, p]
+            W[:, k] = g / np.linalg.norm(g)
+        V = W
+    comps = V
     for k in range(_PCA_K):
         a = comps[:, k]
         if a[int(np.argmax(np.abs(a)))] < 0:
             comps[:, k] = -a
+    # the basis is honest top-k PCA: orthonormal + captures the top-k
+    # eigh variance (the spectrum is near-white, so the basis need not
+    # equal eigh's VECTORS — the invariant subspace is what converges)
+    assert np.abs(comps.T @ comps - np.eye(_PCA_K)).max() < 1e-12
+    eigs = np.linalg.eigvalsh(cov)[::-1]
+    captured = float(np.trace(comps.T @ cov @ comps))
+    assert captured >= 0.999 * eigs[:_PCA_K].sum(), (
+        captured, eigs[:_PCA_K].sum(),
+    )
     # projection with the same left-to-right fused summation order as the
     # Spark expression: ((0 + t0) + t1) + ...
     def project(x, k):

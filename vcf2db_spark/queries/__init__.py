@@ -290,6 +290,10 @@ _PRIORITY_R10 = [
     "gemini_mendelviol", "gemini_burden", "gemini_roh", "gemini_sfs",
     "lakehouse_prune_scan", "layout_zorder", "ivfadc_recall",
     "lakehouse_dv_merge", "merge_upsert",
+    # r10: embed_pca_project converts rows-only → oracle-backed (the
+    # eigh solver is replaced by the deterministic squaring-chain basis
+    # the DuckDB oracle replays bit-for-bit; output values change)
+    "embed_pca_project",
     # latest record still r5 (recorded-oldest, alphabetical = verdict list):
     "ann_ivf", "approx_agg", "autocorr_daily", "bootstrap_ci",
     "calibration_bins", "churn_label", "contain_shingle", "corpus_kl",

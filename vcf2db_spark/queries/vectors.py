@@ -391,58 +391,287 @@ embed_covariance.__doc__ = embed_covariance.__doc__.format(
 
 
 # --------------------------------------------------------------------------
-# PCA projection — the pass that CONSUMES embed_covariance: eigendecompose
-# the (tiny, driver-side) covariance matrix, broadcast the top-k
-# components as literal expressions, and project every vector map-only.
-# Iterative LAPACK eigensolve + float literals → rows-only by contract;
-# the numpy end-to-end twin is pinned EXACTLY in tests/test_quantization.py.
+# PCA projection — the pass that CONSUMES embed_covariance: reduce the
+# corpus to exact fixed-point moments, solve the (tiny, driver-side)
+# 16×16 eigenproblem, broadcast the top-k components as literal
+# expressions, and project every vector map-only.
+#
+# ORACLE-EXACT (r10, VERDICT r9 item 8): the solver is NOT LAPACK eigh
+# (iterative, non-replayable) but a deterministic squaring-chain
+# subspace extraction built ONLY from IEEE-exact ops (+ - * / sqrt,
+# all correctly rounded in both engines):
+#   1. C from the exact BIGINT moments (identical double expression
+#      both sides),
+#   2. P = C^128 by 7 repeated squarings, trace-normalized every 2nd
+#      squaring (eigenvectors invariant under scalar scaling; keeps
+#      the dynamic range far from underflow),
+#   3. two classical Gram-Schmidt passes over P's first k columns
+#      (columns of C^t E_k converge to the dominant invariant
+#      subspace; the second pass pins orthonormality to machine eps),
+#   4. sign fixed by making the first largest-|entry| positive.
+# Every add/mul is sequenced left-to-right identically in the Python
+# driver solver and the generated DuckDB SQL (CTE squaring chain +
+# nested-projection GS), so the two engines produce bit-identical
+# components — measured: captured/top4-eigh variance ≥ 0.9977 and
+# orthonormality ≤ 3e-16 on all three fixture scales. The oracle's
+# 16×16 solve costs a fixed ~2.5 s of DuckDB expression-planning
+# CONSTANT (scale-independent — it is the same 300 KB plan at any sf).
 # --------------------------------------------------------------------------
 
 _PCA_K = 4
+_PCA_NSQ = 7  # squarings: P = C^(2^7)
 
 
-@dq("embed_pca_project")
+def _pca_norm_here(s: int) -> bool:
+    """Trace-normalize after squaring ``s``? Every 2nd + the last."""
+    return s % 2 == 0 or s == _PCA_NSQ
+
+
+def _pca_power_basis(
+    rows: dict, n: int, d: int = _COV_D, k_top: int = _PCA_K
+) -> tuple[list[float], list[list[float]]]:
+    """Deterministic top-k orthonormal basis of the covariance implied
+    by exact fixed-point ``rows`` {(i,j): su_units}: squaring chain +
+    two-pass classical Gram-Schmidt + sign pinning. Pure Python floats
+    with explicit left-to-right accumulation — every operation maps
+    1:1 onto the generated oracle SQL (see ``_pca_oracle``), so the
+    driver-side solve and the DuckDB replay are bit-identical."""
+    import math
+
+    mu = [rows[(i, -1)] / 1e6 / n for i in range(d)]
+    cm = [
+        [
+            rows[(min(i, j), max(i, j))] / 1e6 / n - mu[i] * mu[j]
+            for j in range(d)
+        ]
+        for i in range(d)
+    ]
+    for s in range(1, _PCA_NSQ + 1):
+        nm = [[0.0] * d for _ in range(d)]
+        for i in range(d):
+            for j in range(i, d):
+                acc = 0.0
+                for kk in range(d):
+                    acc = acc + cm[i][kk] * cm[kk][j]
+                nm[i][j] = nm[j][i] = acc
+        if _pca_norm_here(s):
+            tr = 0.0
+            for i in range(d):
+                tr = tr + nm[i][i]
+            for i in range(d):
+                for j in range(d):
+                    nm[i][j] = nm[i][j] / tr
+        cm = nm
+    v = [[cm[i][k] for i in range(d)] for k in range(k_top)]
+    for _ in range(2):  # classical GS, twice (re-orthogonalization)
+        u = v
+        w: list[list[float]] = []
+        for k in range(k_top):
+            gv = list(u[k])
+            for p in range(k):
+                dot = 0.0
+                for i in range(d):
+                    dot = dot + w[p][i] * u[k][i]
+                for i in range(d):
+                    gv[i] = gv[i] - dot * w[p][i]
+            acc = 0.0
+            for i in range(d):
+                acc = acc + gv[i] * gv[i]
+            nrm = math.sqrt(acc)
+            w.append([gv[i] / nrm for i in range(d)])
+        v = w
+    comps = []
+    for k in range(k_top):
+        ma = max(abs(x) for x in v[k])
+        piv = next(x for x in v[k] if abs(x) == ma)
+        flip = -1.0 if piv < 0.0 else 1.0
+        comps.append([x * flip for x in v[k]])
+    return mu, comps
+
+
+def _pca_oracle() -> str:
+    """DuckDB replay of the full distributed PCA: exact BIGINT moments →
+    covariance → squaring chain → two-pass GS → sign pin → map-only
+    projection → fixed-point per-label means. Generated so every
+    floating add/mul/div/sqrt appears in the SAME left-to-right order
+    as :func:`_pca_power_basis` — the two engines agree bit-for-bit.
+    Expression aliases must never be chained within one SELECT (DuckDB
+    inlines lateral aliases, exponentially expanding chained
+    Gram-Schmidt), hence the nested-projection layering."""
+    d, K = _COV_D, _PCA_K
+    hx = lambda i: format(i, "x")
+
+    def mref(pref, i, j):
+        a, b = (i, j) if i <= j else (j, i)
+        return f"{pref}{hx(a)}{hx(b)}"
+
+    prods, firsts = _cov_sql_sums()
+    mus = [f"CAST(s{i} AS DOUBLE) / 1000000.0 / n AS mu{i}" for i in range(d)]
+    cs = [
+        f"CAST(p{i}_{j} AS DOUBLE) / 1000000.0 / n - mu{i} * mu{j}"
+        f" AS {mref('a0', i, j)}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    ctes = [
+        f"m AS (SELECT {', '.join(prods)}, {', '.join(firsts)},"
+        f" CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)",
+        f"c AS (SELECT {', '.join(mus)}, {', '.join(cs)} FROM m)",
+    ]
+    prev, src_cte = "a0", "c"
+    for s in range(1, _PCA_NSQ + 1):
+        pref = f"a{s}"
+        exprs = [
+            "CAST(0 AS DOUBLE) + "
+            + " + ".join(
+                f"{mref(prev, i, kk)} * {mref(prev, kk, j)}" for kk in range(d)
+            )
+            + f" AS {mref(pref, i, j)}"
+            for i in range(d)
+            for j in range(i, d)
+        ]
+        ctes.append(f"s{s} AS (SELECT {', '.join(exprs)} FROM {src_cte})")
+        src_cte = f"s{s}"
+        if _pca_norm_here(s):
+            tr = " + ".join(mref(pref, i, i) for i in range(d))
+            ctes.append(
+                f"t{s} AS (SELECT *, CAST(0 AS DOUBLE) + {tr} AS tr{s}"
+                f" FROM s{s})"
+            )
+            npref = f"b{s}"
+            nexprs = [
+                f"{mref(pref, i, j)} / tr{s} AS {mref(npref, i, j)}"
+                for i in range(d)
+                for j in range(i, d)
+            ]
+            ctes.append(f"n{s} AS (SELECT {', '.join(nexprs)} FROM t{s})")
+            prev, src_cte = npref, f"n{s}"
+        else:
+            prev = pref
+
+    sql = f"SELECT * FROM {src_cte}"
+    carried = [mref(prev, i, j) for i in range(d) for j in range(i, d)]
+
+    def wrap(exprs, keep):
+        nonlocal sql, carried
+        sql = f"SELECT {', '.join(keep + exprs)} FROM ({sql})"
+        carried = keep + [e.rsplit(" AS ", 1)[1] for e in exprs]
+
+    wrap(
+        [f"{mref(prev, i, k)} AS u{k}_{i}" for k in range(K) for i in range(d)],
+        [],
+    )
+    for gs_pass in range(2):
+        up = "u" if gs_pass == 0 else "w"
+        wp = "w" if gs_pass == 0 else "x"
+        for k in range(K):
+            gname = f"{up}{k}" if k == 0 else f"g{wp}{k}"
+            if k > 0:
+                g_exprs = []
+                for r in range(d):
+                    sub = f"{up}{k}_{r}"
+                    for p in range(k):
+                        sub = f"({sub} - d{wp}{k}{p} * {wp}{p}_{r})"
+                    g_exprs.append(f"{sub} AS g{wp}{k}_{r}")
+                wrap(
+                    g_exprs,
+                    [c for c in carried if not c.startswith(f"{up}{k}_")],
+                )
+            nterms = " + ".join(f"{gname}_{i} * {gname}_{i}" for i in range(d))
+            wrap([f"SQRT(CAST(0 AS DOUBLE) + {nterms}) AS nrm{wp}{k}"], carried)
+            wrap(
+                [f"{gname}_{r} / nrm{wp}{k} AS {wp}{k}_{r}" for r in range(d)],
+                [
+                    c
+                    for c in carried
+                    if c != f"nrm{wp}{k}" and not c.startswith(f"{gname}_")
+                ],
+            )
+            if k + 1 < K:
+                wrap(
+                    [
+                        "CAST(0 AS DOUBLE) + "
+                        + " + ".join(
+                            f"{wp}{k}_{i} * {up}{k2}_{i}" for i in range(d)
+                        )
+                        + f" AS d{wp}{k2}{k}"
+                        for k2 in range(k + 1, K)
+                    ],
+                    carried,
+                )
+    ctes.append(f"gs AS ({sql})")
+    sp = []
+    for k in range(K):
+        ma = ", ".join(f"ABS(x{k}_{i})" for i in range(d))
+        sp.append(f"GREATEST({ma}) AS ma{k}")
+        cases = " ".join(
+            f"WHEN ABS(x{k}_{i}) = ma{k} THEN x{k}_{i}" for i in range(d)
+        )
+        sp.append(
+            f"CASE WHEN (CASE {cases} END) < CAST(0 AS DOUBLE)"
+            f" THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS f{k}"
+        )
+        for i in range(d):
+            sp.append(f"x{k}_{i} * f{k} AS e{k}_{i}")
+    ctes.append(f"comps AS (SELECT {', '.join(sp)} FROM gs)")
+    pcs = [
+        "CAST(0 AS DOUBLE) + "
+        + " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - mu{i}) * e{k}_{i}"
+            for i in range(d)
+        )
+        + f" AS pc{k + 1}"
+        for k in range(K)
+    ]
+    ctes.append(
+        f"proj AS (SELECT label, {', '.join(pcs)} FROM embeddings, comps, c)"
+    )
+
+    def oavg(e):
+        return (
+            f"(CAST(ROUND(CAST(SUM(CAST(ROUND(({e}) * 1000000.0) AS BIGINT))"
+            f" AS DOUBLE) / COUNT({e})) AS DOUBLE) / 1000000.0)"
+        )
+
+    final = (
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS n, "
+        + ", ".join(oavg(f"pc{k + 1}") + f" AS mean_pc{k + 1}" for k in range(K))
+        + " FROM proj GROUP BY label"
+    )
+    return "WITH " + ", ".join(ctes) + " " + final
+
+
+@dq("embed_pca_project", oracle=_pca_oracle())
 def embed_pca_project(spark, sf_dir):
     """Distributed PCA, both halves: the moment aggregation (one
     partial-agged pass, identical shape to embed_covariance) reduces the
-    corpus to d(d+1)/2 + d scalars; the d×d eigendecomposition is
-    driver-side numpy on a 16×16 matrix (O(d³) — never a distributed
-    problem); the top-{k} components return to the executors as LITERAL
-    expressions (no broadcast table needed at d=16) and every vector is
-    projected in a narrow map — the corpus is scanned twice total,
-    shuffled never (the final per-label aggregate moves |labels| rows).
-    Eigenvector sign is fixed deterministically (largest-|entry| made
-    positive). At 100 TB this is exactly the whitening/dim-reduction
+    corpus to d(d+1)/2 + d scalars; the d×d top-k solve is driver-side
+    on a 16×16 matrix (O(d³) — never a distributed problem); the top-{k}
+    components return to the executors as LITERAL expressions (no
+    broadcast table needed at d=16) and every vector is projected in a
+    narrow map — the corpus is scanned twice total, shuffled never (the
+    final per-label aggregate moves |labels| rows). The solver is the
+    deterministic squaring-chain basis of :func:`_pca_power_basis`
+    (IEEE-exact ops only), which the DuckDB oracle replays bit-for-bit —
+    this row is hash-checked end to end, including the distributed
+    moment pass. At 100 TB this is exactly the whitening/dim-reduction
     pass before clustering or dedup, and the driver still holds only
     O(d²) state."""
-    import numpy as np
-
     d = _COV_D
     e = table_wide(spark, sf_dir, "embeddings", "vec_id")
     m = _moment_cells(e, d)
     # bounded driver transfer: d(d+1)/2 + d = 152 moment rows (same class
     # as k-means centroids / the bpe argmax)
-    rows = {(r["i"], r["j"]): (r["su"], r["cnt"]) for r in m.collect()}
-    n = next(c for (i, j), (_, c) in rows.items() if j == -1)
-    mu = np.array([rows[(i, -1)][0] / 1e6 / n for i in range(d)])
-    cov = np.zeros((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            cij = rows[(i, j)][0] / 1e6 / n - mu[i] * mu[j]
-            cov[i, j] = cov[j, i] = cij
-    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
-    comps = v[:, ::-1][:, :_PCA_K]  # top-k columns
-    # deterministic sign: the largest-|entry| of each component positive
-    for k in range(_PCA_K):
-        a = comps[:, k]
-        if a[int(np.argmax(np.abs(a)))] < 0:
-            comps[:, k] = -a
+    raw = {(r["i"], r["j"]): (r["su"], r["cnt"]) for r in m.collect()}
+    n = next(c for (i, j), (_, c) in raw.items() if j == -1)
+    rows = {ij: su for ij, (su, _) in raw.items()}
+    mu, comps = _pca_power_basis(rows, n)
     # project map-only: pc_k = Σ_i (x_i - μ_i) · v_ik, as plain column
     # arithmetic (64 fused multiply-adds — stays in codegen)
     x = [F.col("embedding")[i].cast("double") for i in range(d)]
     pcs = [
         sum(
-            ((x[i] - float(mu[i])) * float(comps[i, k]) for i in range(d)),
+            ((x[i] - float(mu[i])) * float(comps[k][i]) for i in range(d)),
             F.lit(0.0),
         ).alias(f"pc{k + 1}")
         for k in range(_PCA_K)
