@@ -28,7 +28,7 @@ HEADER = """\
 ##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
 ##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">
 ##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Read depth">
-#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{sample_cols}
 """
 
 CONSEQ = [
@@ -42,14 +42,21 @@ GTS = ["0/0", "0/1", "1/1", "./."]
 BASES = "ACGT"
 
 
-def make_vcf(path: str, n: int, contigs: int, seed: int = 42) -> None:
+def make_vcf(
+    path: str, n: int, contigs: int, seed: int = 42, samples: int = 3
+) -> None:
     rng = random.Random(seed)
     names = [f"chr{i + 1}" for i in range(contigs)]
     contig_lines = "\n".join(
         f"##contig=<ID={c},length=248956422>" for c in names
     )
     with open(path, "w") as fh:
-        fh.write(HEADER.format(contig_lines=contig_lines))
+        fh.write(
+            HEADER.format(
+                contig_lines=contig_lines,
+                sample_cols="\t".join(f"S{i + 1}" for i in range(samples)),
+            )
+        )
         per = n // contigs
         for ci, chrom in enumerate(names):
             pos = 0
@@ -68,7 +75,7 @@ def make_vcf(path: str, n: int, contigs: int, seed: int = 42) -> None:
                     )
                 fmt = "\t".join(
                     f"{rng.choice(GTS)}:{rng.randrange(20, 99)}:{rng.randrange(5, 40)}"
-                    for _ in range(3)
+                    for _ in range(samples)
                 )
                 fh.write(
                     f"{chrom}\t{pos}\t.\t{ref}\t{alt}\t{50 + k % 50}.0\tPASS\t{info}"
