@@ -285,3 +285,45 @@ def test_csi_planner_honors_idx_overrides(spark, tmp_path):
     got = read_vcf(spark, bcf).filter("chrom = 'chrA'")
     assert sorted(r["start"] for r in got.collect()) == [149, 299]
     assert read_vcf(spark, bcf).count() == 4
+
+
+def test_csi_loffset_splitting_tiles_exactly(tmp_path):
+    """partition_chunks must fan a single merged whole-contig chunk out
+    into multiple record-aligned groups (cut at per-bin loffsets — each
+    an exact record start), and the groups must TILE the contig: reading
+    every group yields each record exactly once, in file order. Without
+    loffset cuts a contiguous contig can never split past one task, so a
+    small-but-decode-expensive cohort file would serialize on one core."""
+    from tests.fixtures.make_mini_vcf import write_fixture
+    from vcf2db_spark.sources.bcf import iter_bcf_chunk_parts
+    from vcf2db_spark.sources.csi import read_csi
+
+    # ~4k records on one contig spread over >16 kb of locus space so the
+    # builder records many per-bin loffsets
+    d = str(tmp_path)
+    vcf = os.path.join(d, "wide.vcf")
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("##contig=<ID=chr1>\n")
+        fh.write('##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i in range(4000):
+            fh.write(
+                f"chr1\t{100 + i * 50}\t.\tA\tG\t10\tPASS\tDP={i % 97}\n"
+            )
+    bcf = os.path.join(d, "wide.bcf")
+    write_bcf(vcf, bcf, index_path=bcf + ".csi")
+    idx = read_csi(bcf + ".csi", names=["chr1"])
+
+    merged = idx.chunks("chr1", 0, None)
+    assert len(merged) == 1  # contiguous records merge to one chunk
+    groups = idx.partition_chunks("chr1", 0, None, target_bytes=4 << 10)
+    assert len(groups) > 4  # the split actually fans out
+
+    starts = [
+        int(p[1])
+        for g in groups
+        for p in iter_bcf_chunk_parts(bcf, g, 0, 1 << 40)
+    ]
+    expect = [100 + i * 50 for i in range(4000)]
+    assert starts == expect  # no record skipped or read twice

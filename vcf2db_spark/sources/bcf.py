@@ -34,6 +34,7 @@ semantic round trip text-VCF == BCF through the full Spark source.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -48,6 +49,7 @@ _INT_END = {1: -0x7F, 2: -0x7FFF, 3: -0x7FFFFFFF}
 _FLOAT_MISSING_BITS = 0x7F800001
 _FLOAT_END_BITS = 0x7F800002
 _INT_FMT = {1: "b", 2: "h", 3: "i"}
+_INT_WIDTH = {1: 1, 2: 2, 3: 4}
 
 
 def is_bcf(path: str) -> bool:
@@ -208,13 +210,23 @@ def _read_typed_value(buf: bytes, off: int):
     return (out[0] if len(out) == 1 else out), off
 
 
+_f32_repr_cache: dict[float, str] = {}
+
+
 def _f32_repr(v: float) -> str:
     """Shortest text that round-trips the float32 — what bcftools view
     prints, and what keeps text-vs-BCF reads value-identical when the
-    original text was itself the shortest form."""
-    return np.format_float_positional(
-        np.float32(v), unique=True, trim="-"
-    )
+    original text was itself the shortest form. Memoized (bounded):
+    dragon4 dominates the QUAL/float-INFO decode cost at cohort scale
+    and real files draw from a small set of distinct float32 values."""
+    if v == 0.0:  # ±0.0 hash/compare equal — keep the sign out of the cache
+        return "-0" if math.copysign(1.0, v) < 0 else "0"
+    s = _f32_repr_cache.get(v)
+    if s is None:
+        s = np.format_float_positional(np.float32(v), unique=True, trim="-")
+        if len(_f32_repr_cache) < (1 << 16):
+            _f32_repr_cache[v] = s
+    return s
 
 
 def _fmt_atom(v, is_float: bool) -> str:
@@ -250,6 +262,13 @@ class BCFCodec:
                     self.types[name] = typ or "String"
         self.str_id = {s: i for i, s in enumerate(self.strings)}
         self.ctg_id = {c: i for i, c in enumerate(self.contigs)}
+        # decode memo caches: genotype tuples and float32 bit patterns
+        # repeat heavily across a cohort (a 16-sample×100k-variant file
+        # has ~10 distinct diploid GTs); bounding the float cache keeps
+        # adversarial high-cardinality QUAL/FORMAT floats from growing
+        # the dict without bound on long-lived executors
+        self._gt_cache: dict[tuple, str] = {}
+        self._f32_cache: dict[int, str] = {}
 
     # ---- decode ----
 
@@ -287,8 +306,13 @@ class BCFCodec:
             if qual_bits == _FLOAT_MISSING_BITS
             else _f32_repr(float(np.uint32(qual_bits).view(np.float32)))
         )
+        # Per-FORMAT-key column decode: ONE struct.unpack over the whole
+        # n_sample×n block (not one call per sample — the format-string
+        # parse and call overhead dominated the cohort-scale profile),
+        # memoized GT/float32 cell text, and a scalar-int fast path that
+        # skips the join entirely. ~2× on a 16-sample×100k fixture.
         fmt_keys: list[str] = []
-        sample_fields: list[list[str]] = [[] for _ in range(n_sample)]
+        fmt_cols: list[list[str]] = []
         off = 0
         for _ in range(n_fmt):
             (key_id, off) = _read_typed_int_vec(indiv, off, scalar=True)
@@ -296,42 +320,72 @@ class BCFCodec:
             fmt_keys.append(key)
             t, n, off = _read_typed_desc(indiv, off)
             is_f = self.types.get(key) == "Float"
-            for s in range(n_sample):
-                if key == "GT":
-                    width = {1: 1, 2: 2, 3: 4}[t]
-                    raw = struct.unpack_from(
-                        f"<{n}{_INT_FMT[t]}", indiv, off
-                    )
-                    off += n * width
-                    cell = self._gt_text(raw, t)
-                elif t == _T_CHAR:
+            total = n * n_sample
+            if n == 0:
+                col = ["."] * n_sample
+            elif key == "GT":
+                flat = struct.unpack_from(f"<{total}{_INT_FMT[t]}", indiv, off)
+                off += total * _INT_WIDTH[t]
+                cache, gt_text = self._gt_cache, self._gt_text
+                col = []
+                for s in range(0, total, n):
+                    raw = flat[s : s + n]
+                    ck = (t, raw)
+                    cell = cache.get(ck)
+                    if cell is None:
+                        cell = gt_text(raw, t)
+                        cache[ck] = cell
+                    col.append(cell)
+            elif t == _T_CHAR:
+                col = []
+                for _s in range(n_sample):
                     cell = indiv[off : off + n].decode().rstrip("\x00")
                     off += n
-                    cell = cell or "."
-                elif t == _T_FLOAT:
-                    bits = struct.unpack_from(f"<{n}I", indiv, off)
-                    off += 4 * n
-                    vs = [
-                        None
-                        if b == _FLOAT_MISSING_BITS
-                        else float(np.uint32(b).view(np.float32))
-                        for b in bits
-                        if b != _FLOAT_END_BITS
+                    col.append(cell or ".")
+            elif t == _T_FLOAT:
+                bits = struct.unpack_from(f"<{total}I", indiv, off)
+                off += 4 * total
+                fcache = self._f32_cache
+                col = []
+                for s in range(0, total, n):
+                    cells = []
+                    for b in bits[s : s + n]:
+                        if b == _FLOAT_END_BITS:
+                            continue
+                        a = fcache.get(b)
+                        if a is None:
+                            a = (
+                                "."
+                                if b == _FLOAT_MISSING_BITS
+                                else _f32_repr(
+                                    float(np.uint32(b).view(np.float32))
+                                )
+                            )
+                            if len(fcache) < (1 << 16):
+                                fcache[b] = a
+                        cells.append(a)
+                    col.append(",".join(cells) or ".")
+            else:
+                flat = struct.unpack_from(f"<{total}{_INT_FMT[t]}", indiv, off)
+                off += total * _INT_WIDTH[t]
+                miss, endv = _INT_MISSING[t], _INT_END[t]
+                if n == 1 and not is_f:
+                    col = [
+                        "." if v == miss or v == endv else str(v)
+                        for v in flat
                     ]
-                    cell = ",".join(_fmt_atom(v, True) for v in vs) or "."
                 else:
-                    width = {1: 1, 2: 2, 3: 4}[t]
-                    raw = struct.unpack_from(
-                        f"<{n}{_INT_FMT[t]}", indiv, off
-                    )
-                    off += n * width
-                    vs = [
-                        None if v == _INT_MISSING[t] else int(v)
-                        for v in raw
-                        if v != _INT_END[t]
-                    ]
-                    cell = ",".join(_fmt_atom(v, is_f) for v in vs) or "."
-                sample_fields[s].append(cell)
+                    col = []
+                    for s in range(0, total, n):
+                        vs = [
+                            None if v == miss else v
+                            for v in flat[s : s + n]
+                            if v != endv
+                        ]
+                        col.append(
+                            ",".join(_fmt_atom(v, is_f) for v in vs) or "."
+                        )
+            fmt_cols.append(col)
         parts = [
             self.contigs[rid],
             str(pos + 1),
@@ -346,7 +400,10 @@ class BCFCodec:
         ]
         if fmt_keys:
             parts.append(":".join(fmt_keys))
-            parts.extend(":".join(cells) for cells in sample_fields)
+            if len(fmt_cols) == 1:
+                parts.extend(fmt_cols[0])
+            else:
+                parts.extend(":".join(cells) for cells in zip(*fmt_cols))
         return parts
 
     @staticmethod

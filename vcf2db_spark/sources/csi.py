@@ -122,10 +122,15 @@ class CSIIndex:
         target_bytes: int = 64 << 20,
     ) -> list[list[tuple[int, int]]]:
         """Greedy-pack the chunk ranges into ~``target_bytes`` compressed
-        groups. Cut points are chunk STARTS only (each is a record start
-        by construction of the builder), so consecutive groups neither
-        skip nor re-read a record; no linear index exists to cut finer
-        (see module docstring)."""
+        groups. Cut points are chunk starts AND per-bin ``loffset``
+        values — each loffset is the virtual offset of the first record
+        overlapping its bin, i.e. an exact record start (the CSI spec's
+        replacement for tabix's linear index; htslib writes it the same
+        way). Consecutive groups therefore neither skip nor re-read a
+        record: the reader decodes records starting in [vbeg, vend) only.
+        Without loffset cuts a position-contiguous contig merges into ONE
+        chunk and a whole-contig scan of an expensive-to-decode container
+        could never fan out past n_contigs tasks."""
         chunks = self.chunks(chrom, beg, end)
         if not chunks:
             return []
@@ -134,10 +139,28 @@ class CSIIndex:
             cb, ce = b >> 16, e >> 16
             return (ce - cb) if ce > cb else max((e - b) >> 2, 1)
 
+        rid = self.ref_id(chrom)
+        loffs = sorted(
+            {v for v in self.refs[rid].loffsets.values() if v}
+        ) if rid is not None and rid < len(self.refs) else []
+
+        # split oversized merged chunks at interior record-start loffsets
+        expanded: list[tuple[int, int]] = []
+        for b, e in chunks:
+            lo = b
+            if vspan(b, e) > target_bytes:
+                for v in loffs:
+                    if v <= lo or v >= e:
+                        continue
+                    if vspan(lo, v) >= target_bytes:
+                        expanded.append((lo, v))
+                        lo = v
+            expanded.append((lo, e))
+
         groups: list[list[tuple[int, int]]] = []
         cur: list[tuple[int, int]] = []
         size = 0
-        for b, e in chunks:
+        for b, e in expanded:
             cur.append((b, e))
             size += vspan(b, e)
             if size >= target_bytes:

