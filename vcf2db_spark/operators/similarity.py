@@ -336,6 +336,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    scoring: str = "gemm",
 ) -> DataFrame:
     """Batch k-NN: top-``k`` cosine neighbors for EVERY vector — the
     neighbor-graph primitive behind semantic dedup and corpus clustering.
@@ -357,6 +358,18 @@ def knn_join(
 
     Output: (id, neighbor_id, cosine), ``k`` rows per id (fewer in
     degenerate tiny lists), ties broken by neighbor id.
+
+    ``scoring='gemm'`` (default) computes each list's pair scores as ONE
+    blocked numpy matmul inside an ``applyInPandas`` group and emits only
+    that list's per-id top-k — |list|×k rows instead of |list|² — before
+    the cross-list fold. Per-list top-k then global top-k is exact: a
+    pair in the global top-k is beaten by < k candidates overall, hence
+    by < k in any shared list, so it survives every local cut (the order
+    is strictly total — rounded score desc, neighbor id asc). The r9
+    board measured the interpreted HOF fold (``scoring='hof'``) as the
+    tier's scale ceiling: 64 interpreted ops × Σ|list|² pairs; the GEMM
+    path moves the same arithmetic into ~n_lists BLAS calls and shrinks
+    the post-score shuffle from Σ|list|² to n×probes×k rows.
     """
     from pyspark.sql import Window
 
@@ -366,23 +379,84 @@ def knn_join(
         )
     else:
         assigned, _ = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
-    a = assigned.select(
-        F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
-    )
-    b = assigned.select(
-        F.col("list_id"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb")
-    )
-    pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "id",
-        "neighbor_id",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
-    )
-    if probes > 1:
-        # a pair sharing several probed lists is scored once per shared
-        # list — identical score each time; max() is a map-side-combinable
-        # dedup (no extra shuffle beyond the groupBy's)
-        scored = scored.groupBy("id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+
+    if scoring == "gemm":
+        def _score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+            L = len(pdf)
+            if L < 2:
+                return pd.DataFrame(
+                    {"id": [], "neighbor_id": [], "cosine": []}
+                ).astype({"id": "int64", "neighbor_id": "int64",
+                          "cosine": "float64"})
+            pdf = pdf.sort_values("_knn_id")  # column order = asc id
+            ids = pdf["_knn_id"].to_numpy("int64")
+            V = np.array(pdf["_knn_vec"].tolist(), dtype="float64")
+            Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-300)
+            kk = min(k, L - 1)
+            out_i, out_j, out_s = [], [], []
+            # row blocks bound the score matrix to block×L
+            step = max(1, min(L, (4 << 20) // max(L, 1)))
+            for lo in range(0, L, step):
+                S = np.round(Vn[lo : lo + step] @ Vn.T, 6)
+                # self-pair: a finite below-any-cosine sentinel (NOT -inf:
+                # int64(-inf) is INT64_MIN and the key multiply overflows)
+                for r in range(S.shape[0]):
+                    S[r, lo + r] = -2.0
+                # strict total order: score desc, neighbor index asc —
+                # encode as one int64 key (|1e6·score| ≤ 1e6, L < 2^31)
+                # rint first: round(x,6)*1e6 can sit 1 ulp below the integer
+                # and astype truncates toward zero, colliding two scores
+                key = np.rint(S * 1e6).astype("int64") * (L + 1) - np.arange(L)
+                top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                kkey = np.take_along_axis(key, top, axis=1)
+                order = np.argsort(-kkey, axis=1, kind="stable")
+                top = np.take_along_axis(top, order, axis=1)
+                rows = np.repeat(np.arange(S.shape[0]), kk)
+                cols = top.reshape(-1)
+                out_i.append(np.repeat(ids[lo : lo + step], kk))
+                out_j.append(ids[cols])
+                out_s.append(S[rows, cols])
+            return pd.DataFrame(
+                {
+                    "id": np.concatenate(out_i),
+                    "neighbor_id": np.concatenate(out_j),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+        cand = (
+            assigned.select(
+                "list_id",
+                F.col(id_col).alias("_knn_id"),
+                F.col(vec_col).alias("_knn_vec"),
+            )
+            .groupBy("list_id")
+            .applyInPandas(
+                _score_list, "id long, neighbor_id long, cosine double"
+            )
+        )
+        scored = cand
+        if probes > 1:
+            # the same pair from several shared lists carries the same
+            # rounded score; max() is a map-side-combinable dedup
+            scored = scored.groupBy("id", "neighbor_id").agg(
+                F.max("cosine").alias("cosine")
+            )
+    else:
+        a = assigned.select(
+            F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
+        )
+        b = assigned.select(
+            F.col("list_id"), F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vb")
+        )
+        pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+        scored = pairs.select(
+            "id",
+            "neighbor_id",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"),
+        )
+        if probes > 1:
+            scored = scored.groupBy("id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -434,6 +508,7 @@ def ivfadc_knn_join(
     pq_iters: int = 4,
     pq_sample: int = 2048,
     rerank: int = 0,
+    scoring: str = "lut",
 ) -> DataFrame:
     """IVFADC batch k-NN (VERDICT r7 item 6 — Jégou et al.'s IVF +
     product-quantized asymmetric distance): the same IVF list blocking
@@ -458,6 +533,21 @@ def ivfadc_knn_join(
     Output contract matches ``knn_join``: (id, neighbor_id, cosine) with
     the ADC cosine (exact cosine when reranking), ``k`` rows per id,
     ties by neighbor id.
+
+    ``scoring='lut'`` (default) is the FAISS-shaped plan: one
+    ``applyInPandas`` group per list builds the m×ksub dot-product
+    lookup table per query block and scores the whole list by m fancy-
+    index gathers — each group emits only its per-id top candidates, so
+    the post-score shuffle is n×probes×max(k, rerank) rows. The r10
+    sf16 board measured the exploded-pair shape (``scoring='pairs'``,
+    the r8 design: ADC pandas_udf over an a×b list join) at 445 s /
+    320k vectors — the 512 B query vector crossed Arrow once PER
+    CANDIDATE (~0.4 TB); the LUT plan ships each vector once per probed
+    list. Codes are derived in-group from the same codebooks (argmin is
+    deterministic, so they equal the ``pq_codes_col`` assignment); at
+    the stored-index design point (``build_ivf_index``) the codes
+    column replaces the vector column entirely and the same LUT scoring
+    applies.
     """
     from pyspark.sql import Window
 
@@ -475,25 +565,106 @@ def ivfadc_knn_join(
         )
     else:
         assigned, _ = ivf_assign(emb, n_lists, id_col, vec_col, refine_iters)
-    a = assigned.select(
-        F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
-    )
-    # the probe side: codes ONLY — the full vector never enters the join
-    b = assigned.select(
-        F.col("list_id"),
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes_col(F.col(vec_col), codebooks).alias("_cb"),
-    )
-    pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "id",
-        "neighbor_id",
-        adc_cosine_col(F.col("_va"), F.col("_cb"), codebooks).alias("cosine"),
-    )
-    if probes > 1:
-        scored = scored.groupBy("id", "neighbor_id").agg(
-            F.max("cosine").alias("cosine")
+
+    kk_out = max(rerank, k) if rerank else k
+    if scoring == "lut":
+        C = codebooks.copy()
+        cnorm2 = (C * C).sum(axis=2)  # m × ksub codeword norms²
+        sub = C.shape[2]
+
+        def _adc_list(pdf: pd.DataFrame) -> pd.DataFrame:
+            L = len(pdf)
+            if L < 2:
+                return pd.DataFrame(
+                    {"id": [], "neighbor_id": [], "cosine": []}
+                ).astype({"id": "int64", "neighbor_id": "int64",
+                          "cosine": "float64"})
+            pdf = pdf.sort_values("_adc_id")
+            ids = pdf["_adc_id"].to_numpy("int64")
+            V = np.array(pdf["_adc_vec"].tolist(), dtype="float64")
+            # database side: PQ codes + reconstruction norms (in-group,
+            # identical to the global pq_codes_col assignment)
+            codes = np.empty((L, m), dtype="int64")
+            rnorm2 = np.zeros(L, dtype="float64")
+            for j in range(m):
+                Xj = V[:, j * sub : (j + 1) * sub]
+                d = (
+                    (Xj * Xj).sum(axis=1, keepdims=True)
+                    - 2.0 * (Xj @ C[j].T)
+                    + cnorm2[j][None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+                rnorm2 += cnorm2[j][codes[:, j]]
+            qnorm = np.linalg.norm(V, axis=1)
+            rnorm = np.sqrt(rnorm2)
+            kk = min(kk_out, L - 1)
+            out_i, out_j, out_s = [], [], []
+            step = max(1, min(L, (4 << 20) // max(L, 1)))
+            for lo in range(0, L, step):
+                B = V[lo : lo + step]
+                S = np.zeros((len(B), L), dtype="float64")
+                for j in range(m):
+                    lut = B[:, j * sub : (j + 1) * sub] @ C[j].T  # B×ksub
+                    S += lut[:, codes[:, j]]
+                S /= qnorm[lo : lo + step, None] * rnorm[None, :] + 1e-12
+                S = np.round(S, 6)
+                for r in range(S.shape[0]):
+                    S[r, lo + r] = -2.0  # self (finite: key cast below)
+                # rint first: round(x,6)*1e6 can sit 1 ulp below the integer
+                # and astype truncates toward zero, colliding two scores
+                key = np.rint(S * 1e6).astype("int64") * (L + 1) - np.arange(L)
+                top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+                kkey = np.take_along_axis(key, top, axis=1)
+                order = np.argsort(-kkey, axis=1, kind="stable")
+                top = np.take_along_axis(top, order, axis=1)
+                rows = np.repeat(np.arange(S.shape[0]), kk)
+                cols = top.reshape(-1)
+                out_i.append(np.repeat(ids[lo : lo + step], kk))
+                out_j.append(ids[cols])
+                out_s.append(S[rows, cols])
+            return pd.DataFrame(
+                {
+                    "id": np.concatenate(out_i),
+                    "neighbor_id": np.concatenate(out_j),
+                    "cosine": np.concatenate(out_s),
+                }
+            )
+
+        scored = (
+            assigned.select(
+                "list_id",
+                F.col(id_col).alias("_adc_id"),
+                F.col(vec_col).alias("_adc_vec"),
+            )
+            .groupBy("list_id")
+            .applyInPandas(
+                _adc_list, "id long, neighbor_id long, cosine double"
+            )
         )
+        if probes > 1:
+            scored = scored.groupBy("id", "neighbor_id").agg(
+                F.max("cosine").alias("cosine")
+            )
+    else:
+        a = assigned.select(
+            F.col("list_id"), F.col(id_col).alias("id"), F.col(vec_col).alias("_va")
+        )
+        # the probe side: codes ONLY — the full vector never enters the join
+        b = assigned.select(
+            F.col("list_id"),
+            F.col(id_col).alias("neighbor_id"),
+            pq_codes_col(F.col(vec_col), codebooks).alias("_cb"),
+        )
+        pairs = a.join(b, "list_id").filter(F.col("id") != F.col("neighbor_id"))
+        scored = pairs.select(
+            "id",
+            "neighbor_id",
+            adc_cosine_col(F.col("_va"), F.col("_cb"), codebooks).alias("cosine"),
+        )
+        if probes > 1:
+            scored = scored.groupBy("id", "neighbor_id").agg(
+                F.max("cosine").alias("cosine")
+            )
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     if not rerank:
         return (
