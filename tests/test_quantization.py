@@ -317,3 +317,25 @@ def test_ivfadc_recall_floor(spark):
     # the ladder is monotone in probes for all variants
     for v in ("adc", "adc_rerank", "opq"):
         assert adc[(1, v)] <= adc[(2, v)] <= adc[(3, v)]
+
+
+def test_ivfadc_lut_matches_pair_scoring(spark):
+    """The per-list LUT scoring path (r10 default — the FAISS plan shape)
+    must reproduce the exploded-pair ADC shape: in-group codes equal the
+    global pq_codes_col assignment (same argmin over the same codebooks),
+    so the rounded ADC cosines and the final top-k coincide."""
+    from vcf2db_spark.operators.similarity import ivfadc_knn_join
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    for rerank in (0, 9):
+        lut = ivfadc_knn_join(
+            emb, k=3, n_lists=8, refine_iters=1, probes=2,
+            rerank=rerank, scoring="lut",
+        )
+        pairs = ivfadc_knn_join(
+            emb, k=3, n_lists=8, refine_iters=1, probes=2,
+            rerank=rerank, scoring="pairs",
+        )
+        a = sorted(map(tuple, lut.collect()))
+        b = sorted(map(tuple, pairs.collect()))
+        assert a == b, (rerank, a[:5], b[:5])

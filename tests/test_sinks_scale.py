@@ -499,3 +499,25 @@ def test_csv_roundtrip_hostile_content(spark, tmp_path):
             assert got[i] in ("", None)
         else:
             assert got[i] == t, (i, repr(t), repr(got[i]))
+
+
+def test_knn_join_gemm_matches_hof_pair_scoring(spark):
+    """The in-group GEMM scoring path (r10 default) must reproduce the
+    pair-join HOF shape EXACTLY — same (id, neighbor_id, cosine) multiset
+    — at both probe counts. Per-list top-k before the global window is
+    lossless because the order (rounded cosine desc, neighbor id asc) is
+    strictly total: any global-top-k pair is beaten by < k candidates in
+    every shared list, so it survives each local cut."""
+    from vcf2db_spark.operators.similarity import knn_join
+
+    emb = table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    for probes in (1, 2):
+        gemm = knn_join(
+            emb, k=3, n_lists=8, refine_iters=1, probes=probes, scoring="gemm"
+        )
+        hof = knn_join(
+            emb, k=3, n_lists=8, refine_iters=1, probes=probes, scoring="hof"
+        )
+        g = sorted(map(tuple, gemm.collect()))
+        h = sorted(map(tuple, hof.collect()))
+        assert g == h, (probes, g[:5], h[:5])
