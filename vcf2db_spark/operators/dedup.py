@@ -149,31 +149,41 @@ def minhash_lsh_candidates(
     # checkpointed signature table (see the persist() note above).
     a = banded.hint("shuffle_hash").alias("a")
     b = banded.hint("shuffle_hash").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Slot-match count computed MAP-SIDE in the join projection, so the
+    # only shuffle of the Σ|bucket|² candidate stream is the duplicate
+    # fold below — (id_a, id_b, _m) is 24 B/row vs the two 64-int
+    # signatures the previous shape dragged through dropDuplicates
+    # (~1.2 KB/row: the r10 sf16 dedup board measured that plan dying at
+    # ~1 TB of shuffle on the 800k-doc fixture, and its pass-to-pass
+    # variance at sf4 was tmpfs spill pressure from the same bytes).
     matches = F.size(
         F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.zip_with(
+                F.col("a.signature"),
+                F.col("b.signature"),
+                lambda x, y: (x == y).cast("int"),
+            ),
             lambda m: m == 1,
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(matches.cast("double") / F.lit(n_hashes), 6).alias("est_jaccard"),
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        matches.alias("_m"),
+    )
+    # a pair colliding in several bands carries the same _m every time;
+    # max() is map-side-combinable, so duplicates collapse in the partial
+    # aggregate BEFORE the exchange — the shuffle carries ≤ one narrow
+    # row per distinct pair per map partition
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.round(
+            F.max("_m").cast("double") / F.lit(n_hashes), 6
+        ).alias("est_jaccard")
     )
 
 
