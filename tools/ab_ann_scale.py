@@ -50,6 +50,20 @@ def exact_topk_sample(spark, emb, query_ids, k=3):
     )
 
 
+def _drain_gc(spark) -> None:
+    """Kick both GCs so the ContextCleaner can drop shuffle files and
+    checkpoint blocks from finished phases — a measurement-harness need
+    (one session runs every scale back-to-back against a bounded local
+    dir), not an engine one."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def run_dedup_tier(spark, sf: str, sf_dir: str, passes: int) -> None:
     """Unbounded dedup/text tier board (VERDICT r9 item 1): minhash-LSH
     candidates over the FULL documents table with the Sigma|bucket|^2
@@ -73,6 +87,7 @@ def run_dedup_tier(spark, sf: str, sf_dir: str, passes: int) -> None:
         n_cand = cand.count()
         walls.append(time.time() - t0)
     lsh_wall = min(walls)
+    _drain_gc(spark)
 
     # bound variable (VERDICT r9 item 1): candidate pairs the band join
     # generates = Sigma over (band, bucket) of C(|bucket|, 2) — re-derive
@@ -114,6 +129,7 @@ def run_dedup_tier(spark, sf: str, sf_dir: str, passes: int) -> None:
         cl = duplicate_clusters(pairs, d.select("doc_id"))
         n_cl = cl.select("cluster_id").distinct().count()
         cl_walls.append(time.time() - t0)
+        _drain_gc(spark)
 
     from vcf2db_spark.queries.pipeline_ext import contam_ngram
 

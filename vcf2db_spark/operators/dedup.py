@@ -364,8 +364,10 @@ def duplicate_clusters(
     per round — convergence in O(log(component diameter)) rounds instead
     of O(diameter). Convergence is certified by sum(label): labels only
     ever decrease, so an unchanged sum means a fixpoint; the per-round
-    driver work is that single scalar. Each round's labels are persisted
-    and the previous round's released — lineage stays two joins deep.
+    driver work is that single scalar. Each round's labels are
+    localCheckpoint-ed so lineage stays two joins deep and earlier
+    rounds' shuffle files are collectable — persist() pinned the whole
+    history and filled the local dirs at the sf16 board scale.
 
     At the 100 TB design point this is the standard map-reduce CC recipe
     (Kiveris et al. two-phase star contractions share the same bound);
@@ -456,9 +458,16 @@ def _cc_loop(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.persist()
+    # localCheckpoint, not persist: it truncates lineage, so the candidate-
+    # generation DAG upstream (e.g. the LSH band join) is evaluated exactly
+    # once and its shuffle files become ContextCleaner-collectable right
+    # away. persist() keeps the full lineage pinned, which across an
+    # iterative loop accumulates every round's shuffle on local disk — the
+    # r10 sf16 dedup board (800k docs, ~70M candidate edges) measured that
+    # accumulation filling the 126 GB local dir and killing the JVM.
+    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    labels = labels.persist()
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_iters):
         nbr = (
@@ -477,21 +486,27 @@ def _cc_loop(
         ptr = labels.select(
             F.col("node").alias("_pn"), F.col("label").alias("_pl")
         )
+        # each round's labels are localCheckpoint-ed, NOT persist()-ed:
+        # persist keeps the round's lineage chained through every prior
+        # round, so no round's shuffle files are ever collectable and an
+        # eviction recomputes the whole history. The checkpoint cuts the
+        # chain — one round of shuffle lives at a time, and the blocks of
+        # round N-1 free when its DF is garbage-collected. (On a durable
+        # cluster use checkpoint() with a checkpoint dir for the same
+        # effect plus executor-loss recovery.)
         jumped = (
             stepped.join(ptr, stepped.label == F.col("_pn"), "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("_pl", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = jumped.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = jumped
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
