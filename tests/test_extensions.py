@@ -606,3 +606,30 @@ def test_salted_join_equals_plain_join(spark):
         .collect()[0]["d"]
     )
     assert n_salts > 1
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """bucket_cap drops only pairs whose EVERY shared band bucket is
+    oversized: a planted spam cluster (identical text → all 16 bands
+    collide at cluster size) vanishes under a cap below its size, while
+    organic near-dup pairs (small buckets) survive byte-identically."""
+    from vcf2db_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = table(spark, SF, "documents").limit(120).select("doc_id", "text")
+    spam = docs.limit(30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("lorem boiler plate lorem boiler plate lorem boiler").alias("text"),
+    )
+    corpus = docs.unionByName(spam)
+    base = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_candidates(corpus).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_lsh_candidates(corpus, bucket_cap=20).collect()
+    }
+    spam_ids = set(range(100000, 100030))
+    spam_pairs = {t for t in base if t[0] in spam_ids and t[1] in spam_ids}
+    assert len(spam_pairs) == 30 * 29 // 2  # the quadratic blowup exists
+    assert capped == base - spam_pairs  # and ONLY it is dropped

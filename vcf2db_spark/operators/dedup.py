@@ -113,6 +113,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     shingle: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, est_jaccard) via banded LSH.
 
@@ -120,6 +121,16 @@ def minhash_lsh_candidates(
     slots) matches exactly. est_jaccard = fraction of matching signature
     slots. The bucket join shuffles on (band, band_hash) — skew-safe under
     AQE; no all-pairs product ever materializes.
+
+    ``bucket_cap``: drop (band, band_hash) buckets larger than the cap
+    before the self-join — the standard production guard against
+    degenerate buckets (boilerplate/empty documents collapse to one
+    signature, and a single million-doc bucket alone is 10¹² candidate
+    pairs). The trade is explicit recall loss ONLY for pairs whose every
+    shared band is oversized — i.e. pairs inside spam-sized clusters,
+    which downstream dedup drops wholesale anyway. Off by default: the
+    declared queries keep exact banded semantics; a 100 TB run sets it
+    to a few × the largest expected real duplicate cluster.
     """
     r = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle)
@@ -140,6 +151,18 @@ def minhash_lsh_candidates(
         )
     )
     banded = sigs.select("id", "signature", band_idx.alias("band", "band_hash"))
+    if bucket_cap is not None:
+        # one extra narrow aggregation + a map-side-pruned semi join on
+        # the same (band, band_hash) key the main join shuffles on — the
+        # partial aggregate collapses per-partition counts before the
+        # exchange, so the guard costs one pass over 16 B rows
+        ok = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") <= bucket_cap)
+            .drop("_c")
+        )
+        banded = banded.join(ok, ["band", "band_hash"], "leftsemi")
     # shuffle-hash, not broadcast: at scale the banded table can never
     # broadcast (it's corpus-sized), so the honest plan is a hash-
     # partitioned join on (band, band_hash); locally it also skips the
