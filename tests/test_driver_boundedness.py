@@ -71,3 +71,31 @@ def test_every_driver_collect_is_allowlisted():
     )
     gone = {f for f in ALLOWED if f not in found}
     assert not gone, f"stale allowlist entries (sites removed): {gone}"
+
+
+def test_blas_thread_pin_defaults():
+    """Importing the package defaults the BLAS pool size to one thread
+    per process (optimization guide §2.6 oversubscription: N local
+    workers × cpu_count() BLAS threads), while an explicit caller
+    export wins. The default must be applied at package import — the
+    OpenBLAS pool size is read once at numpy load."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r); import vcf2db_spark, os; "
+        "print(os.environ['OPENBLAS_NUM_THREADS'], "
+        "os.environ['OMP_NUM_THREADS'])" % repo
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                        "MKL_NUM_THREADS", "SPARK_GRAFT_BLAS_THREADS")}
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, check=True)
+    assert out.stdout.split() == ["1", "1"]
+    env["OPENBLAS_NUM_THREADS"] = "8"  # caller export wins over default
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, check=True)
+    assert out.stdout.split() == ["8", "1"]

@@ -1044,7 +1044,10 @@ def knn_recall(spark, sf_dir):
 
     from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
 
-    exact = knn_exact(spark, sf_dir)
+    # materialize the exact twin ONCE (lazy localCheckpoint): it feeds
+    # both the n_tot scalar and the broadcast hit-marker, and without a
+    # barrier the brute-force pair join runs once per consumer
+    exact = knn_exact(spark, sf_dir).localCheckpoint(eager=False)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
 
@@ -1056,6 +1059,14 @@ def knn_recall(spark, sf_dir):
     # running knn_join at probes=p (same centroids, same tie-breaks) at a
     # third of the cost.
     assigned, _ = ivf_assign_multi(e, n_lists=8, probes=3, refine_iters=1)
+    # materialize the multi-probe assignment ONCE: the a/b sides of the
+    # pair self-join are different projections of the same subtree, so
+    # without a barrier the Arrow assignment chain (scan → centroid
+    # assign → probe ranks) runs twice per query (r10 plan audit: two
+    # copies of the scan+ArrowEvalPython chain). The assignment is the
+    # operator's natural stage boundary (n·probes rows, the index a
+    # production pipeline stores anyway); same device as _cc_loop.
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.filter(F.col("vec_id") < 50).select(
         "list_id",
         F.col("vec_id").alias("id"),
@@ -1158,7 +1169,9 @@ def ivfadc_recall(spark, sf_dir):
     )
     from vcf2db_spark.operators.similarity import cosine, ivf_assign_multi
 
-    exact = knn_exact(spark, sf_dir)
+    # exact twin materialized once (lazy localCheckpoint) — feeds n_tot
+    # and the hit-marker broadcast; same device as knn_recall
+    exact = knn_exact(spark, sf_dir).localCheckpoint(eager=False)
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     n_tot = exact.groupBy().agg(F.count(F.lit(1)).alias("_tot"))
 
@@ -1171,6 +1184,9 @@ def ivfadc_recall(spark, sf_dir):
         e, m=32, k=128, iters=4, opq_iters=8, sample_X=sample_X
     )
     assigned, _ = ivf_assign_multi(e, n_lists=8, probes=3, refine_iters=1)
+    # assignment materialized once for the a/b self-join sides (r10 plan
+    # audit: the Arrow assign chain otherwise evaluates twice per query)
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.filter(F.col("vec_id") < 50).select(
         "list_id",
         F.col("vec_id").alias("id"),

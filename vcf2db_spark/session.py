@@ -14,9 +14,19 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "vcf2db-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # One BLAS thread per process (see vcf2db_spark/__init__.py, where
+    # the driver-side default is applied before numpy loads). Local-mode
+    # workers inherit the launcher env; for CLUSTER deployments the same
+    # pin must ride executorEnv, so re-state it here (harmless no-op
+    # locally). Parameterized: an executor running fewer Python workers
+    # than cores sets SPARK_GRAFT_BLAS_THREADS to its core/worker ratio.
+    blas = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", blas)
+        .config("spark.executorEnv.OMP_NUM_THREADS", blas)
+        .config("spark.executorEnv.MKL_NUM_THREADS", blas)
         # AQE: runtime partition coalescing, skew-join splitting, join re-plan.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
