@@ -408,11 +408,19 @@ def duplicate_clusters(
     pairs = pairs.join(
         ids, F.col(a_col) == F.col("_nid"), "leftsemi"
     ).join(ids, F.col(b_col) == F.col("_nid"), "leftsemi")
-    # ONE probing job decides the path AND (when small) delivers the
-    # edges. Arrow transfer (toPandas) keeps the probe at two int64
-    # columns — ~16 bytes/pair + one pandas frame — instead of
-    # collect()'s per-Row Python objects (~10× that).
-    probe = pairs.select(a_col, b_col).limit(small_threshold + 1).toPandas()
+    # Materialize the restricted pair set ONCE (localCheckpoint), then
+    # serve BOTH the size probe and (on the large path) the edge build
+    # from the materialized blocks. Before, the probe's limit+toPandas
+    # evaluated the candidate-generation DAG upstream (e.g. the LSH band
+    # join — ~6 min of the sf16 dedup board) and _cc_loop's edge build
+    # evaluated it a second time; the aggregations inside that DAG mean
+    # the limit could never short-circuit the work anyway. The pair set
+    # is the operator's natural stage boundary (pairs ≪ docs² by LSH
+    # construction — ~16 B/pair), the same device _cc_loop already uses
+    # for its per-round labels. Arrow transfer (toPandas) keeps the
+    # probe at two int64 columns instead of per-Row Python objects.
+    sel = pairs.select(a_col, b_col).localCheckpoint(eager=True)
+    probe = sel.limit(small_threshold + 1).toPandas()
     if len(probe) <= small_threshold:
         return _cc_unionfind(probe, nodes, id_col, a_col, b_col)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -424,7 +432,7 @@ def duplicate_clusters(
         # width. Restored in the finally below.
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
-        return _cc_loop(pairs, nodes, id_col, a_col, b_col, max_iters)
+        return _cc_loop(sel, nodes, id_col, a_col, b_col, max_iters)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
