@@ -331,7 +331,14 @@ def simhash_near_pairs(
     )
     chunked = sigs.select("id", "simhash", chunk.alias("ck", "cv"))
     a, b = chunked.alias("a"), chunked.alias("b")
-    pairs = (
+    # Hamming distance computes MAP-SIDE in the join projection and the
+    # filter runs BEFORE the duplicate fold, so the dedup exchange
+    # carries only the (selective) near pairs as (id_a, id_b, hamming) —
+    # not every chunk-collision pair dragging both 64-bit signatures.
+    # Equivalent: duplicates of an (id_a, id_b) key all carry the same
+    # two signatures, hence the same hamming, so filter-then-dedup picks
+    # the same surviving row set as dedup-then-filter.
+    return (
         a.join(
             b,
             (F.col("a.ck") == F.col("b.ck"))
@@ -341,14 +348,12 @@ def simhash_near_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("s_a"),
-            F.col("b.simhash").alias("s_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
