@@ -294,6 +294,11 @@ _PRIORITY_R10 = [
     # eigh solver is replaced by the deterministic squaring-chain basis
     # the DuckDB oracle replays bit-for-bit; output values change)
     "embed_pca_project",
+    # r10 second session: simhash_near_pairs moved the hamming filter
+    # ahead of the duplicate fold (plan changed, rows identical) and
+    # duplicate_clusters materializes its pair set once (execution path
+    # changed) — changed rows lead per the rotation convention
+    "dedup_simhash", "dedup_clusters",
     # latest record still r5 (recorded-oldest, alphabetical = verdict list):
     "ann_ivf", "approx_agg", "autocorr_daily", "bootstrap_ci",
     "calibration_bins", "churn_label", "contain_shingle", "corpus_kl",
