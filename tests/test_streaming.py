@@ -190,6 +190,47 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got_rows == want_rows
 
 
+def test_final_no_data_batch_output_identity(spark, events_dup_dir):
+    """run_to_memory(final_no_data_batch=False) must be byte-identical for
+    every operator class that opts out in queries/streaming_dq.py — the
+    trailing no-data batch only advances the watermark to EVICT state for
+    them (dedup, stream-stream inner join, update-mode stateful, complete-
+    mode aggregates); none of them emit rows in it. Conversely, append-mode
+    window aggregates EMIT in that batch — asserted load-bearing below, so
+    the opt-out can never silently spread to them."""
+    from vcf2db_spark.streaming.pipelines import purchases_with_recent_clicks
+
+    def both(mk, name, output_mode="append"):
+        on = run_to_memory(
+            mk(), f"t_nd_{name}_on", output_mode=output_mode,
+            final_no_data_batch=True,
+        )
+        off = run_to_memory(
+            mk(), f"t_nd_{name}_off", output_mode=output_mode,
+            final_no_data_batch=False,
+        )
+        return sorted(map(tuple, on.collect())), sorted(map(tuple, off.collect()))
+
+    src = lambda: read_events_stream(spark, events_dup_dir)
+    cases = {
+        "dedup": (lambda: dedup_within_watermark(src()), "append"),
+        "ssjoin": (lambda: purchases_with_recent_clicks(src()), "append"),
+        "stateful": (lambda: running_totals_stateful(src()), "update"),
+        "session": (lambda: session_counts(src()), "complete"),
+        "slide": (lambda: sliding_avg(src()), "complete"),
+    }
+    for name, (mk, mode) in cases.items():
+        on, off = both(mk, name, mode)
+        assert on == off and len(on) > 0, f"{name}: no-data batch changed output"
+
+    # the load-bearing case: append-mode tumbling windows emit ONLY in the
+    # final no-data batch (watermark advances after the data batch), so
+    # skipping it empties the output — this is why tumbling_counts drains
+    # (stream_watermark_append / stream_sink_parquet) keep the default
+    on, off = both(lambda: tumbling_counts(src()), "tumble", "append")
+    assert len(on) > 0 and off == []
+
+
 def test_rocksdb_state_store_matches_default(spark, events_dup_dir):
     """The RocksDB provider (production posture: state on SSD, bounded
     heap) must be a pure deployment knob — identical results to the

@@ -42,9 +42,19 @@ def _slice_users(s: DataFrame, mod: int = 8) -> DataFrame:
 
 @dq("stream_dedup_wm")
 def stream_dedup_wm(spark, sf_dir):
-    """C11: stateful replay-dedup inside the watermark horizon."""
+    """C11: stateful replay-dedup inside the watermark horizon.
+
+    The drain skips the trailing no-data micro-batch: dedup emits every
+    surviving row in the data batch itself — the watermark only EVICTS
+    state — so that batch is a pure trigger round of planning/WAL/state
+    commits with zero output (identity pinned per operator in
+    tests/test_streaming.py)."""
     s = read_events_stream(spark, stage_events_dir(sf_dir))
-    return run_to_memory(dedup_within_watermark(_slice_users(s)), "dq_stream_dedup_wm")
+    return run_to_memory(
+        dedup_within_watermark(_slice_users(s)),
+        "dq_stream_dedup_wm",
+        final_no_data_batch=False,
+    )
 
 
 @dq("stream_watermark_append")
@@ -61,8 +71,14 @@ def stream_watermark_append(spark, sf_dir):
 def stream_session_stream(spark, sf_dir):
     """C9 in true streaming mode (batch twin: DQ stream_session)."""
     s = read_events_stream(spark, stage_events_dir(sf_dir))
+    # complete mode re-emits the full result every batch — the final
+    # no-data batch rewrites the identical table (identity pinned in
+    # tests/test_streaming.py); skip that trigger round
     return run_to_memory(
-        session_counts(_slice_users(s)), "dq_stream_session", output_mode="complete"
+        session_counts(_slice_users(s)),
+        "dq_stream_session",
+        output_mode="complete",
+        final_no_data_batch=False,
     )
 
 
@@ -70,8 +86,14 @@ def stream_session_stream(spark, sf_dir):
 def stream_stateful_totals(spark, sf_dir):
     """Custom stateful operator via applyInPandasWithState."""
     s = read_events_stream(spark, stage_events_dir(sf_dir))
+    # update-mode applyInPandasWithState with NoTimeout only invokes the
+    # function for keys PRESENT in the batch — a no-data batch invokes
+    # nothing and emits nothing (identity pinned in tests/test_streaming.py)
     return run_to_memory(
-        running_totals_stateful(_slice_users(s)), "dq_stream_stateful", output_mode="update"
+        running_totals_stateful(_slice_users(s)),
+        "dq_stream_stateful",
+        output_mode="update",
+        final_no_data_batch=False,
     )
 
 
@@ -81,7 +103,11 @@ def stream_slide_stream(spark, sf_dir):
     from vcf2db_spark.streaming import sliding_avg
 
     s = read_events_stream(spark, stage_events_dir(sf_dir))
-    return run_to_memory(sliding_avg(s), "dq_stream_slide", output_mode="complete")
+    # complete mode: same no-data-batch identity as stream_session_stream
+    return run_to_memory(
+        sliding_avg(s), "dq_stream_slide", output_mode="complete",
+        final_no_data_batch=False,
+    )
 
 
 @dq("stream_stream_join")
@@ -91,8 +117,13 @@ def stream_stream_join(spark, sf_dir):
     from vcf2db_spark.streaming.pipelines import purchases_with_recent_clicks
 
     s = read_events_stream(spark, stage_events_dir(sf_dir))
+    # a watermarked INNER join emits each match in the data batch that
+    # completes the pair; the no-data batch only evicts buffered state
+    # (identity pinned in tests/test_streaming.py) — skip that round
     return run_to_memory(
-        purchases_with_recent_clicks(_slice_users(s, mod=3)), "dq_stream_ss_join"
+        purchases_with_recent_clicks(_slice_users(s, mod=3)),
+        "dq_stream_ss_join",
+        final_no_data_batch=False,
     )
 
 

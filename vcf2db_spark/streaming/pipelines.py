@@ -316,7 +316,8 @@ class state_store_provider:
 
 
 def run_to_memory(
-    sdf: DataFrame, name: str, output_mode: str = "append"
+    sdf: DataFrame, name: str, output_mode: str = "append",
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a streaming DF with an availableNow trigger into an in-memory
     table and return it as a batch DataFrame. availableNow processes all
@@ -325,10 +326,29 @@ def run_to_memory(
     Stateful operators allocate one state-store instance per shuffle
     partition; for the local harness we pin that to 8 for the duration of
     the stream (32 stores × checkpoint dirs is pure fixed cost at test
-    scale — on a cluster you size it to executor count instead)."""
+    scale — on a cluster you size it to executor count instead).
+
+    ``final_no_data_batch=False`` skips the trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``) for the drain.
+    That batch exists to advance the watermark one last time so operators
+    whose OUTPUT is watermark-gated (append-mode window aggregates) can
+    emit their finalized windows — for those it is load-bearing and the
+    default stays on. Operators that emit rows in the data batch itself
+    and use the watermark only to EVICT state (dropDuplicatesWithin-
+    Watermark, stream-stream inner joins, update-mode applyInPandasWith-
+    State, complete-mode aggregates) produce zero rows in that final
+    batch, so skipping it removes one full trigger round (planning +
+    state-store open/commit + WAL) per drain with byte-identical output —
+    asserted per operator in tests/test_streaming.py::
+    test_final_no_data_batch_output_identity. Callers opt in per QUERY
+    SEMANTICS, never per scale."""
     spark = sdf.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain", "100")
+    _NODATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(_NODATA_KEY, "true")
+    if not final_no_data_batch:
+        spark.conf.set(_NODATA_KEY, "false")
     # State-store instances sized by INPUT VOLUME: per-store WAL/commit
     # fixed costs dominate tiny drains (8→4 measured ~12% on the
     # stream-stream join at sf0.1), but starving a larger drain of
@@ -360,6 +380,7 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", prev_retain)
+        spark.conf.set(_NODATA_KEY, prev_nodata)
     return spark.table(name)
 
 
