@@ -351,6 +351,11 @@ def stream_lakehouse_feed(spark, sf_dir):
         .filter(F.col("o_custkey") % 9 == 4)
         .select("o_orderkey", "o_orderdate", "o_totalprice")
     )
+    # the cohort feeds THREE commits (create / append / merge source) —
+    # materialize the slice once (lazy: the create's write is the first
+    # action) instead of re-scanning orders per commit; same in-DAG
+    # barrier device as knn_recall's exact twin, re-paid every run
+    o = o.localCheckpoint(eager=False)
     root = _fresh_root(_FEED_LC, "feed")
     cut = F.lit("1995-01-01").cast("timestamp")
     # ONE file per commit: each file's o_orderkey [min,max] then spans
@@ -569,6 +574,10 @@ def lakehouse_dv_merge(spark, sf_dir):
         .filter(F.col("o_custkey") % 7 == 5)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+    # scanned by the create AND the update-batch build — one
+    # materialization (lazy; the create's write pays it), same device as
+    # stream_lakehouse_feed's cohort slice
+    o = o.localCheckpoint(eager=False)
     root = _fresh_root(_DVM_LC, "dvm")
     v0 = lh.create(
         spark, root, o.repartition(6, "o_custkey"),

@@ -795,6 +795,19 @@ def merge(
     file-count rows + candidate sidecar reads (file-count KBs)."""
     cur = snapshot(root)
     _check_schema(cur, updates, "merge")
+    # Materialize the update batch ONCE (eager localCheckpoint): the
+    # batch DAG is otherwise re-evaluated four times — bounds aggregate,
+    # hit-list range join, matched-update join, not-matched anti-join —
+    # and an update batch derived from an expensive upstream (a join, a
+    # stream's foreachBatch slice) pays that upstream 4×. Delta
+    # materializes its MERGE source for the same reason (plus
+    # determinism under non-deterministic sources — all four consumers
+    # now provably see the SAME batch). Eager, not lazy: the dedicated
+    # materialization job measured faster than lazy-on-first-action at
+    # sf0.1 (0.4 vs 0.7 s through bounds+hitlist) and the batch is
+    # consumed unconditionally two lines down. Batch-sized state, never
+    # table-sized; blocks free when the merge returns.
+    updates = updates.localCheckpoint(eager=True)
     # 1-row bounds aggregate of the update batch (empty-batch gate, the
     # duplicate-key guard, and the fallback pruning bound for
     # non-numeric keys)
@@ -910,6 +923,13 @@ def merge(
     # matched-update ∪ pass-through: one left join on the key. The match
     # test is the presence flag, not coalesce — a NULL update value
     # overwrites the old value instead of silently keeping it (ADVICE r6)
+    # Join strategy picked from what the optimizer cannot see: the batch
+    # row count is exact (the bounds aggregate above), while Catalyst
+    # only has the upstream scan estimate — broadcast the bounded batch
+    # so the TARGET side is never shuffled (same gate dv_merge uses;
+    # larger batches fall back to the planner's choice).
+    if bounds["total"] <= _MERGE_BROADCAST_ROWS:
+        upd = F.broadcast(upd)
     merged = target.join(upd, target[key] == upd["__k"], "left").select(
         key,
         *[
@@ -1150,6 +1170,10 @@ def dv_merge(
     bitmaps; ``compact`` purges them past the deleted-ratio threshold."""
     cur = snapshot(root)
     _check_schema(cur, updates, "dv_merge")
+    # one materialization of the batch for its four consumers (bounds,
+    # bloom probe, matched join, inserts anti-join) — same rationale and
+    # measurement as merge() above; batch-sized, freed on return
+    updates = updates.localCheckpoint(eager=True)
     bounds = updates.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
@@ -1216,6 +1240,10 @@ def dv_merge(
         else upd
     )
     matched = target.join(upd_side, target[key] == upd["__k"])
+    # matched feeds BOTH the DV build and the replacement rows — without
+    # a barrier the touched-file scan + join runs twice. Batch-bounded
+    # (one row per matched target copy), so the checkpoint is O(batch).
+    matched = matched.localCheckpoint(eager=False)
     new_dv = _build_dvs(
         root, matched.select("__base", "__pos"), touched
     )
