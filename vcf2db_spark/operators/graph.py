@@ -75,6 +75,14 @@ def pagerank(
         F.col(src).cast("bigint").alias("_src"), F.col(dst).cast("bigint").alias("_dst")
     )
     deg = dir_edges.groupBy("_src").agg(F.count(F.lit(1)).alias("_d"))
+    # deg is consumed by the edge join, the node set (hence every
+    # iteration's left join) and the union variant's semi filter; without
+    # a barrier Catalyst INLINES the whole upstream edge-build DAG into
+    # each consumer — measured on the trade-graph query: 3 full copies of
+    # the orders⋈lineitem→distinct subtree in the final plan (56
+    # Exchanges, 29 joins for 3 iterations). One lazy localCheckpoint of
+    # the node-sized degree table collapses that to a single edge build.
+    deg = deg.localCheckpoint(eager=False)
     # Degree rides along with the edge so the loop body is a single join.
     # The static edge relation is hash-partitioned on its join key ONCE,
     # outside the loop: the rank state arrives at each iteration already
@@ -103,7 +111,15 @@ def pagerank(
         withdeg = withdeg.join(
             deg.select(F.col("_src").alias("_dst")), "_dst", "semi"
         )
-    withdeg = withdeg.repartition(shuffle_n, "_src")
+    # materialize the static edge relation ONCE (lazy localCheckpoint —
+    # the first iteration's join pays it): it is re-consumed every
+    # iteration, and without the barrier each iteration re-evaluates the
+    # edge build (scan + distinct + degree join). Same device as
+    # operators/dedup._cc_loop's edge materialization; at 100 TB this is
+    # the loop-invariant you persist before any iterative graph pass.
+    withdeg = withdeg.repartition(shuffle_n, "_src").localCheckpoint(
+        eager=False
+    )
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("_u")
     )
