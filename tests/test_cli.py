@@ -5,8 +5,17 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from vcf2db_spark.__main__ import main
 from tests.fixtures.make_mini_vcf import write_fixture
+
+# Each CLI test drives `python -m vcf2db_spark` end to end — its OWN
+# SparkSession per invocation (~40 s apiece, ~4.5 min for the module).
+# The layers under the CLI (sources, sinks, operators, queries) all have
+# direct in-session tests; the subprocess-shaped sweep is opt-in via
+# `-m slow_sweep` so the default suite fits the driver's pytest window.
+pytestmark = pytest.mark.slow_sweep
 
 
 def test_cli_parquet_load(spark, tmp_path):

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 import vcf2db_spark.queries.analytics as qa
@@ -224,6 +225,7 @@ def test_lorenz_gini_bounds(spark):
     assert r["n"] == 4 and abs(r["gini"] - 0.75) < 2e-6
 
 
+@pytest.mark.slow_sweep  # 1M-row overflow-cliff probe (~16 s); driver-window fit
 def test_lorenz_gini_cliff_1m_single_group(spark, tmp_path):
     """Property test AT the headroom cliff: 1M events in ONE event_type.
     With the raw rank folded into the 1e-6-unit sum this overflows

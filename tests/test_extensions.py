@@ -170,6 +170,7 @@ def media(spark):
     return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
 
 
+@pytest.mark.slow_sweep  # media decode over synthetic containers (~25 s); driver-window fit
 def test_extract_features(media):
     out = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     assert out[1]["width"] == 16 and out[1]["height"] == 8 and out[1]["channels"] == 3
@@ -178,6 +179,7 @@ def test_extract_features(media):
     assert 0 <= out[1]["mean_intensity"] <= 255
 
 
+@pytest.mark.slow_sweep  # media resize round trip (~29 s); driver-window fit
 def test_resize_composes(media):
     small = mm.resize(media, 8, 4)
     feats = {r["media_id"]: r for r in mm.extract_features(small).collect()}

@@ -309,6 +309,7 @@ def test_grouped_ols_span_rebase_hand_computed(spark):
     assert out[0]["intercept"] == 1.0
 
 
+@pytest.mark.slow_sweep  # 1M-row overflow-cliff probe (~21 s); driver-window fit
 def test_grouped_ols_cliff_no_overflow_and_oracle_lockstep(spark, tmp_path):
     """Property test AT the Σx² cliff (VERDICT r3 item 9): 1M events for
     one entity spread over a 6e6 s span — in raw seconds Σx² ≈ 1.2e19

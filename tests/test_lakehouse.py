@@ -152,7 +152,13 @@ def test_table_changes_cdf(spark, root):
     assert lh.table_changes(spark, root, 2, 3, key="k").count() == 0
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+# seed 11 runs in the default suite; the other two replicas are the
+# same property at different interleavings — opt-in (driver-window fit)
+@pytest.mark.parametrize(
+    "seed",
+    [11]
+    + [pytest.param(s, marks=pytest.mark.slow_sweep) for s in (23, 47)],
+)
 def test_merge_history_matches_dict_replica(spark, tmp_path, seed):
     """Randomized create/append/merge histories: after every commit the
     table must equal a plain-dict replica of the same operations, and
@@ -769,7 +775,13 @@ def _run_concurrency_seed(spark, tmp_path, monkeypatch, seed: int) -> None:
     } == replica
 
 
-@pytest.mark.parametrize("seed", list(range(10)))
+# seeds 0-1 run in the default suite; 2-9 are opt-in (driver-window
+# fit); the 100-seed sweep stays behind SPARK_GRAFT_LAKEHOUSE_SEEDS
+@pytest.mark.parametrize(
+    "seed",
+    [0, 1]
+    + [pytest.param(s, marks=pytest.mark.slow_sweep) for s in range(2, 10)],
+)
 def test_concurrency_property(spark, tmp_path, monkeypatch, seed):
     _run_concurrency_seed(spark, tmp_path, monkeypatch, seed)
 

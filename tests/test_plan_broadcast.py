@@ -26,6 +26,11 @@ import pytest
 
 from vcf2db_spark.queries import QUERIES
 
+# Whole-surface audit (plans every declared query at sf0.1, ~3 min) —
+# same rationale as test_plan_quality.py: plan-shape gate, opt-in via
+# `-m slow_sweep` so the default suite fits the driver's pytest window.
+pytestmark = pytest.mark.slow_sweep
+
 SF = "/root/testdata/sf0.1"
 
 # Tables whose row count scales with data volume (≥1M rows at sf1).

@@ -312,8 +312,55 @@ _PRIORITY_R10 = [
 ]
 
 
+# r10's window = the 50 names CORRECTNESS_r10.json recorded
+# (_PRIORITY_R10's 48 + autocorr_daily's cohort tail reached 50).
+_RECORDED_R10 = list(_PRIORITY_R10)
+
+# Round-11 priority (VERDICT r10 item 7): rows whose EXECUTION changed in
+# r11 first — the five availableNow drains that now skip their output-free
+# final no-data batch (outputs proven byte-identical, rows-only by
+# contract), graph_triangles + pagerank (loop-invariant relations
+# materialized once; plans 10->5 / 56->10 Exchanges, values oracle-green),
+# and the three lakehouse rows whose COW/DV merge now materializes its
+# update batch once (stream_lakehouse_feed, lakehouse_timetravel,
+# lakehouse_dv_merge — outputs and oracles unchanged) — then the 46 names
+# whose LATEST driver record is still r6-era (recomputed from
+# CORRECTNESS_r01..r10; the exact cohort VERDICT r10 item 7 describes).
+# Window arithmetic: the 5 stream rows are themselves r6-era, so the
+# union is 46 + 5 = 51 for 50 slots — one changed row must yield.
+# lakehouse_changes and lakehouse_timetravel also run the changed merge
+# internally, but their declared output AND plan are unchanged (the
+# merge's batch materialization is invisible to the returned DataFrame)
+# and their latest records are r7-era; timetravel is the changed row
+# deliberately left outside the window (changes was never in it), so no
+# r6-era name is displaced and zero latest record ends older than r7.
+_PRIORITY_R11 = [
+    # changed in round 11 (drain trigger-round removal; rows-only):
+    "stream_dedup_wm", "stream_session_stream", "stream_slide_stream",
+    "stream_stateful_totals", "stream_stream_join",
+    # changed in round 11 (plan shape — loop invariants materialized):
+    "graph_triangles", "pagerank",
+    # changed in round 11 (merge machinery — outputs oracle-lockstepped):
+    "stream_lakehouse_feed", "lakehouse_dv_merge",
+    # latest record still r6 (recorded-oldest, alphabetical; the five
+    # stream rows + graph_triangles above are already in this cohort):
+    "agg_conditional", "agg_cube", "agg_distinct", "agg_distinct_salted",
+    "agg_group", "agg_grouping_sets", "agg_having", "agg_rollup",
+    "bucketed_join", "case_bucket", "contam_ngram", "dedup_window",
+    "filter_pred", "join_anti", "join_inner", "join_left", "join_range",
+    "join_semi", "join_star", "knn_exact", "knn_graph", "nb_classify",
+    "null_funcs", "oov_rate", "pivot_crosstab", "project_expr",
+    "rfm_segments", "scan_parquet", "set_except", "set_intersect",
+    "set_union", "stream_sink_parquet", "stream_watermark_append",
+    "subq_exists", "topk_order", "tpch_q12", "tpch_q4", "vocab_topk",
+    "win_moving", "win_rank", "win_running",
+]
+
+
 def _rotate_for_round() -> None:
-    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R10)}
+    order = {name: (0, i) for i, name in enumerate(_PRIORITY_R11)}
+    for i, name in enumerate(_RECORDED_R10):
+        order.setdefault(name, (10, i))
     reg_idx = {name: i for i, name in enumerate(QUERIES)}
     # Refresh oldest-first: any name without a listed record (new
     # queries) enters right after the priority block, then r5 → r9.
